@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Tables._
+import QuerySpec.sql
+
+/** Core relational operator surface over the TPC-H-ish tables.
+  *
+  * The reference engine's relational algebra runs over schema
+  * descriptors (SURVEY.md §2.3); this module re-expresses the same
+  * operator classes (join flavors, filters, projections, aggregation,
+  * ordering invariants) over real table data, Spark-first, sized for
+  * 100 TB: filters/projections push into the parquet scan, small dims
+  * are broadcast, aggregations are partial (map-side) by construction.
+  */
+object Relational {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- scan + aggregate (pricing summary, TPC-H Q1 shape) ----
+    sql("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
+        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- selective filter + single-row agg (TPC-H Q6 shape) ----
+    // The filter reaches the scan as PushedFilters on l_shipdate /
+    // l_discount / l_quantity; only 4 columns are read.
+    sql("q2_forecast_revenue",
+      """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- global sort + limit (top-k) ----
+    sql("q3_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""") { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- 3-way join + agg; dims broadcast (TPC-H Q3/Q5 shape) ----
+    sql("q4_revenue_by_segment",
+      """SELECT c_mktsegment,
+        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue,
+        |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- 5-way star join down to region (broadcast chain) ----
+    sql("q5_nation_volume",
+      """SELECT r_name, n_name,
+        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ---- window functions: per-group top-n via row_number ----
+    sql("q6_top_orders_per_cust",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ---- semi / anti joins (EXISTS / NOT EXISTS) ----
+    sql("q7_customers_without_pending",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    sql("q8_customers_with_orders",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- set operations ----
+    sql("q9_setops",
+      """SELECT k FROM (
+        |  SELECT l_partkey AS k FROM lineitem
+        |  INTERSECT
+        |  SELECT p_partkey AS k FROM part WHERE p_size > 25
+        |  EXCEPT
+        |  SELECT p_partkey AS k FROM part WHERE p_brand = 'Brand#11'
+        |) x ORDER BY k""") { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_partkey").as("k"))
+      val big = t(s, dir, "part").filter(col("p_size") > 25)
+        .select(col("p_partkey").as("k"))
+      val b11 = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("k"))
+      li.intersect(big).except(b11).orderBy(col("k"))
+    },
+
+    // ---- grouping sets / rollup ----
+    sql("q10_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- distinct aggregation ----
+    sql("q11_distinct_parts_per_flag",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).cast("long").as("n_parts"),
+          countDistinct(col("l_suppkey")).cast("long").as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- scalar string/date/math functions ----
+    sql("q12_scalar_functions",
+      """SELECT p_partkey,
+        |       UPPER(p_brand) AS brand_uc,
+        |       CAST(LENGTH(p_name) AS INT) AS name_len,
+        |       SUBSTRING(p_type, 1, 5) AS type_pfx,
+        |       CONCAT(p_brand, ':', p_type) AS brand_type,
+        |       ABS(p_size - 25) AS size_dist,
+        |       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        abs(col("p_size") - 25).as("size_dist"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- conditional aggregation (TPC-H Q4 flavor) ----
+    sql("q13_priority_mix",
+      """SELECT o_orderstatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(lsum(when(hi, 1).otherwise(0)).as("high_cnt"),
+          lsum(when(!hi, 1).otherwise(0)).as("low_cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- correlated-aggregate filter (TPC-H Q17/Q22 flavor):
+    // parts whose total ordered quantity exceeds 60× their size ----
+    sql("q14_hot_parts",
+      """SELECT p_partkey, p_name, total_qty FROM (
+        |  SELECT p_partkey, p_name,
+        |         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty,
+        |         MAX(p_size) AS sz
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  GROUP BY p_partkey, p_name) x
+        |WHERE total_qty > sz * 60
+        |ORDER BY p_partkey""") { (s, dir) =>
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(dsum(col("l_quantity")).as("total_qty"), max(col("p_size")).as("sz"))
+        .filter(col("total_qty") > col("sz") * 60)
+        .select(col("p_partkey"), col("p_name"), col("total_qty"))
+        .orderBy(col("p_partkey"))
+    })
+}

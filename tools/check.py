@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+
+Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB against the parquet
+tables in <sfDir>, and compares: column names (sorted), row count, and
+cell values (rows sorted canonically). Exits nonzero on any mismatch.
+
+This file is a DEV TOOL only — the Scala library has no Python deps.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return (0, "")
+    if isinstance(v, bool):
+        return (1, str(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (2, "nan")
+        return (2, repr(v))
+    if isinstance(v, (int,)):
+        return (2, repr(float(v))) if False else (3, str(v))
+    if isinstance(v, (list, tuple)):
+        return (4, tuple(canon(x) for x in v))
+    return (5, str(v))
+
+
+def norm_cell(v):
+    # Decimal -> str without trailing zeros issues; float kept as float
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def table_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    return sorted(out, key=lambda row: tuple(canon(c) for c in row)), \
+        [cols[i] for i in order]
+
+
+def approx_eq(a, b):
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        if math.isnan(a) and isinstance(b, float) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(approx_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures, passed, exact = [], 0, 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
+            got_cols = got_tbl.column_names
+            got_rows = [tuple(got_tbl.column(c)[i].as_py() for c in got_cols)
+                        for i in range(got_tbl.num_rows)]
+            cur = con.execute(sql)
+            exp_cols = [d[0] for d in cur.description]
+            exp_rows = cur.fetchall()
+        except Exception as e:
+            failures.append((name, f"EXEC ERROR: {e}"))
+            continue
+        g_rows, g_cols = table_rows(got_cols, got_rows)
+        e_rows, e_cols = table_rows(exp_cols, exp_rows)
+        if g_cols != e_cols:
+            failures.append((name, f"COLS spark={g_cols} oracle={e_cols}"))
+            continue
+        if len(g_rows) != len(e_rows):
+            failures.append(
+                (name, f"ROWCOUNT spark={len(g_rows)} oracle={len(e_rows)}"))
+            continue
+        bad = None
+        is_exact = True
+        for i, (g, e) in enumerate(zip(g_rows, e_rows)):
+            if g != e:
+                is_exact = False
+                if not approx_eq(g, e):
+                    bad = (i, g, e)
+                    break
+        if bad:
+            failures.append((name, f"VALUE row{bad[0]}\n  spark={bad[1]}\n  oracle={bad[2]}"))
+        else:
+            passed += 1
+            exact += 1 if is_exact else 0
+            tag = "EXACT" if is_exact else "approx"
+            print(f"PASS  {name}  ({len(g_rows)} rows, {tag})")
+    for name, msg in failures:
+        print(f"FAIL  {name}: {msg}")
+    print(f"\n{passed} passed ({exact} exact), {len(failures)} failed")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
