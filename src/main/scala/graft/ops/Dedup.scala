@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Tables._
+import QuerySpec.sql
+
+/** Document deduplication for training-data pipelines, designed for
+  * 100 TB: every variant is a hash-partitioned aggregation or a
+  * bucket-join — never an all-pairs comparison (except the explicitly
+  * sampled exact-Jaccard baseline).
+  *
+  * Cross-engine determinism notes (DuckDB oracle parity):
+  *  - "random" hash permutations are `md5(k || ':' || shingle)` with the
+  *    LEXICOGRAPHIC min as the MinHash — a valid random permutation via
+  *    hash ordering, identical in any engine with md5;
+  *  - outputs are integers/hex-strings only, no floating point.
+  */
+object Dedup {
+
+  private val K = 8          // minhash permutations
+  private val Bands = 4      // LSH bands of 2 rows each
+
+  /** words -> word 3-gram shingles, guarded for short docs. */
+  private val shingleExpr =
+    """CASE WHEN size(words) >= 3
+      |  THEN transform(sequence(0, size(words) - 3),
+      |                 i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))
+      |  ELSE array()
+      |END""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
+      .distinct()
+
+  /** DuckDB equivalent of [[shingles]] as a CTE body. */
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+      |     range(1, greatest(len(words) - 1, 1)) AS r(i)""".stripMargin
+
+  private def minhashAgg: Seq[Column] =
+    (0 until K).map(k => min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k"))
+
+  private val minhashAggSql: String =
+    (0 until K).map(k => s"min(md5('$k:' || sh)) AS h$k").mkString(", ")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- exact dedup: canonical id per content hash (one shuffle) ----
+    sql("dd_exact_canonical",
+      """SELECT doc_id,
+        |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+        |FROM documents
+        |ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+            .as("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash signatures over word-3-gram shingles ----
+    sql("dd_minhash_signatures",
+      s"""WITH sh AS ($shinglesSql)
+         |SELECT doc_id, $minhashAggSql
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      shingles(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(minhashAgg.head, minhashAgg.tail: _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- full near-dup pipeline: shingle -> minhash -> LSH band
+    // bucket-join -> exact Jaccard verification. The bucket join is the
+    // 100 TB path: candidates only ever meet inside a band bucket. ----
+    sql("dd_minhash_neardups", {
+      val bandSelects = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (SELECT doc_id, $minhashAggSql FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id < b.doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT m.doc_a, m.doc_b,
+         |       CAST(m.n_common AS BIGINT) AS n_common,
+         |       CAST(ca.n_sh + cb.n_sh - m.n_common AS BIGINT) AS n_union
+         |FROM common m
+         |JOIN counts ca ON ca.doc_id = m.doc_a
+         |JOIN counts cb ON cb.doc_id = m.doc_b
+         |WHERE m.n_common * 2 >= (ca.n_sh + cb.n_sh - m.n_common)
+         |ORDER BY m.doc_a, m.doc_b"""
+    }) { (s, dir) =>
+      val sh = shingles(s, dir).cache()
+      val sig = sh.groupBy(col("doc_id")).agg(minhashAgg.head, minhashAgg.tail: _*)
+      val bands = (0 until Bands).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+      }.reduce(_ union _)
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val common = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      common
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+        .select(col("doc_a"), col("doc_b"),
+          col("n_common").cast("long").as("n_common"),
+          (col("n_a") + col("n_b") - col("n_common")).cast("long").as("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- exact n-gram Jaccard, brute-force on a bounded sample — the
+    // correctness baseline the LSH path is judged against ----
+    sql("dd_ngram_jaccard_sample",
+      s"""WITH sh AS ($shinglesSql),
+         |sample AS (SELECT * FROM sh WHERE doc_id < 100),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sample GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sample a JOIN sample b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (
+         |  SELECT m.doc_a, m.doc_b, m.n_common,
+         |         ca.n_sh + cb.n_sh - m.n_common AS n_union
+         |  FROM common m
+         |  JOIN counts ca ON ca.doc_id = m.doc_a
+         |  JOIN counts cb ON cb.doc_id = m.doc_b)
+         |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+         |       CAST(n_union AS BIGINT) AS n_union
+         |FROM j WHERE n_common * 10 >= n_union * 3
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sample = shingles(s, dir).filter(col("doc_id") < 100).cache()
+      val counts = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sample.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("sh"))
+      val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      common
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+        .filter(col("n_common") * 10 >= col("n_union") * 3)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_common").cast("long").as("n_common"),
+          col("n_union").cast("long").as("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash: 16-bit signature from per-word md5 bits ----
+    sql("dd_simhash", {
+      // hex value of the first 4 md5 chars, spelled out so both engines
+      // compute it identically
+      def hexVal(expr: String, pos: Int) =
+        s"(strpos('0123456789abcdef', substr($expr, $pos, 1)) - 1)"
+      val v = (1 to 4).map(p => s"${hexVal("md5(word)", p)} * ${math.pow(16, 4 - p).toInt}")
+        .mkString(" + ")
+      val bits = (0 until 16).map { bit =>
+        s"CASE WHEN SUM(CASE WHEN (v >> $bit) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << bit} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |h AS (SELECT doc_id, $v AS v FROM w)
+         |SELECT doc_id, CAST($bits AS INT) AS simhash
+         |FROM h GROUP BY doc_id ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      // hex value of the first 4 md5 chars (= the oracle's strpos sum)
+      val value = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int")
+      val withV = words.select(col("doc_id"), value.as("v"))
+      val simhash = (0 until 16).map { bit =>
+        when(sum(when(shiftright(col("v"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          1 << bit).otherwise(0)
+      }.reduce(_ + _)
+      withV.groupBy(col("doc_id"))
+        .agg(simhash.cast("int").as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+}
