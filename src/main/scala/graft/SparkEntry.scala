@@ -12,7 +12,7 @@ import graft.ops._
 object SparkEntry {
 
   private[graft] def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ MetaOps.specs
+    Relational.specs ++ MetaOps.specs ++ Dedup.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

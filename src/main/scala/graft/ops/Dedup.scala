@@ -38,11 +38,16 @@ object Dedup {
       .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
       .distinct()
 
-  /** DuckDB equivalent of [[shingles]] as a CTE body. */
+  /** DuckDB equivalent of [[shingles]] as a CTE body. DuckDB lists are
+    * 1-based where Spark arrays are 0-based, so i runs 1..len-2 here vs
+    * 0..size-3 in [[shingleExpr]] — same word triples. `range(a,b)` is
+    * end-exclusive; the greatest() guard empties it for docs <3 words,
+    * matching Spark's explode of an empty array. */
   private val shinglesSql =
     """SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
-      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
-      |     range(1, greatest(len(words) - 1, 1)) AS r(i)""".stripMargin
+      |FROM (SELECT doc_id, words,
+      |             unnest(range(1, greatest(len(words) - 1, 1))) AS i
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
 
   private def minhashAgg: Seq[Column] =
     (0 until K).map(k => min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k"))
@@ -149,7 +154,7 @@ object Dedup {
          |  JOIN counts cb ON cb.doc_id = m.doc_b)
          |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
          |       CAST(n_union AS BIGINT) AS n_union
-         |FROM j WHERE n_common * 10 >= n_union * 3
+         |FROM j
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
       val sample = shingles(s, dir).filter(col("doc_id") < 100).cache()
       val counts = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -161,7 +166,6 @@ object Dedup {
         .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
         .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
         .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-        .filter(col("n_common") * 10 >= col("n_union") * 3)
         .select(col("doc_a"), col("doc_b"),
           col("n_common").cast("long").as("n_common"),
           col("n_union").cast("long").as("n_union"))

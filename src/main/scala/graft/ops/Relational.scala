@@ -23,9 +23,10 @@ object Relational {
     // ---- scan + aggregate (pricing summary, TPC-H Q1 shape) ----
     sql("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sum_base_price,
-        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
         |       CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -37,7 +38,8 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -46,7 +48,8 @@ object Relational {
     // The filter reaches the scan as PushedFilters on l_shipdate /
     // l_discount / l_quantity; only 4 columns are read.
     sql("q2_forecast_revenue",
-      """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -58,7 +61,7 @@ object Relational {
           col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(
-          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          dsum4(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -74,10 +77,13 @@ object Relational {
         .limit(10)
     },
 
-    // ---- 3-way join + agg; dims broadcast (TPC-H Q3/Q5 shape) ----
+    // ---- 3-way join + agg (TPC-H Q3/Q5 shape). customer scales with
+    // SF, so no forced broadcast hint — AQE picks broadcast vs
+    // shuffle-hash from measured size at runtime (safe at 100×). ----
     sql("q4_revenue_by_segment",
       """SELECT c_mktsegment,
-        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
         |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -88,10 +94,11 @@ object Relational {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          dsum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .as("revenue"),
           countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
         .orderBy(col("c_mktsegment"))
     },
@@ -99,7 +106,8 @@ object Relational {
     // ---- 5-way star join down to region (broadcast chain) ----
     sql("q5_nation_volume",
       """SELECT r_name, n_name,
-        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS revenue
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -107,14 +115,18 @@ object Relational {
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""") { (s, dir) =>
       val li = t(s, dir, "lineitem")
+      // nation/region are constant-size dims (25/5 rows at every SF) —
+      // broadcast is always right. supplier scales with SF: leave it to
+      // AQE so a 100× run can fall back to a shuffle join.
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region")
-      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      li.join(su, li("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .agg(dsum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -181,7 +193,7 @@ object Relational {
     sql("q10_rollup",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sum_qty
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
@@ -247,7 +259,7 @@ object Relational {
     sql("q14_hot_parts",
       """SELECT p_partkey, p_name, total_qty FROM (
         |  SELECT p_partkey, p_name,
-        |         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS total_qty,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
         |         MAX(p_size) AS sz
         |  FROM part JOIN lineitem ON p_partkey = l_partkey
         |  GROUP BY p_partkey, p_name) x

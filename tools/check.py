@@ -38,10 +38,13 @@ def canon(v):
 
 
 def norm_cell(v):
-    # Decimal -> str without trailing zeros issues; float kept as float
+    # EXACT compare, mirroring the driver's hash: Decimals stay Decimals
+    # (value + scale both matter), floats stay floats. Do NOT relax this
+    # back to float() — that is how round-1 shipped 6 hash-fail queries
+    # while the local gate said "pass (approx)".
     import decimal
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return str(v)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
@@ -54,16 +57,6 @@ def table_rows(cols, rows):
         out.append(tuple(norm_cell(r[i]) for i in order))
     return sorted(out, key=lambda row: tuple(canon(c) for c in row)), \
         [cols[i] for i in order]
-
-
-def approx_eq(a, b):
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        if math.isnan(a) and isinstance(b, float) and math.isnan(b):
-            return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(approx_eq(x, y) for x, y in zip(a, b))
-    return a == b
 
 
 def main():
@@ -98,21 +91,18 @@ def main():
             failures.append(
                 (name, f"ROWCOUNT spark={len(g_rows)} oracle={len(e_rows)}"))
             continue
+        # EXACT equality only — the driver hashes values, no tolerance.
         bad = None
-        is_exact = True
         for i, (g, e) in enumerate(zip(g_rows, e_rows)):
             if g != e:
-                is_exact = False
-                if not approx_eq(g, e):
-                    bad = (i, g, e)
-                    break
+                bad = (i, g, e)
+                break
         if bad:
             failures.append((name, f"VALUE row{bad[0]}\n  spark={bad[1]}\n  oracle={bad[2]}"))
         else:
             passed += 1
-            exact += 1 if is_exact else 0
-            tag = "EXACT" if is_exact else "approx"
-            print(f"PASS  {name}  ({len(g_rows)} rows, {tag})")
+            exact += 1
+            print(f"PASS  {name}  ({len(g_rows)} rows, EXACT)")
     for name, msg in failures:
         print(f"FAIL  {name}: {msg}")
     print(f"\n{passed} passed ({exact} exact), {len(failures)} failed")
