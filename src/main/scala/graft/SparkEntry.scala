@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private[graft] def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ MetaOps.specs ++ Dedup.specs
+    Relational.specs ++ MetaOps.specs ++ Dedup.specs ++
+      Events.specs ++ Text.specs ++ Similarity.specs ++ Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

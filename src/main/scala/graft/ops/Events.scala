@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Tables._
+import QuerySpec.sql
+
+/** Event-stream analytics over the `events` table — the batch
+  * expressions of the streaming shapes (tumbling windows,
+  * sessionization, funnels, retention). The same logic runs
+  * incrementally in [[graft.streaming]]; here it is expressed over the
+  * bounded parquet fixture so the DuckDB oracle can check it.
+  *
+  * Scale design: every query is a hash-partitioned aggregation or a
+  * window partitioned by `user_id` — no global windows, no collects.
+  * At 100 TB the sessionization shuffle is one exchange on user_id
+  * (150 M users ≫ 32 partitions ⇒ even spread; a power-user skew would
+  * be handled by AQE skew-join settings, not code changes).
+  *
+  * Cross-engine determinism:
+  *  - the fixture's parquet timestamps are NANOS, which Spark 4 refuses
+  *    to read as TIMESTAMP; `spark.sql.legacy.parquet.nanosAsLong`
+  *    turns the column into BIGINT nanoseconds. DuckDB reads the same
+  *    column as a microsecond timestamp. Every query therefore works at
+  *    SECOND granularity: `ts div 1e9` (Spark) == `floor(epoch(ts))`
+  *    (DuckDB) — truncating twice equals truncating once.
+  *  - `value` doubles are not exact 2-decimal; both engines quantize
+  *    with the identical expression `CAST(round(value*100) AS BIGINT)`
+  *    (same double bits in, same cents out).
+  *  - window orderings tie-break on `event_id`.
+  */
+object Events {
+
+  /** events with ts as BIGINT nanoseconds (see scaladoc). */
+  private[ops] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** epoch seconds + integer cents, the engine-portable core columns. */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("props"),
+      expr("ts div 1000000000").as("tsec"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
+  private val baseSql =
+    """SELECT event_id, user_id, event_type, props,
+      |       CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+      |       CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM events""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- tumbling 1-hour window per event_type: the canonical
+    // streaming rollup (count / quantized sum / distinct users) ----
+    sql("ev_hourly_rollup",
+      s"""WITH e AS ($baseSql)
+         |SELECT tsec // 3600 AS epoch_hour, event_type,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      base(s, dir)
+        .groupBy(expr("tsec div 3600").as("epoch_hour"), col("event_type"))
+        .agg(lsum(lit(1)).as("n_events"),
+          lsum(col("cents")).as("total_cents"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy(col("epoch_hour"), col("event_type"))
+    },
+
+    // ---- sessionization: 30-min-gap sessions per user (lag → flag →
+    // running sum), the batch twin of streaming state timeouts ----
+    sql("ev_sessionization",
+      s"""WITH e AS ($baseSql),
+         |flagged AS (
+         |  SELECT user_id, tsec, cents, event_id,
+         |         CASE WHEN tsec - LAG(tsec) OVER w > 1800
+         |              OR LAG(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         |sessions AS (
+         |  SELECT user_id, tsec, cents,
+         |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(MIN(tsec) AS BIGINT) AS start_sec,
+         |       CAST(MAX(tsec) - MIN(tsec) AS BIGINT) AS duration_sec,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents
+         |FROM sessions GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      val flagged = base(s, dir).select(col("user_id"), col("tsec"), col("cents"),
+        when(col("tsec") - lag(col("tsec"), 1).over(w) > 1800 ||
+          lag(col("tsec"), 1).over(w).isNull, 1).otherwise(0).as("new_s"),
+        col("event_id"))
+      val sessions = flagged.select(col("user_id"), col("tsec"), col("cents"),
+        sum(col("new_s")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_seq"))
+      sessions.groupBy(col("user_id"), col("session_seq").cast("long").as("session_seq"))
+        .agg(lsum(lit(1)).as("n_events"),
+          min(col("tsec")).cast("long").as("start_sec"),
+          (max(col("tsec")) - min(col("tsec"))).cast("long").as("duration_sec"),
+          lsum(col("cents")).as("total_cents"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // ---- ordered funnel view → click → purchase (min-ts chaining) ----
+    sql("ev_funnel",
+      s"""WITH e AS ($baseSql),
+         |v AS (SELECT user_id, MIN(tsec) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.tsec) AS t_click
+         |      FROM e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.tsec > v.t_view
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.tsec) AS t_purchase
+         |      FROM e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.tsec > c.t_click
+         |      GROUP BY e.user_id)
+         |SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+         |       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+         |       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel""") { (s, dir) =>
+      val e = base(s, dir).cache()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("tsec") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("tsec") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("tsec")).as("t_purchase"))
+      v.agg(lsum(lit(1)).as("n_view"))
+        .crossJoin(c.agg(lsum(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(lsum(lit(1)).as("n_full_funnel")))
+    },
+
+    // ---- top-10 purchasers by quantized spend (deterministic rank) ----
+    sql("ev_top_spenders",
+      s"""WITH e AS ($baseSql),
+         |spend AS (SELECT user_id, CAST(SUM(cents) AS BIGINT) AS cents,
+         |                 CAST(COUNT(*) AS BIGINT) AS n_purchases
+         |          FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rk
+         |           FROM spend)
+         |SELECT CAST(rk AS INT) AS rk, user_id, cents, n_purchases
+         |FROM ranked WHERE rk <= 10 ORDER BY rk""") { (s, dir) =>
+      val spend = base(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(lsum(col("cents")).as("cents"), lsum(lit(1)).as("n_purchases"))
+      spend
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("cents").desc, col("user_id"))).cast("int"))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("user_id"), col("cents"), col("n_purchases"))
+        .orderBy(col("rk"))
+    },
+
+    // ---- semi-structured props: JSON field extraction + aggregation ----
+    sql("ev_json_props",
+      s"""WITH e AS ($baseSql),
+         |k AS (SELECT event_type, CAST(json_extract_string(props, '$$.k') AS INT) AS k
+         |      FROM e)
+         |SELECT event_type,
+         |       CAST(SUM(k) AS BIGINT) AS sum_k,
+         |       CAST(MIN(k) AS INT) AS min_k,
+         |       CAST(MAX(k) AS INT) AS max_k,
+         |       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+         |FROM k GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      base(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(lsum(col("k")).as("sum_k"),
+          min(col("k")).cast("int").as("min_k"),
+          max(col("k")).cast("int").as("max_k"),
+          countDistinct(col("k")).cast("long").as("n_distinct_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- day-over-day retention: distinct user-days self-joined on
+    // day+1 — one shuffle on user_id, then a merge on (user, day) ----
+    sql("ev_daily_retention",
+      s"""WITH e AS ($baseSql),
+         |ud AS (SELECT DISTINCT user_id, tsec // 86400 AS day FROM e),
+         |ret AS (SELECT a.day AS day, COUNT(b.user_id) AS retained
+         |        FROM ud a LEFT JOIN ud b
+         |          ON b.user_id = a.user_id AND b.day = a.day + 1
+         |        GROUP BY a.day),
+         |act AS (SELECT day, COUNT(*) AS active FROM ud GROUP BY day)
+         |SELECT act.day AS day, CAST(act.active AS BIGINT) AS active,
+         |       CAST(ret.retained AS BIGINT) AS retained
+         |FROM act JOIN ret ON act.day = ret.day
+         |ORDER BY day""") { (s, dir) =>
+      val ud = base(s, dir)
+        .select(col("user_id"), expr("tsec div 86400").as("day")).distinct()
+      val b = ud.select(col("user_id"), (col("day") - 1).as("day"), lit(1).as("hit"))
+      val ret = ud.join(b, Seq("user_id", "day"), "left_outer")
+        .groupBy(col("day")).agg(lsum(coalesce(col("hit"), lit(0))).as("retained"))
+      val act = ud.groupBy(col("day")).agg(lsum(lit(1)).as("active"))
+      act.join(ret, Seq("day"))
+        .select(col("day"), col("active"), col("retained"))
+        .orderBy(col("day"))
+    })
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+import QuerySpec.sql
+
+/** An opaque binary media asset with typed metadata — the schema shape
+  * a multimodal training pipeline carries image/audio/video in. */
+final case class MediaAsset(asset_id: Long, modality: String, bytes: Array[Byte])
+
+/** One feature row emitted by the (stubbed) decoder. */
+final case class AssetFeature(asset_id: Long, bucket: Int, cnt: Long)
+
+/** Multimodal-column plumbing: binary payload columns + typed metadata,
+  * a `Dataset[MediaAsset]` decode stage over `mapPartitions`, and
+  * byte-level sampling — the Spark-side architecture of an image/audio
+  * pipeline with the codec itself stubbed (no media libraries in this
+  * environment; see [[RealCodecs]]).
+  *
+  * The fixture: `documents.text` encoded as UTF-8 bytes stands in for
+  * the media payload (it is pure ASCII, so the DuckDB oracle can check
+  * the byte-level results through varchar functions — DuckDB lacks
+  * BLOB substring/md5). A real deployment swaps the payload source for
+  * the binary column of an image/audio table; nothing downstream
+  * changes.
+  *
+  * Scale design: assets stay in their scan partitions end-to-end —
+  * decode is `mapPartitions` (no shuffle, codec init amortized per
+  * partition, the standard pattern for heavyweight per-record codecs);
+  * per-asset stats are pure expressions; only the final histogram
+  * explode aggregates (hash-partitioned on asset_id). Payload bytes are
+  * never collected, never a join key, and pruned as soon as features
+  * are extracted.
+  */
+object Multimodal {
+
+  /** Where the real decoders would live. Deliberately unimplemented:
+    * the container has no image/audio libraries. The pipeline below
+    * uses [[nibbleHistogram]] as a deterministic stand-in feature
+    * extractor with the same shape (bytes in, fixed-width features
+    * out). */
+  object RealCodecs {
+    /** e.g. JPEG decode → (width, height, channels). */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = ???
+    /** e.g. PCM frames at a fixed sample rate. */
+    def decodeAudio(bytes: Array[Byte]): Array[Short] = ???
+    /** e.g. every k-th video frame re-encoded as JPEG. */
+    def sampleFrames(bytes: Array[Byte], everyK: Int): Iterator[Array[Byte]] = ???
+  }
+
+  /** documents → typed assets: payload bytes + synthetic modality. */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("modality"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaAsset]
+  }
+
+  /** STUB feature extractor (deterministic fake decode): a 16-bucket
+    * histogram of the payload's high nibbles. Replace the body with a
+    * [[RealCodecs]] call to productionize; the partitioning, schema,
+    * and batch shape are the real thing. */
+  def nibbleHistogram(ds: Dataset[MediaAsset]): Dataset[AssetFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { assets =>
+      // per-partition scope: a real codec would be initialized once here
+      assets.flatMap { a =>
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < a.bytes.length) {
+          counts((a.bytes(i) & 0xff) >> 4) += 1
+          i += 1
+        }
+        (0 until 16).iterator
+          .filter(counts(_) > 0)
+          .map(b => AssetFeature(a.asset_id, b, counts(b)))
+      }
+    }
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- per-asset payload stats: byte length + content digest ----
+    sql("mm_asset_stats",
+      """SELECT doc_id AS asset_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents ORDER BY asset_id""") { (s, dir) =>
+      assets(s, dir).toDF()
+        .select(col("asset_id"), col("modality"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          md5(col("bytes")).as("content_md5"))
+        .orderBy(col("asset_id"))
+    },
+
+    // ---- frame-sampling shape: an 8-byte probe every 64 bytes ----
+    sql("mm_chunk_sample",
+      """WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents WHERE octet_length(encode(text)) >= 8),
+        |probes AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |                  upper(hex(encode(substring(text, i, 8)))) AS chunk_hex
+        |           FROM a, UNNEST(range(1, n - 6, 64)) AS t(i))
+        |SELECT doc_id AS asset_id, pos, chunk_hex
+        |FROM probes ORDER BY asset_id, pos""") { (s, dir) =>
+      assets(s, dir).toDF()
+        .filter(length(col("bytes")) >= 8)
+        .select(col("asset_id"), col("bytes"),
+          posexplode(expr("sequence(1, length(bytes) - 7, 64)")).as(Seq("i", "pos")))
+        .select(col("asset_id"), col("pos").cast("int").as("pos"),
+          upper(hex(expr("substring(bytes, pos, 8)"))).as("chunk_hex"))
+        .orderBy(col("asset_id"), col("pos"))
+    },
+
+    // ---- the typed decode pipeline end-to-end (mapPartitions stub) ----
+    sql("mm_feature_histogram",
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substring(text, i, 1)) AS code
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i))
+        |SELECT doc_id AS asset_id, CAST(code // 16 AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM chars GROUP BY doc_id, code // 16
+        |ORDER BY asset_id, bucket""") { (s, dir) =>
+      nibbleHistogram(assets(s, dir)).toDF()
+        .orderBy(col("asset_id"), col("bucket"))
+    })
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import Tables._
+import QuerySpec.sql
+
+/** Text analysis for training-data curation over the `documents` table:
+  * token statistics, quality scoring, n-gram vocabularies, document
+  * fingerprinting, and a dictionary-based language-ID heuristic.
+  *
+  * Scale design: per-document operators are pure array expressions
+  * (no explode, no shuffle — whole-stage codegen over the scan);
+  * corpus-level operators (top-ngrams, language ID) explode once and
+  * aggregate hash-partitioned on the token — the word-count shape that
+  * scales linearly with corpus size. No driver-side loops.
+  *
+  * Cross-engine determinism: all outputs are integers or strings.
+  * Ratios use integer floor-division (`div`/`//`), top-k uses
+  * ROW_NUMBER with full tie-breaks.
+  */
+object Text {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** Small multilingual stopword dictionary for the language-ID
+    * heuristic (word → language it votes for). */
+  private val langDict: Seq[(String, String)] = Seq(
+    "the" -> "en", "and" -> "en", "of" -> "en", "is" -> "en", "a" -> "en",
+    "der" -> "de", "und" -> "de", "die" -> "de", "ist" -> "de",
+    "le" -> "fr", "la" -> "fr", "et" -> "fr", "est" -> "fr",
+    "el" -> "es", "los" -> "es", "es" -> "es", "una" -> "es")
+
+  private val langDictSql = langDict
+    .map { case (w, l) => s"('$w', '$l')" }
+    .mkString("(VALUES ", ", ", ") AS t(word, cand)")
+
+  /** English-ish stopwords for the quality score. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- per-doc token statistics: pure array exprs, zero shuffle ----
+    sql("tx_token_stats",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |       CAST(length(text) AS INT) AS n_chars,
+        |       CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INT)
+        |         AS max_word_len
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("int").as("n_distinct"),
+        length(col("text")).cast("int").as("n_chars"),
+        array_max(transform(split(col("text"), " "), w => length(w)))
+          .cast("int").as("max_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality score: stopword ratio + length buckets (heuristic
+    // filter stage of a data-curation pipeline), integer arithmetic ----
+    sql("tx_quality_score",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              SUM(CASE WHEN word IN $stopSql THEN 1 ELSE 0 END) AS n_stop
+         |       FROM w GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(st.n_tokens AS INT) AS n_tokens,
+         |       CAST(st.n_stop AS INT) AS n_stop,
+         |       CAST(100 * st.n_stop // st.n_tokens AS INT) AS stop_pct,
+         |       CAST(d.n_chars // 100 AS INT) AS len_bucket
+         |FROM documents d JOIN st ON d.doc_id = st.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      val w = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val st = w.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("word").isInCollection(stopwords), 1).otherwise(0)).as("n_stop"))
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .join(st, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("int").as("n_tokens"),
+          col("n_stop").cast("int").as("n_stop"),
+          expr("(100 * n_stop) div n_tokens").cast("int").as("stop_pct"),
+          expr("n_chars div 100").cast("int").as("len_bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus top-20 bigrams: explode once, one hash aggregation ----
+    sql("tx_top_bigrams",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bi AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM words, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+        |counts AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram),
+        |ranked AS (SELECT bigram, CAST(n AS BIGINT) AS n,
+        |                  ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rk
+        |           FROM counts)
+        |SELECT CAST(rk AS INT) AS rk, bigram, n FROM ranked
+        |WHERE rk <= 20 ORDER BY rk""") { (s, dir) =>
+      val bi = docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .select(explode(expr(
+          """CASE WHEN size(ws) >= 2
+            |  THEN transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))
+            |  ELSE array()
+            |END""".stripMargin)).as("bigram"))
+      bi.groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("n").desc, col("bigram"))).cast("int"))
+        .filter(col("rk") <= 20)
+        .select(col("rk"), col("bigram"), col("n"))
+        .orderBy(col("rk"))
+    },
+
+    // ---- content fingerprint: md5 over the sorted distinct vocabulary
+    // (bag-of-words canonical form — the dedup key for reordered docs);
+    // pure array exprs, no shuffle ----
+    sql("tx_fingerprint",
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |         AS fingerprint,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS vocab_size
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fingerprint"),
+        size(array_distinct(split(col("text"), " "))).cast("int").as("vocab_size"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- language-ID heuristic: stopword-dictionary votes, argmax per
+    // doc with alphabetical tie-break, 'und' when no hits ----
+    sql("tx_langid",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |dict AS (SELECT * FROM $langDictSql),
+         |votes AS (SELECT w.doc_id, dict.cand, COUNT(*) AS hits
+         |          FROM w JOIN dict ON w.word = dict.word
+         |          GROUP BY w.doc_id, dict.cand),
+         |best AS (SELECT doc_id, cand, hits,
+         |                ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                   ORDER BY hits DESC, cand) AS rk
+         |         FROM votes)
+         |SELECT d.doc_id,
+         |       COALESCE(b.cand, 'und') AS predicted,
+         |       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits,
+         |       d.lang AS labeled
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+         |  ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      import s.implicits._
+      val w = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val dict = langDict.toDF("word", "cand")
+      val votes = w.join(broadcast(dict), Seq("word"))
+        .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("hits"))
+      val best = votes.withColumn("rk", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand"))))
+        .filter(col("rk") === 1)
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cand"), lit("und")).as("predicted"),
+          coalesce(col("hits"), lit(0)).cast("long").as("hits"),
+          col("lang").as("labeled"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-language corpus profile: one aggregation over the
+    // per-doc array stats (no explode needed) ----
+    sql("tx_lang_profile",
+      """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens, n_chars
+        |           FROM documents)
+        |SELECT lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS avg_tokens_floor
+        |FROM d GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), size(split(col("text"), " ")).as("n_tokens"), col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(lsum(lit(1)).as("n_docs"),
+          lsum(col("n_tokens")).as("total_tokens"),
+          lsum(col("n_chars")).as("total_chars"),
+          expr("CAST(sum(n_tokens) div count(1) AS BIGINT)").as("avg_tokens_floor"))
+        .orderBy(col("lang"))
+    })
+}
