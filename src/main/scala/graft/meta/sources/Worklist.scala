@@ -35,8 +35,11 @@ object Worklist {
     paths.flatMap { dir =>
       val p = Paths.get(dir)
       val entries: Seq[Path] =
-        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq
-        else Seq(p)
+        if (Files.isDirectory(p)) {
+          val stream = Files.list(p)
+          try stream.iterator().asScala.toSeq
+          finally stream.close()
+        } else Seq(p)
       entries
         .filter(f => Files.isRegularFile(f))
         .filter { f =>
@@ -45,6 +48,37 @@ object Worklist {
             wanted.forall(_.contains(name))
         }
         .map(_.toString)
+    }.sorted
+  }
+
+  /** S2 — the same listing semantics over a Hadoop `FileSystem`, which
+    * covers s3a://, hdfs:// and file:// URIs alike (the reference lists
+    * S3 prefixes, s3_utils.py:45-92). Non-recursive, like S3 prefix
+    * listing with '/' delimiter.
+    */
+  def filterFilesHadoop(
+      conf: org.apache.hadoop.conf.Configuration,
+      paths: Seq[String],
+      prefix: String = "",
+      suffix: String = "hql",
+      tableNames: Option[Seq[String]] = None): Seq[String] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val wanted: Option[Set[String]] =
+      tableNames.map(_.map(t => s"$prefix$t.$suffix").toSet)
+    paths.flatMap { dir =>
+      val p = new HPath(dir)
+      val fs: FileSystem = p.getFileSystem(conf)
+      val statuses =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      statuses
+        .filter(_.isFile)
+        .filter { st =>
+          val name = st.getPath.getName
+          name.startsWith(prefix) && name.endsWith(suffix) &&
+            wanted.forall(_.contains(name))
+        }
+        .map(_.getPath.toString)
     }.sorted
   }
 

@@ -335,5 +335,177 @@ object MetaOps {
             .when(col("o_dtype") =!= col("n_dtype"), "type_changed").as("change"))
         .filter(col("change").isNotNull)
         .orderBy(col("tid"), col("col_name"))
+    },
+
+    // ---- J6+J7 commented-delete filter over the common relation:
+    // only columns that exist in the catalog AND are commented in the
+    // DDL become explicit drops (IcebergDiff.scala:103-107) ----
+    sql("md_commented_drops",
+      """WITH cat AS (SELECT * FROM (VALUES ('col1'), ('col2'), ('col3')) AS t(col_name)),
+        |     ddl AS (SELECT * FROM (VALUES ('col1', 0), ('col2', 1), ('col9', 1))
+        |             AS t(col_name, commented))
+        |SELECT cat.col_name
+        |FROM cat JOIN ddl ON cat.col_name = ddl.col_name
+        |WHERE ddl.commented = 1
+        |ORDER BY cat.col_name""") { (s, _) =>
+      import s.implicits._
+      val cat = Seq("col1", "col2", "col3").toDF("col_name")
+      val ddl = Seq(("col1", 0), ("col2", 1), ("col9", 1)).toDF("col_name", "commented")
+      cat.join(ddl.filter(col("commented") === 1), Seq("col_name"), "left_semi")
+        .orderBy(col("col_name"))
+    },
+
+    // ---- J10 type updates + R7 backfill invariant over the common
+    // relation: every incompatible change must carry backfilled_from
+    // (IcebergDiff.scala:122-129); output flags both classifications ----
+    sql("md_type_updates_backfill",
+      s"""WITH cat AS (SELECT * FROM (VALUES
+         |       ('c_int', 'int'), ('c_str', 'string'), ('c_keep', 'double'),
+         |       ('c_dec', 'decimal(10, 2)')) AS t(col_name, dtype)),
+         |     ddl AS (SELECT * FROM (VALUES
+         |       ('c_int', 'bigint', NULL), ('c_str', 'int', 'c_str_bf'),
+         |       ('c_keep', 'double', NULL), ('c_dec', 'decimal(18, 2)', NULL))
+         |       AS t(col_name, dtype, backfilled_from)),
+         |     matrix AS (SELECT * FROM $matrixSql),
+         |     changes AS (
+         |       SELECT c.col_name, c.dtype AS old_type, d.dtype AS new_type,
+         |              d.backfilled_from
+         |       FROM cat c JOIN ddl d ON c.col_name = d.col_name
+         |       WHERE c.dtype <> d.dtype)
+         |SELECT col_name, old_type, new_type, backfilled_from,
+         |  CAST(CASE WHEN EXISTS (SELECT 1 FROM matrix m
+         |              WHERE m.old_t = UPPER(old_type) AND m.new_t = UPPER(new_type))
+         |       OR (old_type LIKE 'decimal%' AND new_type LIKE 'decimal%'
+         |           AND regexp_extract(old_type, 'decimal\\((\\d+),\\s*(\\d+)\\)', 2)
+         |             = regexp_extract(new_type, 'decimal\\((\\d+),\\s*(\\d+)\\)', 2)
+         |           AND CAST(regexp_extract(new_type, 'decimal\\((\\d+),\\s*(\\d+)\\)', 1) AS INT)
+         |             > CAST(regexp_extract(old_type, 'decimal\\((\\d+),\\s*(\\d+)\\)', 1) AS INT))
+         |       THEN 1 ELSE 0 END AS INT) AS compatible
+         |FROM changes ORDER BY col_name""") { (s, _) =>
+      import s.implicits._
+      val cat = Seq(("c_int", "int"), ("c_str", "string"), ("c_keep", "double"),
+        ("c_dec", "decimal(10, 2)")).toDF("col_name", "old_type")
+      val ddl = Seq(("c_int", "bigint", None: Option[String]),
+        ("c_str", "int", Some("c_str_bf")), ("c_keep", "double", None),
+        ("c_dec", "decimal(18, 2)", None))
+        .toDF("col_name", "new_type", "backfilled_from")
+      val changes = cat.join(ddl, Seq("col_name"))
+        .filter(col("old_type") =!= col("new_type"))
+      val matrix = athenaPairs.toDF("old_t", "new_t")
+      val decRe = "decimal\\((\\d+),\\s*(\\d+)\\)"
+      val decimalOk = col("old_type").like("decimal%") &&
+        col("new_type").like("decimal%") &&
+        regexp_extract(col("old_type"), decRe, 2) === regexp_extract(col("new_type"), decRe, 2) &&
+        regexp_extract(col("new_type"), decRe, 1).cast("int") >
+          regexp_extract(col("old_type"), decRe, 1).cast("int")
+      changes
+        .join(broadcast(matrix),
+          upper(col("old_type")) === col("old_t") && upper(col("new_type")) === col("new_t"),
+          "left_outer")
+        .select(col("col_name"), col("old_type"), col("new_type"),
+          col("backfilled_from"),
+          when(col("old_t").isNotNull || decimalOk, 1).otherwise(0)
+            .cast("int").as("compatible"))
+        .orderBy(col("col_name"))
+    },
+
+    // ---- J13 new-column anti-join with the THREE exclusion sets:
+    // renames, commented columns, backfill sources
+    // (IcebergDiff.scala:165-171) ----
+    sql("md_new_columns",
+      """WITH cat AS (SELECT * FROM (VALUES ('col1'), ('col2')) AS t(col_name)),
+        |     ddl AS (SELECT * FROM (VALUES
+        |       ('col1',  'int',    NULL,   0, NULL),
+        |       ('col5',  'string', 'col2', 0, NULL),
+        |       ('col6',  'int',    NULL,   1, NULL),
+        |       ('col7',  'bigint', NULL,   0, 'col8'),
+        |       ('col8',  'string', NULL,   0, NULL),
+        |       ('col9',  'date',   NULL,   0, NULL))
+        |       AS t(col_name, dtype, renamed_from, commented, backfilled_from))
+        |SELECT d.col_name, d.dtype FROM ddl d
+        |WHERE NOT EXISTS (SELECT 1 FROM cat WHERE cat.col_name = d.col_name)
+        |  AND d.renamed_from IS NULL
+        |  AND d.commented = 0
+        |  AND NOT EXISTS (SELECT 1 FROM ddl b WHERE b.backfilled_from = d.col_name)
+        |ORDER BY d.col_name""") { (s, _) =>
+      import s.implicits._
+      val cat = Seq("col1", "col2").toDF("col_name")
+      val ddl = Seq(
+        ("col1", "int", None: Option[String], 0, None: Option[String]),
+        ("col5", "string", Some("col2"), 0, None),
+        ("col6", "int", None, 1, None),
+        ("col7", "bigint", None, 0, Some("col8")),
+        ("col8", "string", None, 0, None),
+        ("col9", "date", None, 0, None))
+        .toDF("col_name", "dtype", "renamed_from", "commented", "backfilled_from")
+      ddl
+        .filter(col("renamed_from").isNull && col("commented") === 0)
+        .join(cat, Seq("col_name"), "left_anti")
+        .join(ddl.select(col("backfilled_from").as("col_name")).na.drop(),
+          Seq("col_name"), "left_anti")
+        .select(col("col_name"), col("dtype"))
+        .orderBy(col("col_name"))
+    },
+
+    // ---- J14 partition-spec full-outer join on FIELD-ID (not name):
+    // same id + new name = replaced; id only in DDL = new; id only in
+    // catalog = dropped (IcebergDiff.scala:177-198) ----
+    sql("md_partition_spec_diff",
+      """WITH cat AS (SELECT * FROM (VALUES (1000, 'day_rk'), (1001, 'region_rk'),
+        |                                   (1002, 'old_bucket')) AS t(field_id, name)),
+        |     ddl AS (SELECT * FROM (VALUES (1000, 'day_rk'), (1001, 'geo_rk'),
+        |                                   (1003, 'hour_rk')) AS t(field_id, name))
+        |SELECT COALESCE(c.field_id, d.field_id) AS field_id,
+        |       CASE WHEN c.field_id IS NULL THEN 'new'
+        |            WHEN d.field_id IS NULL THEN 'dropped'
+        |            ELSE 'replaced' END AS status,
+        |       c.name AS old_name, d.name AS new_name
+        |FROM cat c FULL OUTER JOIN ddl d ON c.field_id = d.field_id
+        |WHERE c.field_id IS NULL OR d.field_id IS NULL OR c.name <> d.name
+        |ORDER BY field_id""") { (s, _) =>
+      import s.implicits._
+      val cat = Seq((1000, "day_rk"), (1001, "region_rk"), (1002, "old_bucket"))
+        .toDF("c_id", "c_name")
+      val ddl = Seq((1000, "day_rk"), (1001, "geo_rk"), (1003, "hour_rk"))
+        .toDF("d_id", "d_name")
+      cat.join(ddl, cat("c_id") === ddl("d_id"), "full_outer")
+        .filter(col("c_id").isNull || col("d_id").isNull || col("c_name") =!= col("d_name"))
+        .select(coalesce(col("c_id"), col("d_id")).as("field_id"),
+          when(col("c_id").isNull, "new")
+            .when(col("d_id").isNull, "dropped")
+            .otherwise("replaced").as("status"),
+          col("c_name").as("old_name"), col("d_name").as("new_name"))
+        .orderBy(col("field_id"))
+    },
+
+    // ---- J18 migration sequence gate: positional (name, type)
+    // comparison, case-insensitive names; any surviving row ⇒
+    // sequenceMismatch (IcebergDiff.scala:226-230 — fixed vs the
+    // reference, which compares disjoint-keyed dicts) ----
+    sql("md_sequence_gate",
+      """WITH cat AS (SELECT * FROM (VALUES (1, 'Col1', 'int'), (2, 'col2', 'string'),
+        |                                   (3, 'col3', 'double')) AS t(ord, col_name, dtype)),
+        |     ddl AS (SELECT * FROM (VALUES (1, 'col1', 'int'), (2, 'col3', 'string'),
+        |                                   (3, 'col3', 'float'), (4, 'col4', 'int'))
+        |             AS t(ord, col_name, dtype))
+        |SELECT COALESCE(c.ord, d.ord) AS ord,
+        |       c.col_name AS cat_name, c.dtype AS cat_type,
+        |       d.col_name AS ddl_name, d.dtype AS ddl_type
+        |FROM cat c FULL OUTER JOIN ddl d ON c.ord = d.ord
+        |WHERE c.ord IS NULL OR d.ord IS NULL
+        |   OR LOWER(c.col_name) <> LOWER(d.col_name) OR c.dtype <> d.dtype
+        |ORDER BY ord""") { (s, _) =>
+      import s.implicits._
+      val cat = Seq((1, "Col1", "int"), (2, "col2", "string"), (3, "col3", "double"))
+        .toDF("c_ord", "cat_name", "cat_type")
+      val ddl = Seq((1, "col1", "int"), (2, "col3", "string"), (3, "col3", "float"),
+        (4, "col4", "int")).toDF("d_ord", "ddl_name", "ddl_type")
+      cat.join(ddl, cat("c_ord") === ddl("d_ord"), "full_outer")
+        .filter(col("c_ord").isNull || col("d_ord").isNull ||
+          lower(col("cat_name")) =!= lower(col("ddl_name")) ||
+          col("cat_type") =!= col("ddl_type"))
+        .select(coalesce(col("c_ord"), col("d_ord")).as("ord"),
+          col("cat_name"), col("cat_type"), col("ddl_name"), col("ddl_type"))
+        .orderBy(col("ord"))
     })
 }
