@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A typed event on the stream (`cents` is the quantized value, as in
+  * [[graft.ops.Events]]). */
+final case class Event(
+    event_id: Long, user_id: Long, event_type: String, ts: Timestamp, cents: Long)
+
+/** A closed user session. */
+final case class UserSession(
+    user_id: Long, start_sec: Long, end_sec: Long, n_events: Long, total_cents: Long)
+
+private final case class SessionState(
+    start_sec: Long, last_sec: Long, n_events: Long, total_cents: Long)
+
+/** Structured Streaming expressions of the event-table shapes in
+  * [[graft.ops.Events]] — the same semantics, incremental: tumbling
+  * windows with watermarks, and gap-based sessionization with
+  * `flatMapGroupsWithState` (the state pattern Spark's built-in
+  * windowing can't express).
+  *
+  * Scale design: both operators shuffle once on their grouping key
+  * (window/event_type, user_id) and hold O(open-groups) state in the
+  * state store; the watermark bounds state growth, so a 100 TB/day
+  * stream holds state only for the watermark horizon, not history.
+  * The transformations are source-agnostic: the same code runs over
+  * `readStream` (kafka/files) and over a batch DataFrame, which is how
+  * the batch twins in `graft.ops.Events` stay the oracle for these.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour rollup per event_type; watermark bounds state and
+    * drops events later than `lateness`. */
+  def hourlyRollup(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast("long").as("total_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events").cast("long"), col("total_cents"))
+
+  /** Gap-based sessionization: a session closes when `gapSeconds` pass
+    * with no event from the user (event time). Emits closed sessions
+    * only (append mode); open sessions live in the state store until
+    * the watermark passes their gap deadline.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      lateness: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFn(gapSeconds))
+  }
+
+  private def sessionFn(gapSeconds: Long)(
+      userId: Long, events: Iterator[Event], state: GroupState[SessionState])
+      : Iterator[UserSession] = {
+    def close(s: SessionState) =
+      UserSession(userId, s.start_sec, s.last_sec, s.n_events, s.total_cents)
+
+    if (events.isEmpty && state.hasTimedOut) {
+      // watermark passed the gap deadline: the open session is closed
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      return out
+    }
+
+    // fold this batch's events (sorted: state-store batches are not
+    // ordered) into the open session, closing on in-batch gaps too
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val closed = Seq.newBuilder[UserSession]
+    var open = state.getOption
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      open = open match {
+        case Some(s) if sec - s.last_sec > gapSeconds =>
+          closed += close(s)
+          Some(SessionState(sec, sec, 1, e.cents))
+        case Some(s) =>
+          Some(SessionState(s.start_sec, math.max(s.last_sec, sec),
+            s.n_events + 1, s.total_cents + e.cents))
+        case None =>
+          Some(SessionState(sec, sec, 1, e.cents))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp((s.last_sec + gapSeconds) * 1000 + 1)
+    }
+    closed.result().iterator
+  }
+}

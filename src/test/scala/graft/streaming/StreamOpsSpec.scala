@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Drives the streaming operators through MemoryStream micro-batches
+  * and checks them against their batch twins' semantics
+  * ([[graft.ops.Events]] ev_hourly_rollup / ev_sessionization).
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  // offset from epoch 0: the initial watermark is 0, and an event AT
+  // the watermark boundary is treated as late by the state operator
+  private val base = 1000800L // seconds, hour-aligned (278 * 3600)
+  private def ts(minutes: Long): Timestamp = new Timestamp((base + minutes * 60) * 1000)
+  private def sec(minutes: Long): Long = base + minutes * 60
+
+  test("hourlyRollup incrementally matches the batch tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.hourlyRollup(input.toDF())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, 1, "view", ts(10), 100),
+        Event(2, 1, "view", ts(20), 50),
+        Event(3, 2, "click", ts(70), 25))
+      q.processAllAvailable()
+      val rows = spark.table("rollup")
+        .groupBy("window_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+          org.apache.spark.sql.functions.max("total_cents").as("total_cents"))
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "view", 2L, 150L),
+        (ts(60), "click", 1L, 25L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gaps and on watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionize(input.toDS(), gapSeconds = 1800, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min
+      // gap (new session). user 2: one event.
+      input.addData(
+        Event(1, 1, "view", ts(0), 10),
+        Event(2, 1, "click", ts(10), 20),
+        Event(3, 2, "view", ts(5), 5))
+      q.processAllAvailable()
+      input.addData(Event(4, 1, "view", ts(50), 30)) // gap > 30 min for user 1
+      q.processAllAvailable()
+      // advance event time far enough that every open session times out
+      input.addData(Event(99, 9, "view", ts(1000), 0))
+      q.processAllAvailable()
+      input.addData(Event(100, 9, "view", ts(2000), 0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .as[UserSession].collect().toSet
+      assert(got.contains(UserSession(1, sec(0), sec(10), 2, 30)), got)  // gap-closed
+      assert(got.contains(UserSession(1, sec(50), sec(50), 1, 30)), got) // timeout-closed
+      assert(got.contains(UserSession(2, sec(5), sec(5), 1, 5)), got)    // timeout-closed
+    } finally q.stop()
+  }
+}
