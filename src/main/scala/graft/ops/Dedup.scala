@@ -13,9 +13,10 @@ import QuerySpec.sql
   * sampled exact-Jaccard baseline).
   *
   * Cross-engine determinism notes (DuckDB oracle parity):
-  *  - "random" hash permutations are `md5(k || ':' || shingle)` with the
-  *    LEXICOGRAPHIC min as the MinHash — a valid random permutation via
-  *    hash ordering, identical in any engine with md5;
+  *  - "random" hash permutations are 8-hex-char slices of
+  *    `md5(seed || ':' || shingle)` with the LEXICOGRAPHIC min as the
+  *    MinHash — a valid random permutation via hash ordering, identical
+  *    in any engine with md5;
   *  - outputs are integers/hex-strings only, no floating point.
   */
 object Dedup {
@@ -49,11 +50,20 @@ object Dedup {
       |             unnest(range(1, greatest(len(words) - 1, 1))) AS i
       |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))""".stripMargin
 
+  /** K hash functions from K/4 md5 digests: each 32-hex digest yields
+    * four disjoint 8-hex (32-bit) slices — independent uniform hashes
+    * at a quarter of the md5 cost (md5 dominates the signature stage's
+    * CPU at scale; the shuffle shape is unchanged). */
   private def minhashAgg: Seq[Column] =
-    (0 until K).map(k => min(md5(concat(lit(s"$k:"), col("sh")))).as(s"h$k"))
+    (0 until K).map { k =>
+      min(substring(md5(concat(lit(s"${k / 4}:"), col("sh"))), (k % 4) * 8 + 1, 8))
+        .as(s"h$k")
+    }
 
   private val minhashAggSql: String =
-    (0 until K).map(k => s"min(md5('$k:' || sh)) AS h$k").mkString(", ")
+    (0 until K)
+      .map(k => s"min(substr(md5('${k / 4}:' || sh), ${(k % 4) * 8 + 1}, 8)) AS h$k")
+      .mkString(", ")
 
   val specs: Seq[QuerySpec] = Seq(
 

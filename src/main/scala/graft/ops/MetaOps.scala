@@ -337,6 +337,50 @@ object MetaOps {
         .orderBy(col("tid"), col("col_name"))
     },
 
+    // ---- J12 at fleet scale: the position-validation window
+    // PARTITIONED BY table id — 200 tables, one shuffle, no
+    // single-partition WindowExec (the scale shape md_position_moves'
+    // 5-row template must grow into) ----
+    sql("md_fleet_position_moves",
+      """WITH tables AS (SELECT CAST(range AS INT) AS tid FROM range(200)),
+        |     template AS (SELECT * FROM (VALUES
+        |       (0, 'c0'), (1, 'c1'), (2, 'c2'), (3, 'c3'), (4, 'c4'), (5, 'c5'))
+        |       AS t(ord, col_name)),
+        |     cat AS (SELECT tid, ord, col_name FROM tables, template),
+        |     successors AS (
+        |       SELECT tid, col_name,
+        |              LEAD(col_name) OVER (PARTITION BY tid ORDER BY ord) AS next_col
+        |       FROM cat),
+        |     directives AS (
+        |       SELECT tid, 'c5' AS col_name, 'c1' AS after_col FROM tables WHERE tid % 2 = 0
+        |       UNION ALL
+        |       SELECT tid, 'c3' AS col_name, 'c2' AS after_col FROM tables WHERE tid % 3 = 0)
+        |SELECT d.tid, d.col_name, d.after_col
+        |FROM directives d
+        |JOIN successors s ON d.tid = s.tid AND d.after_col = s.col_name
+        |WHERE s.next_col IS DISTINCT FROM d.col_name
+        |ORDER BY d.tid, d.col_name""") { (s, _) =>
+      import s.implicits._
+      val tables = s.range(200).select(col("id").cast("int").as("tid"))
+      val template = Seq((0, "c0"), (1, "c1"), (2, "c2"), (3, "c3"), (4, "c4"), (5, "c5"))
+        .toDF("ord", "col_name")
+      val cat = tables.crossJoin(broadcast(template))
+      val successors = cat.select(col("tid"), col("col_name"),
+        lead(col("col_name"), 1)
+          .over(Window.partitionBy(col("tid")).orderBy(col("ord"))).as("next_col"))
+      val directives = tables.filter(col("tid") % 2 === 0)
+        .select(col("tid"), lit("c5").as("mv_name"), lit("c1").as("after_col"))
+        .union(tables.filter(col("tid") % 3 === 0)
+          .select(col("tid"), lit("c3").as("mv_name"), lit("c2").as("after_col")))
+      directives
+        .join(successors,
+          directives("tid") === successors("tid") &&
+            directives("after_col") === successors("col_name"))
+        .filter(!col("next_col").eqNullSafe(col("mv_name")))
+        .select(directives("tid"), col("mv_name").as("col_name"), col("after_col"))
+        .orderBy(col("tid"), col("col_name"))
+    },
+
     // ---- J6+J7 commented-delete filter over the common relation:
     // only columns that exist in the catalog AND are commented in the
     // DDL become explicit drops (IcebergDiff.scala:103-107) ----
