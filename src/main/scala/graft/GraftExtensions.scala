@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.SimHash16
+
+/** Session extension installing graft's native expressions, so SQL can
+  * call them by name:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * SELECT graft_simhash16(text) FROM documents
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (args: Seq[Expression]) => SimHash16(args.head)))
+
+  /** Runtime registration for sessions created without the extension
+    * (Verify/Bench register this way). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

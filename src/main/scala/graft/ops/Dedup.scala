@@ -183,7 +183,34 @@ object Dedup {
     },
 
     // ---- SimHash: 16-bit signature from per-word md5 bits ----
-    sql("dd_simhash", {
+    sql("dd_simhash", simhashOracleSql) { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      // hex value of the first 4 md5 chars (= the oracle's strpos sum)
+      val value = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int")
+      val withV = words.select(col("doc_id"), value.as("v"))
+      val simhash = (0 until 16).map { bit =>
+        when(sum(when(shiftright(col("v"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          1 << bit).otherwise(0)
+      }.reduce(_ + _)
+      withV.groupBy(col("doc_id"))
+        .agg(simhash.cast("int").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the same signature as ONE native codegen'd expression
+    // (graft.functions.SimHash16): no explode, no shuffle — the whole
+    // pipeline stays inside the scan's WholeStageCodegen. Shares
+    // dd_simhash's oracle verbatim. ----
+    sql("dd_simhash_native", simhashOracleSql) { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_simhash16(text)").as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+
+  /** DuckDB oracle for both simhash variants. */
+  private lazy val simhashOracleSql: String = {
       // hex value of the first 4 md5 chars, spelled out so both engines
       // compute it identically
       def hexVal(expr: String, pos: Int) =
@@ -197,19 +224,6 @@ object Dedup {
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          |h AS (SELECT doc_id, $v AS v FROM w)
          |SELECT doc_id, CAST($bits AS INT) AS simhash
-         |FROM h GROUP BY doc_id ORDER BY doc_id"""
-    }) { (s, dir) =>
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      // hex value of the first 4 md5 chars (= the oracle's strpos sum)
-      val value = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int")
-      val withV = words.select(col("doc_id"), value.as("v"))
-      val simhash = (0 until 16).map { bit =>
-        when(sum(when(shiftright(col("v"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-          1 << bit).otherwise(0)
-      }.reduce(_ + _)
-      withV.groupBy(col("doc_id"))
-        .agg(simhash.cast("int").as("simhash"))
-        .orderBy(col("doc_id"))
-    })
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim
+  }
 }

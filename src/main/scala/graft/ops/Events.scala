@@ -136,8 +136,8 @@ object Events {
         .join(c, Seq("user_id")).filter(col("tsec") > col("t_click"))
         .groupBy(col("user_id")).agg(min(col("tsec")).as("t_purchase"))
       v.agg(lsum(lit(1)).as("n_view"))
-        .crossJoin(c.agg(lsum(lit(1)).as("n_view_click")))
-        .crossJoin(p.agg(lsum(lit(1)).as("n_full_funnel")))
+        .crossJoin(broadcast(c.agg(lsum(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(lsum(lit(1)).as("n_full_funnel"))))
     },
 
     // ---- top-10 purchasers by quantized spend (deterministic rank) ----
