@@ -183,6 +183,65 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // ---- AS-OF join (backward): for every purchase, the user's
+    // latest view at-or-before it. The scalable formulation: union the
+    // two streams, ONE window partitioned by user — no per-row range
+    // scan, no join explosion; this is how as-of joins survive 100 TB
+    // (same SQL runs on both engines; DuckDB's ASOF JOIN would be the
+    // sugar for it) ----
+    sql("ev_asof_last_view",
+      s"""WITH e AS ($baseSql),
+         |tagged AS (
+         |  SELECT user_id, tsec, event_id,
+         |         CASE WHEN event_type = 'view' THEN tsec END AS view_sec
+         |  FROM e WHERE event_type IN ('view', 'purchase')),
+         |matched AS (
+         |  SELECT user_id, tsec, event_id, view_sec,
+         |         MAX(view_sec) OVER (PARTITION BY user_id
+         |                             ORDER BY tsec, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS last_view_sec
+         |  FROM tagged)
+         |SELECT event_id, user_id, tsec AS purchase_sec, last_view_sec
+         |FROM matched WHERE view_sec IS NULL
+         |ORDER BY event_id""") { (s, dir) =>
+      val tagged = base(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("tsec"), col("event_id"),
+          when(col("event_type") === "view", col("tsec")).as("view_sec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_view_sec", max(col("view_sec")).over(w))
+        .filter(col("view_sec").isNull)
+        .select(col("event_id"), col("user_id"),
+          col("tsec").as("purchase_sec"), col("last_view_sec"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- RANGE join against a broadcast band table: non-equi joins
+    // are fine at scale exactly when the range side is dim-sized and
+    // broadcast (BroadcastNestedLoopJoin), never fact×fact ----
+    sql("ev_value_bands",
+      s"""WITH e AS ($baseSql),
+         |bands AS (SELECT * FROM (VALUES
+         |  (0, 0, 1000), (1, 1000, 5000), (2, 5000, 20000),
+         |  (3, 20000, 1000000)) AS t(band, lo, hi))
+         |SELECT b.band, CAST(b.lo AS BIGINT) AS lo,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(e.cents) AS BIGINT) AS total_cents
+         |FROM e JOIN bands b ON e.cents >= b.lo AND e.cents < b.hi
+         |GROUP BY b.band, b.lo ORDER BY b.band""") { (s, dir) =>
+      import s.implicits._
+      val bands = Seq((0, 0L, 1000L), (1, 1000L, 5000L), (2, 5000L, 20000L),
+        (3, 20000L, 1000000L)).toDF("band", "lo", "hi")
+      base(s, dir)
+        .join(broadcast(bands), col("cents") >= col("lo") && col("cents") < col("hi"))
+        .groupBy(col("band"), col("lo"))
+        .agg(lsum(lit(1)).as("n_events"), lsum(col("cents")).as("total_cents"))
+        .select(col("band"), col("lo"), col("n_events"), col("total_cents"))
+        .orderBy(col("band"))
+    },
+
     // ---- day-over-day retention: distinct user-days self-joined on
     // day+1 — one shuffle on user_id, then a merge on (user, day) ----
     sql("ev_daily_retention",

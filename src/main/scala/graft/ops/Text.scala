@@ -133,6 +133,25 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- polynomial rolling hash over the character stream (the
+    // content-defined fingerprint primitive; pure array fold, zero
+    // shuffle, codegen'd) ----
+    sql("tx_rolling_hash",
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("""aggregate(
+                |  transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                |  CAST(0 AS BIGINT),
+                |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
+          .as("rhash"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- language-ID heuristic: stopword-dictionary votes, argmax per
     // doc with alphabetical tie-break, 'und' when no hits ----
     sql("tx_langid",
