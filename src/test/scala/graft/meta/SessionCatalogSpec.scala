@@ -95,6 +95,49 @@ class SessionCatalogSpec extends AnyFunSuite {
     assert(spark.table("sdb.typed").schema("id").dataType.simpleString == "int")
   }
 
+  test("EP2 end-to-end on the live catalog: USING iceberg DDL diffs via metadata_location") {
+    val metadataJson =
+      """{"current-schema-id": 0,
+        | "schemas": [{"schema-id": 0, "fields": [
+        |   {"id": 1, "name": "txn_id", "type": "long"},
+        |   {"id": 2, "name": "day_rk", "type": "date"}]}],
+        | "default-spec-id": 0,
+        | "partition-specs": [{"spec-id": 0, "fields": [
+        |   {"field-id": 1000, "name": "day_rk"}]}],
+        | "properties": {}}""".stripMargin
+    val f = Files.createTempFile("graft-ice-live-", ".metadata.json")
+    Files.writeString(f, metadataJson)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS sdb")
+    spark.sql("DROP TABLE IF EXISTS sdb.ice_live")
+    spark.sql("CREATE TABLE sdb.ice_live (x INT) USING parquet")
+    // table_type/metadata_location are Glue-side parameters (reserved
+    // words in Spark DDL) — set them through the catalog API, as a
+    // Glue-backed metastore would surface them
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("ice_live", Some("sdb"))
+    val meta = cat.getTableMetadata(ident)
+    cat.alterTable(meta.copy(properties = meta.properties ++ Map(
+      "table_type" -> "ICEBERG",
+      "metadata_location" -> s"file://${f.toAbsolutePath}")))
+
+    val icebergDdl =
+      """CREATE TABLE IF NOT EXISTS `sdb.ice_live` (
+        |  `txn_id` bigint,
+        |  `day_rk` date,
+        |  `amount` double
+        |)
+        |USING iceberg
+        |PARTITIONED BY (
+        |  `day_rk`
+        |)""".stripMargin
+    val report = new Alterator(catalog)
+      .alterSchema(Seq(DdlSource("ice_live.hql", icebergDdl))).render
+    assert(report.contains(""""num_iceberg_tables": 1"""), report)
+    assert(report.contains("amount"), report) // the planned new column
+    Files.deleteIfExists(f)
+  }
+
   test("getIcebergView reads metadata_location through the Hadoop FS") {
     val metadataJson =
       """{"current-schema-id": 0,
