@@ -46,6 +46,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourlyRollup over the real events fixture equals the batch computation") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    def normalized(df: org.apache.spark.sql.DataFrame) = df.select(
+      to_timestamp(expr("ts div 1000000000")).as("ts"), col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val expected = normalized(raw)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).cast("long").as("total_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events").cast("long"), col("total_cents"))
+      .collect().map(_.toSeq).toSet
+
+    // the file-stream source wants a directory, not a file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ev-stream-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+    val q = StreamOps.hourlyRollup(normalized(stream))
+      .writeStream.format("memory").queryName("ev_fixture_rollup")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_fixture_rollup").collect().map(_.toSeq).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
