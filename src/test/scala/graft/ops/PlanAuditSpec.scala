@@ -38,6 +38,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges("dd_simhash_native") < exchanges("dd_simhash"))
   }
 
+  test("projections prune columns at the scan (ReadSchema)") {
+    // embeddings has (vec_id, embedding, label); the brute-force top-k
+    // never touches label — the scan must not read it
+    val plan = SparkEntry.queries("ss_brute_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty, plan)
+    assert(readSchemas.forall(!_.contains("label")), readSchemas.mkString("\n"))
+  }
+
+  test("day-partitioned layout prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        "ts div 86400000000000 AS day")
+      .write.partitionBy("day").mode("overwrite").parquet(tmp)
+
+    // partition-column inference reads `day` back as int
+    val firstDay = spark.read.parquet(tmp).selectExpr("min(day)")
+      .head().getAs[Number](0).longValue()
+    val q = spark.read.parquet(tmp).filter(s"day = $firstDay").groupBy("event_type").count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"day filter did not become a partition filter:\n$plan")
+    assert(q.collect().map(_.getLong(1)).sum ==
+      spark.read.parquet(tmp).filter(s"day = $firstDay").count())
+  }
+
   test("the native expression stays inside WholeStageCodegen") {
     GraftExtensions.register(spark)
     val plan = spark.read.parquet(s"$dir/documents.parquet")
