@@ -123,15 +123,22 @@ object Dedup {
     }) { (s, dir) =>
       val sh = shingles(s, dir).cache()
       val sig = sh.groupBy(col("doc_id")).agg(minhashAgg.head, minhashAgg.tail: _*)
-      val bands = (0 until Bands).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
+      // ONE signature aggregation, bands exploded from it — a union of
+      // per-band selects would re-aggregate the signatures per band
+      // (4 shuffles instead of 1; visible in the physical plan)
+      val bandStructs = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
           md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
-      }.reduce(_ union _)
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        .cache() // self-joined below: without this the signature agg runs per side
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
       val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).cache()
       val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
       val common = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
@@ -167,7 +174,7 @@ object Dedup {
          |FROM j
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
       val sample = shingles(s, dir).filter(col("doc_id") < 100).cache()
-      val counts = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val counts = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).cache()
       val a = sample.select(col("doc_id").as("doc_a"), col("sh"))
       val b = sample.select(col("doc_id").as("doc_b"), col("sh"))
       val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))

@@ -114,7 +114,7 @@ object Similarity {
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dot, n2_q, n2_v
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""") { (s, dir) =>
       val v = qv(s, dir).cache()
-      val n = norms(v)
+      val n = norms(v).cache() // joined twice (query + neighbor side)
       val qq = v.filter(expr(QuerySetSql))
         .select(col("vec_id").as("qid"), col("dim"), col("qe").as("qqe"))
       val dots = broadcast(qq).join(v, Seq("dim"))
@@ -132,7 +132,7 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // ---- sign-LSH near-duplicate pairs (cos ≥ 0.8), bucketed join ----
+    // ---- sign-LSH near-duplicate pairs (cos ≥ 0.35), bucketed join ----
     sql("ss_lsh_neardups",
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
@@ -163,13 +163,14 @@ object Similarity {
          |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
       import s.implicits._
       val v = qv(s, dir).cache()
-      val n = norms(v)
+      val n = norms(v).cache() // joined twice (query + neighbor side)
       val planes = planeRows(64).toDF("p", "dim", "sgn", "band", "pw")
       val proj = v.join(broadcast(planes), Seq("dim"))
         .groupBy(col("vec_id"), col("p"), col("band"), col("pw"))
         .agg(lsum(col("sgn") * col("qe")).as("proj"))
       val buckets = proj.groupBy(col("vec_id"), col("band"))
         .agg(lsum(when(col("proj") > 0, col("pw")).otherwise(0L)).as("bucket"))
+        .cache() // self-joined: avoids recomputing the projections per side
       val a = buckets.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
       val b = buckets.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
       val cand = a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
@@ -215,7 +216,7 @@ object Similarity {
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, label, dot
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
       val v = qv(s, dir).cache()
-      val n = norms(v)
+      val n = norms(v).cache() // joined twice (query + neighbor side)
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
       val qq = emb.filter(expr(QuerySetSql))
         .select(col("vec_id").as("qid"), col("label"))
