@@ -18,6 +18,16 @@ import QuerySpec.sql
   */
 object Relational {
 
+  /** Shared oracle for the two per-key top-k variants (q6 + native). */
+  private val topOrdersOracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- scan + aggregate (pricing summary, TPC-H Q1 shape) ----
@@ -131,20 +141,31 @@ object Relational {
     },
 
     // ---- window functions: per-group top-n via row_number ----
-    sql("q6_top_orders_per_cust",
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-        |  FROM orders) x
-        |WHERE rn <= 3
-        |ORDER BY o_custkey, rn""") { (s, dir) =>
+    sql("q6_top_orders_per_cust", topOrdersOracle) { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ---- the same query through graft's custom TopKPerKey plan node
+    // (logical plan + SparkStrategy + partial/final physical execs):
+    // map-side bounded-heap pruning means the exchange moves at most
+    // k rows per key per partition instead of the whole table. Shares
+    // q6's oracle verbatim. ----
+    sql("q6_topk_native", topOrdersOracle) { (s, dir) =>
+      graft.plans.TopK
+        .perKey(
+          t(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          keyNames = Seq("o_custkey"),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3, rankName = "rn")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("int").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     },
 

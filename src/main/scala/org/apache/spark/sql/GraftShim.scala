@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` constructors for graft's custom logical
+  * plans (the standard extension-library technique — the only member
+  * of graft that lives outside the `graft` namespace).
+  */
+object GraftShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+}
