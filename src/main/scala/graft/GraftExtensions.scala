@@ -17,10 +17,12 @@ import graft.functions.SimHash16
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+  }
 }
 
 object GraftExtensions {

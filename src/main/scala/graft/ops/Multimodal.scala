@@ -83,7 +83,55 @@ object Multimodal {
     }
   }
 
+  /** Typed UDAF (Aggregator) surface: merges byte-nibble histograms
+    * across assets — the partial/merge/finish shape a custom sketch
+    * (HLL, MinHash, quantile digest) plugs into. Buffer is a fixed
+    * 16-slot long array: constant-size state, map-side combinable.
+    */
+  object NibbleHistogramAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](16)
+    override def reduce(buf: Array[Long], bytes: Array[Byte]): Array[Long] = {
+      var i = 0
+      while (i < bytes.length) { buf((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < 16) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   val specs: Seq[QuerySpec] = Seq(
+
+    // ---- corpus-level histogram via the typed UDAF: one partial
+    // aggregation per partition, constant-size merge state ----
+    sql("mm_modality_histogram",
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substring(text, i, 1)) AS code
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i))
+        |SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       CAST(code // 16 AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM chars GROUP BY 1, 2
+        |ORDER BY modality, bucket""") { (s, dir) =>
+      val hist = udaf(NibbleHistogramAgg, org.apache.spark.sql.Encoders.BINARY)
+      assets(s, dir).toDF()
+        .groupBy(col("modality"))
+        .agg(hist(col("bytes")).as("hist"))
+        .select(col("modality"), posexplode(col("hist")).as(Seq("bucket", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("modality"), col("bucket").cast("int").as("bucket"),
+          col("cnt").cast("long").as("cnt"))
+        .orderBy(col("modality"), col("bucket"))
+    },
 
     // ---- per-asset payload stats: byte length + content digest ----
     sql("mm_asset_stats",
