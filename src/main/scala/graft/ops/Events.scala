@@ -183,6 +183,28 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // ---- per-(user, day) biggest event through the custom TopKPerKey
+    // plan node (composite key; map-side pruning keeps 1 row per
+    // user-day per partition before the shuffle) ----
+    sql("ev_daily_top_event",
+      s"""WITH e AS ($baseSql),
+         |d AS (SELECT user_id, tsec // 86400 AS day, event_id, cents FROM e),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |                 ORDER BY cents DESC, event_id) AS INT) AS rk
+         |      FROM d)
+         |SELECT user_id, day, event_id, cents, rk
+         |FROM r WHERE rk = 1 ORDER BY user_id, day""") { (s, dir) =>
+      val d = base(s, dir)
+        .select(col("user_id"), expr("tsec div 86400").as("day"),
+          col("event_id"), col("cents"))
+      graft.plans.TopK
+        .perKey(d, keyNames = Seq("user_id", "day"),
+          order = Seq(col("cents").desc, col("event_id")), k = 1)
+        .select(col("user_id"), col("day"), col("event_id"), col("cents"),
+          col("rk").cast("int").as("rk"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // ---- AS-OF join (backward): for every purchase, the user's
     // latest view at-or-before it. The scalable formulation: union the
     // two streams, ONE window partitioned by user — no per-row range
