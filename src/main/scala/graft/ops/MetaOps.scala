@@ -381,6 +381,41 @@ object MetaOps {
         .orderBy(col("tid"), col("col_name"))
     },
 
+    // ---- J11 after-position candidate filter: common columns with
+    // UNCHANGED type, an `after:` directive, not commented
+    // (IcebergDiff.scala:132-134) ----
+    sql("md_after_candidates",
+      """WITH cat AS (SELECT * FROM (VALUES
+        |       ('col1', 'int'), ('col2', 'string'), ('col3', 'double'),
+        |       ('col4', 'int')) AS t(col_name, dtype)),
+        |     ddl AS (SELECT * FROM (VALUES
+        |       ('col1', 'int',    'col3', 0),
+        |       ('col2', 'bigint', 'col1', 0),
+        |       ('col3', 'double', 'col1', 1),
+        |       ('col4', 'int',    NULL,   0),
+        |       ('col9', 'int',    'col1', 0))
+        |       AS t(col_name, dtype, after_col, commented))
+        |SELECT d.col_name, d.after_col
+        |FROM cat c JOIN ddl d ON c.col_name = d.col_name
+        |WHERE c.dtype = d.dtype AND d.after_col IS NOT NULL AND d.commented = 0
+        |ORDER BY d.col_name""") { (s, _) =>
+      import s.implicits._
+      val cat = Seq(("col1", "int"), ("col2", "string"), ("col3", "double"),
+        ("col4", "int")).toDF("col_name", "cat_dtype")
+      val ddl = Seq(
+        ("col1", "int", Some("col3"), 0),
+        ("col2", "bigint", Some("col1"), 0),
+        ("col3", "double", Some("col1"), 1),
+        ("col4", "int", None: Option[String], 0),
+        ("col9", "int", Some("col1"), 0))
+        .toDF("col_name", "ddl_dtype", "after_col", "commented")
+      cat.join(ddl, Seq("col_name"))
+        .filter(col("cat_dtype") === col("ddl_dtype") &&
+          col("after_col").isNotNull && col("commented") === 0)
+        .select(col("col_name"), col("after_col"))
+        .orderBy(col("col_name"))
+    },
+
     // ---- J6+J7 commented-delete filter over the common relation:
     // only columns that exist in the catalog AND are commented in the
     // DDL become explicit drops (IcebergDiff.scala:103-107) ----
