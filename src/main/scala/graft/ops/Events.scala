@@ -264,6 +264,81 @@ object Events {
         .orderBy(col("band"))
     },
 
+    // ---- order statistics by RANK (not interpolation): quantiles as
+    // the value at floor(p·(n-1))+1 in (cents, event_id) order —
+    // integer-exact in any engine, one partitioned sort ----
+    sql("ev_type_quantiles",
+      s"""WITH e AS ($baseSql),
+         |r AS (SELECT event_type, cents,
+         |             ROW_NUMBER() OVER (PARTITION BY event_type
+         |                                ORDER BY cents, event_id) AS rn,
+         |             COUNT(*) OVER (PARTITION BY event_type) AS n
+         |      FROM e)
+         |SELECT event_type,
+         |       CAST(MAX(CASE WHEN rn = (n - 1) // 4 + 1       THEN cents END) AS BIGINT) AS p25,
+         |       CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1       THEN cents END) AS BIGINT) AS p50,
+         |       CAST(MAX(CASE WHEN rn = (n - 1) * 9 // 10 + 1  THEN cents END) AS BIGINT) AS p90
+         |FROM r GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+      val cw = Window.partitionBy(col("event_type"))
+      val r = base(s, dir).select(col("event_type"), col("cents"),
+        row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
+      r.groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === expr("(n - 1) div 4 + 1"), col("cents")))
+            .cast("long").as("p25"),
+          max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("cents")))
+            .cast("long").as("p50"),
+          max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("cents")))
+            .cast("long").as("p90"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- grouping sets: CUBE over (event_type, weekday) with
+    // grouping_id — one aggregation expands all 4 grouping sets ----
+    sql("ev_cube",
+      s"""WITH e AS ($baseSql),
+         |d AS (SELECT event_type, (tsec // 86400 + 4) % 7 AS weekday, cents FROM e)
+         |SELECT event_type, weekday,
+         |       CAST(GROUPING(event_type) * 2 + GROUPING(weekday) AS INT) AS gid,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents
+         |FROM d GROUP BY CUBE(event_type, weekday)
+         |ORDER BY gid, event_type, weekday""") { (s, dir) =>
+      base(s, dir)
+        .select(col("event_type"), expr("(tsec div 86400 + 4) % 7").as("weekday"),
+          col("cents"))
+        .cube(col("event_type"), col("weekday"))
+        .agg(grouping_id().cast("int").as("gid"),
+          lsum(lit(1)).as("n_events"),
+          lsum(col("cents")).as("total_cents"))
+        .select(col("event_type"), col("weekday"), col("gid"),
+          col("n_events"), col("total_cents"))
+        .orderBy(col("gid"), col("event_type"), col("weekday"))
+    },
+
+    // ---- pivot: one row per day, one count column per event_type ----
+    sql("ev_pivot_daily",
+      s"""WITH e AS ($baseSql),
+         |d AS (SELECT tsec // 86400 AS day, event_type FROM e)
+         |SELECT day,
+         |       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         |       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+         |FROM d GROUP BY day ORDER BY day""") { (s, dir) =>
+      base(s, dir)
+        .select(expr("tsec div 86400").as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day") +: Seq("view", "click", "purchase", "signup", "error")
+          .map(c => col(c).cast("long").as(c)): _*)
+        .orderBy(col("day"))
+    },
+
     // ---- day-over-day retention: distinct user-days self-joined on
     // day+1 — one shuffle on user_id, then a merge on (user, day) ----
     sql("ev_daily_retention",
