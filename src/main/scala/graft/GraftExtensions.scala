@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SimHash16
+import graft.functions.{SimHash16, WordShingles}
 
 /** Session extension installing graft's native expressions, so SQL can
   * call them by name:
@@ -31,7 +31,16 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
-      (args: Seq[Expression]) => SimHash16(args.head)))
+      (args: Seq[Expression]) => SimHash16(args.head)),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head,
+        args(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles width must be a literal int, got $other")
+        })))
 
   /** Runtime registration for sessions created without the extension
     * (Verify/Bench register this way). */

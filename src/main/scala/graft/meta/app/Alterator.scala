@@ -3,7 +3,7 @@ package graft.meta.app
 import scala.util.{Failure, Success, Try}
 
 import graft.meta.catalog.CatalogAdapter
-import graft.meta.diff.{HiveDiff, IcebergDiff}
+import graft.meta.diff.{HiveDiff, IcebergDdl, IcebergDiff}
 import graft.meta.model._
 import graft.meta.model.JValue.{obj, str}
 import graft.meta.parse.DdlParsers
@@ -26,7 +26,8 @@ final class Alterator(
     catalog: CatalogAdapter,
     validate: Boolean = false,
     force: Boolean = false,
-    icebergCatalogName: String = "spark_catalog") {
+    icebergCatalogName: String = "spark_catalog",
+    emitIcebergDdl: Boolean = false) {
   import Alterator.DdlSource
 
   private val report = new Report.Builder(validate, force)
@@ -136,8 +137,17 @@ final class Alterator(
     Try(IcebergDiff.compare(s"$icebergCatalogName.$tableName",
       catCols, hqlCols, catParts, hqlParts, catProps, hqlProps, migration)) match {
       case Success(result) =>
-        if (!result.isEmpty) report.iceberg += Report.icebergReport(result)
-        else if (!migration) report.identical += tableName
+        if (!result.isEmpty) {
+          val base = Report.icebergReport(result)
+          // --emit-iceberg-ddl: attach the executable ALTER TABLE plan
+          // (IcebergDdl) — the apply-path upgrade over the reference's
+          // report-only behavior
+          report.iceberg += (if (!emitIcebergDdl) base else base match {
+            case JObj(fields) => JObj(fields :+ ("planned_ddl" ->
+              JArr(IcebergDdl.statements(result).map(JStr(_)))))
+            case other => other
+          })
+        } else if (!migration) report.identical += tableName
       case Failure(_: IcebergDiff.MissingBackfillException) =>
         report.errored += tableName
       case Failure(e) => throw e

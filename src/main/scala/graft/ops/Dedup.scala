@@ -153,6 +153,25 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- shingle statistics through the graft_shingles GENERATOR
+    // (custom Catalyst Generator = the UDTF surface): shingles stream
+    // out one at a time instead of materializing the whole per-doc
+    // array before explode ----
+    sql("dd_shingle_stats",
+      s"""WITH sh AS ($shinglesSql)
+         |SELECT doc_id,
+         |       CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_shingles,
+         |       MIN(sh) AS first_sh
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).cast("long").as("n_shingles"),
+          min(col("sh")).as("first_sh"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact n-gram Jaccard, brute-force on a bounded sample — the
     // correctness baseline the LSH path is judged against ----
     sql("dd_ngram_jaccard_sample",

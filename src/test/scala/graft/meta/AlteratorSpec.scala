@@ -200,6 +200,31 @@ class AlteratorSpec extends AnyFunSuite {
     assert(r.contains(""""migration": "False""""))
   }
 
+  test("--emit-iceberg-ddl attaches the executable ALTER plan") {
+    val catalog = freshCatalog()
+    catalog.put(CatalogTableInfo("idb", "ic_sales",
+      columns = Seq(PartitionKey("col1", "string")),
+      partitionKeys = Seq(PartitionKey("day_rk", "date")),
+      tableType = "EXTERNAL_TABLE",
+      parameters = Map("table_type" -> "ICEBERG")))
+    catalog.putIceberg("idb", "ic_sales",
+      Seq(IcebergField(1, "col1", "string")),
+      Seq(IcebergPartField(1000, "day_rk")),
+      Map.empty)
+    val ddl =
+      """CREATE TABLE `idb.ic_sales` (
+        |  `col1` string,
+        |  `col2` bigint,
+        |)
+        |USING iceberg
+        |PARTITIONED BY (`day_rk`)""".stripMargin
+    val r = new Alterator(catalog, emitIcebergDdl = true)
+      .alterSchema(Seq(src("ic.hql", ddl))).render
+    assert(r.contains("planned_ddl"), r)
+    assert(r.contains(
+      "ALTER TABLE spark_catalog.idb.ic_sales ADD COLUMN `col2` long"), r)
+  }
+
   test("identical iceberg table -> identical bucket") {
     val catalog = freshCatalog()
     catalog.put(CatalogTableInfo("idb", "t",
