@@ -65,6 +65,71 @@ object Dedup {
       .map(k => s"min(substr(md5('${k / 4}:' || sh), ${(k % 4) * 8 + 1}, 8)) AS h$k")
       .mkString(", ")
 
+  /** CTE chain ending in `pairs(doc_a, doc_b, n_common, n_union)` —
+    * the verified near-dup pairs, shared by the pair query and the
+    * clustering query. */
+  private val neardupCtesSql: String = {
+    val bandSelects = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id, $minhashAggSql FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT m.doc_a, m.doc_b,
+       |         CAST(m.n_common AS BIGINT) AS n_common,
+       |         CAST(ca.n_sh + cb.n_sh - m.n_common AS BIGINT) AS n_union
+       |  FROM common m
+       |  JOIN counts ca ON ca.doc_id = m.doc_a
+       |  JOIN counts cb ON cb.doc_id = m.doc_b
+       |  WHERE m.n_common * 2 >= (ca.n_sh + cb.n_sh - m.n_common))""".stripMargin
+  }
+
+  /** Spark twin of [[neardupCtesSql]]'s `pairs`: shingle → minhash →
+    * banded LSH bucket-join → exact-Jaccard verify (≥ 0.5). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sig = sh.groupBy(col("doc_id")).agg(minhashAgg.head, minhashAgg.tail: _*)
+    // ONE signature aggregation, bands exploded from it — a union of
+    // per-band selects would re-aggregate the signatures per band
+    // (4 shuffles instead of 1; visible in the physical plan)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .cache() // self-joined: without this the signature agg runs per side
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).cache()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val common = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_common").cast("long").as("n_common"),
+        (col("n_a") + col("n_b") - col("n_common")).cast("long").as("n_union"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: canonical id per content hash (one shuffle) ----
@@ -94,63 +159,52 @@ object Dedup {
     // ---- full near-dup pipeline: shingle -> minhash -> LSH band
     // bucket-join -> exact Jaccard verification. The bucket join is the
     // 100 TB path: candidates only ever meet inside a band bucket. ----
-    sql("dd_minhash_neardups", {
-      val bandSelects = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sig")
-        .mkString("\nUNION ALL\n")
-      s"""WITH sh AS ($shinglesSql),
-         |sig AS (SELECT doc_id, $minhashAggSql FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.doc_id < b.doc_id),
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT m.doc_a, m.doc_b,
-         |       CAST(m.n_common AS BIGINT) AS n_common,
-         |       CAST(ca.n_sh + cb.n_sh - m.n_common AS BIGINT) AS n_union
-         |FROM common m
-         |JOIN counts ca ON ca.doc_id = m.doc_a
-         |JOIN counts cb ON cb.doc_id = m.doc_b
-         |WHERE m.n_common * 2 >= (ca.n_sh + cb.n_sh - m.n_common)
-         |ORDER BY m.doc_a, m.doc_b"""
-    }) { (s, dir) =>
-      val sh = shingles(s, dir).cache()
-      val sig = sh.groupBy(col("doc_id")).agg(minhashAgg.head, minhashAgg.tail: _*)
-      // ONE signature aggregation, bands exploded from it — a union of
-      // per-band selects would re-aggregate the signatures per band
-      // (4 shuffles instead of 1; visible in the physical plan)
-      val bandStructs = (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
-      }
-      val bands = sig
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        .cache() // self-joined below: without this the signature agg runs per side
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-      val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).cache()
-      val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
-      val common = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      common
-        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-        .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
-        .select(col("doc_a"), col("doc_b"),
-          col("n_common").cast("long").as("n_common"),
-          (col("n_a") + col("n_b") - col("n_common")).cast("long").as("n_union"))
+    sql("dd_minhash_neardups",
+      s"""WITH $neardupCtesSql
+         |SELECT doc_a, doc_b, n_common, n_union
+         |FROM pairs ORDER BY doc_a, doc_b""") { (s, dir) =>
+      neardupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- duplicate-group clustering: connected components over the
+    // near-dup pair graph via iterative min-label propagation
+    // (Pregel-style: the driver controls O(diameter) supersteps, each
+    // one distributed join+aggregate — no giant-component collect).
+    // Oracle: recursive-CTE transitive closure in DuckDB. ----
+    sql("dd_dup_clusters",
+      s"""WITH RECURSIVE $neardupCtesSql,
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""") { (s, dir) =>
+      val pairs = neardupPairs(s, dir).select(col("doc_a"), col("doc_b")).cache()
+      val sym = pairs.select(col("doc_a").as("node"), col("doc_b").as("peer"))
+        .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("peer")))
+        .cache()
+      var labels = sym.select(col("node")).distinct()
+        .withColumn("label", col("node")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = sym
+          .join(labels.select(col("node").as("peer"), col("label").as("plabel")),
+            Seq("peer"))
+          .groupBy(col("node")).agg(min(col("plabel")).as("nmin"))
+        val next = labels.join(prop, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .cache()
+        changed = next
+          .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+      }
+      labels
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cluster_id"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- shingle statistics through the graft_shingles GENERATOR
