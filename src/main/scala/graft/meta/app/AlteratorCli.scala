@@ -36,7 +36,8 @@ object AlteratorCli {
       src: Option[String] = None,
       tgt: Option[String] = None,
       partCheck: Boolean = true,
-      accountId: String = "")
+      accountId: String = "",
+      emitIcebergDdl: Boolean = false)
 
   def parse(args: Array[String]): Either[String, CliConfig] = {
     @annotation.tailrec
@@ -61,6 +62,7 @@ object AlteratorCli {
         if (v != "0" && v != "1") Left(s"-pcheck must be 0 or 1, got $v")
         else loop(tail, cfg.copy(partCheck = v == "1"))
       case "--account-id" :: v :: tail => loop(tail, cfg.copy(accountId = v))
+      case "--emit-iceberg-ddl" :: tail => loop(tail, cfg.copy(emitIcebergDdl = true))
       case other :: _ => Left(s"Unknown argument: $other")
     }
     loop(args.toList, CliConfig()).flatMap { cfg =>
@@ -99,7 +101,8 @@ object AlteratorCli {
       Worklist.checkPaths(paths)
       val files = Worklist.filterFiles(paths, cfg.prefix, cfg.suffix, tables)
       val sources = files.map(f => Alterator.DdlSource(f, Worklist.readFile(f)))
-      val alterator = new Alterator(catalog, validate = cfg.validate, force = cfg.force)
+      val alterator = new Alterator(catalog, validate = cfg.validate,
+        force = cfg.force, emitIcebergDdl = cfg.emitIcebergDdl)
       val report = alterator.alterSchema(sources, cfg.accountId)
       println(report.render)
       0

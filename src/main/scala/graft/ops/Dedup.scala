@@ -185,22 +185,30 @@ object Dedup {
       val sym = pairs.select(col("doc_a").as("node"), col("doc_b").as("peer"))
         .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("peer")))
         .cache()
+      // localCheckpoint truncates the growing iteration lineage; the
+      // pointer-jump step (label := label(label)) compresses paths so
+      // convergence is O(log diameter) supersteps, not O(diameter)
       var labels = sym.select(col("node")).distinct()
-        .withColumn("label", col("node")).cache()
+        .withColumn("label", col("node")).localCheckpoint()
       var changed = 1L
       while (changed > 0) {
         val prop = sym
           .join(labels.select(col("node").as("peer"), col("label").as("plabel")),
             Seq("peer"))
           .groupBy(col("node")).agg(min(col("plabel")).as("nmin"))
-        val next = labels.join(prop, Seq("node"), "left_outer")
+        val stepped = labels.join(prop, Seq("node"), "left_outer")
           .select(col("node"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .cache()
-        changed = next
+        val jumped = stepped
+          .join(stepped.select(col("node").as("label"), col("label").as("jump")),
+            Seq("label"), "left_outer")
+          .select(col("node"),
+            least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = jumped
           .join(labels.withColumnRenamed("label", "old"), Seq("node"))
           .filter(col("label") =!= col("old")).count()
-        labels = next
+        labels = jumped
       }
       labels
         .select(col("node").as("doc_id"), col("label").cast("long").as("cluster_id"))
