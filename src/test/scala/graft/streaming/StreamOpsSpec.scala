@@ -79,6 +79,62 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize over the real events fixture matches the batch sessionization") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def toEvents(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      to_timestamp(expr("ts div 1000000000")).as("ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as[Event]
+
+    // batch expectation from the ev_sessionization shape, keyed the
+    // same way the stream emits (start/end/count/cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsec", "event_id")
+    val batch = raw.select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("tsec"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("new_s", when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+        lag("tsec", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("seq", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "seq")
+      .agg(min("tsec").as("start_sec"), max("tsec").as("end_sec"),
+        count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+    val lastSeq = batch.groupBy("user_id").agg(max("seq").as("seq"))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events"), col("total_cents"))
+      .as[UserSession].collect().toSet
+    val batchAll = sessions(batch)
+    // sessions closed by a gap MUST be emitted; each user's final
+    // session closes only if the end-of-input watermark passes its
+    // gap deadline, so it may legitimately stay in state
+    val gapClosed = sessions(batch.join(lastSeq, Seq("user_id", "seq"), "left_anti"))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ev-sess-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+    val q = StreamOps.sessionize(toEvents(stream), gapSeconds = 1800,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("ev_fixture_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_fixture_sessions").as[UserSession].collect().toSet
+      assert(gapClosed.subsetOf(got),
+        s"missing gap-closed sessions: ${gapClosed.diff(got).take(5)}")
+      assert(got.subsetOf(batchAll),
+        s"stream emitted sessions the batch doesn't have: ${got.diff(batchAll).take(5)}")
+      assert(got.size > 100)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
