@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SimHash16, WordShingles}
+import graft.functions.{SimHash16, WordShingleArray, WordShingles}
 
 /** Session extension installing graft's native expressions, so SQL can
   * call them by name:
@@ -34,13 +34,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash16(args.head)),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      (args: Seq[Expression]) => WordShingles(args.head,
-        args(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles width must be a literal int, got $other")
-        })))
+      (args: Seq[Expression]) => WordShingles(args.head, literalWidth(args(1)))),
+    (FunctionIdentifier("graft_shingle_array"),
+      new ExpressionInfo(classOf[WordShingleArray].getName, "graft_shingle_array"),
+      (args: Seq[Expression]) => WordShingleArray(args.head, literalWidth(args(1)))))
+
+  private def literalWidth(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"shingle width must be a literal int, got $other")
+  }
 
   /** Runtime registration for sessions created without the extension
     * (Verify/Bench register this way). */

@@ -12,6 +12,18 @@ import QuerySpec.sql
   * bucket-join — never an all-pairs comparison (except the explicitly
   * sampled exact-Jaccard baseline).
   *
+  * Execution shape: per-document quantities (shingle set, all K
+  * MinHash values) are single codegen'd array expressions
+  * (`array_distinct`/`transform`/`array_min`) computed where the row
+  * lives, and the exact-Jaccard verify is `array_intersect` on the two
+  * candidates' shingle arrays — the corpus is never exploded into
+  * (doc_id, shingle) rows, so no shingle-count-sized shuffle exists.
+  * The only wide exchanges are the (band, bkey) candidate join and the
+  * per-pair id joins. (An earlier revision exploded shingles and
+  * computed signatures/overlaps as shuffle aggregations; same outputs,
+  * ~4× the wall time at sf0.1, and the explode multiplies shuffle
+  * volume by average shingle count — fatal at corpus scale.)
+  *
   * Cross-engine determinism notes (DuckDB oracle parity):
   *  - "random" hash permutations are 8-hex-char slices of
   *    `md5(seed || ':' || shingle)` with the LEXICOGRAPHIC min as the
@@ -24,26 +36,25 @@ object Dedup {
   private val K = 8          // minhash permutations
   private val Bands = 4      // LSH bands of 2 rows each
 
-  /** words -> word 3-gram shingles, guarded for short docs. */
-  private val shingleExpr =
-    """CASE WHEN size(words) >= 3
-      |  THEN transform(sequence(0, size(words) - 3),
-      |                 i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))
-      |  ELSE array()
-      |END""".stripMargin
-
-  /** Distinct (doc_id, shingle) pairs. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, shs: array<string>, n_sh): the distinct shingle SET per
+    * doc as one map-side array column (native
+    * [[graft.functions.WordShingleArray]] — one eval per row, no
+    * interpreted per-shingle lambda); docs too short to shingle are
+    * dropped (they have no (doc_id, shingle) pair in the oracle's
+    * exploded view either). */
+  private def shArr(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"), explode(expr(shingleExpr)).as("sh"))
-      .distinct()
+      .selectExpr("doc_id", "graft_shingle_array(text, 3) AS shs")
+      .filter(size(col("shs")) > 0)
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+  }
 
-  /** DuckDB equivalent of [[shingles]] as a CTE body. DuckDB lists are
-    * 1-based where Spark arrays are 0-based, so i runs 1..len-2 here vs
-    * 0..size-3 in [[shingleExpr]] — same word triples. `range(a,b)` is
-    * end-exclusive; the greatest() guard empties it for docs <3 words,
-    * matching Spark's explode of an empty array. */
+  /** DuckDB twin of the exploded view of [[shArr]] as a CTE body.
+    * DuckDB lists are 1-based where Spark arrays are 0-based, so i runs
+    * 1..len-2 here vs 0..size-3 in the Spark shingler — same word triples.
+    * `range(a,b)` is end-exclusive; the greatest() guard empties it for
+    * docs <3 words, matching Spark's empty array. */
   private val shinglesSql =
     """SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS sh
       |FROM (SELECT doc_id, words,
@@ -53,12 +64,28 @@ object Dedup {
   /** K hash functions from K/4 md5 digests: each 32-hex digest yields
     * four disjoint 8-hex (32-bit) slices — independent uniform hashes
     * at a quarter of the md5 cost (md5 dominates the signature stage's
-    * CPU at scale; the shuffle shape is unchanged). */
-  private def minhashAgg: Seq[Column] =
-    (0 until K).map { k =>
-      min(substring(md5(concat(lit(s"${k / 4}:"), col("sh"))), (k % 4) * 8 + 1, 8))
-        .as(s"h$k")
+    * CPU at scale).
+    *
+    * Signature stage shape: explode the per-doc shingle array (already
+    * deduplicated map-side by array_distinct — no DISTINCT shuffle),
+    * compute the K/4 digests once per shingle in a codegen'd
+    * projection, then hash-aggregate per-doc minima. The min-agg is
+    * map-side combined, so the one shuffle carries O(docs × K) partial
+    * minima, not O(shingles) rows. (A lambda formulation —
+    * array_min(transform(md5...)) — avoids even that shuffle, but
+    * higher-order functions are interpreted, not codegen'd: per-shingle
+    * md5 through a lambda measured ~5× slower than this codegen'd
+    * explode+combine at sf0.1, and the combined shuffle is tiny.) */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val digs = sh
+      .select(col("doc_id"), explode(col("shs")).as("x"))
+      .select(col("doc_id") +: (0 until K / 4).map(seed =>
+        md5(concat(lit(s"$seed:"), col("x"))).as(s"d$seed")): _*)
+    val mins = (0 until K).map { k =>
+      min(substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"h$k")
     }
+    digs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   private val minhashAggSql: String =
     (0 until K)
@@ -97,13 +124,12 @@ object Dedup {
   }
 
   /** Spark twin of [[neardupCtesSql]]'s `pairs`: shingle → minhash →
-    * banded LSH bucket-join → exact-Jaccard verify (≥ 0.5). */
+    * banded LSH bucket-join → exact-Jaccard verify (≥ 0.5). Signatures
+    * and bands are map-side; the verify is `array_intersect` on the two
+    * shingle arrays, not an exploded shingle join. */
   private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    val sig = sh.groupBy(col("doc_id")).agg(minhashAgg.head, minhashAgg.tail: _*)
-    // ONE signature aggregation, bands exploded from it — a union of
-    // per-band selects would re-aggregate the signatures per band
-    // (4 shuffles instead of 1; visible in the physical plan)
+    val sh = shArr(s, dir).cache() // band side + both verify sides
+    val sig = signatures(sh)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
@@ -111,23 +137,22 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      .cache() // self-joined: without this the signature agg runs per side
+      // self-joined: EAGER materialization (not lazy .cache()) — the two
+      // join sides build their shuffle maps concurrently, and a cold
+      // cache would let both race through the full shingle+minhash
+      // pipeline before either populates it
+      .localCheckpoint()
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).cache()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val common = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("n_sh").as("n_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"), col("n_sh").as("n_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
-      .select(col("doc_a"), col("doc_b"),
-        col("n_common").cast("long").as("n_common"),
-        (col("n_a") + col("n_b") - col("n_common")).cast("long").as("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_a") + col("n_b") - col("n_common")).as("n_union"))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -145,15 +170,12 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
-    // ---- MinHash signatures over word-3-gram shingles ----
+    // ---- MinHash signatures over word-3-gram shingles: pure map ----
     sql("dd_minhash_signatures",
       s"""WITH sh AS ($shinglesSql)
          |SELECT doc_id, $minhashAggSql
          |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      shingles(s, dir)
-        .groupBy(col("doc_id"))
-        .agg(minhashAgg.head, minhashAgg.tail: _*)
-        .orderBy(col("doc_id"))
+      signatures(shArr(s, dir)).orderBy(col("doc_id"))
     },
 
     // ---- full near-dup pipeline: shingle -> minhash -> LSH band
@@ -170,9 +192,9 @@ object Dedup {
 
     // ---- duplicate-group clustering: connected components over the
     // near-dup pair graph via iterative min-label propagation
-    // (Pregel-style: the driver controls O(diameter) supersteps, each
-    // one distributed join+aggregate — no giant-component collect).
-    // Oracle: recursive-CTE transitive closure in DuckDB. ----
+    // (Pregel-style: the driver controls O(log diameter) supersteps,
+    // each one distributed join+aggregate — no giant-component
+    // collect). Oracle: recursive-CTE transitive closure in DuckDB. ----
     sql("dd_dup_clusters",
       s"""WITH RECURSIVE $neardupCtesSql,
          |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -181,34 +203,51 @@ object Dedup {
          |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""") { (s, dir) =>
-      val pairs = neardupPairs(s, dir).select(col("doc_a"), col("doc_b")).cache()
+      def dbg(msg: String): Unit =
+        if (sys.env.contains("GRAFT_DEBUG_CC"))
+          println(s"[cc] $msg t=${System.nanoTime() / 1e9}")
+      // EAGER materialization: the sym union's two branches execute
+      // concurrently, so a lazy .cache() here would run the whole LSH
+      // pipeline twice; after this every superstep re-reads blocks
+      val pairs = neardupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      dbg("pairs built")
       val sym = pairs.select(col("doc_a").as("node"), col("doc_b").as("peer"))
         .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("peer")))
-        .cache()
-      // localCheckpoint truncates the growing iteration lineage; the
-      // pointer-jump step (label := label(label)) compresses paths so
-      // convergence is O(log diameter) supersteps, not O(diameter)
+      dbg("sym checkpointed")
       var labels = sym.select(col("node")).distinct()
         .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
+      dbg("labels init")
+      // Superstep = one union of three candidate sources + one min-agg:
+      //   keep:  (node, label)                      — monotonic floor
+      //   prop:  (node, label(peer))                — edge propagation
+      //   jump:  (node, label(label))               — pointer jumping,
+      //          compresses paths so convergence is O(log diameter)
+      // Labels only ever decrease, so SUM(label) is strictly decreasing
+      // until the fixpoint — an exact convergence test computed in one
+      // tiny job on the checkpointed result, with no compare-join.
+      // (decimal(38,0): a BIGINT sum could overflow at 1e9+ nodes.)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).first.getDecimal(0)
+      var prev = labelSum(labels)
+      var converged = false
+      while (!converged) {
         val prop = sym
-          .join(labels.select(col("node").as("peer"), col("label").as("plabel")),
-            Seq("peer"))
-          .groupBy(col("node")).agg(min(col("plabel")).as("nmin"))
-        val stepped = labels.join(prop, Seq("node"), "left_outer")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        val jumped = stepped
-          .join(stepped.select(col("node").as("label"), col("label").as("jump")),
-            Seq("label"), "left_outer")
-          .select(col("node"),
-            least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+          .join(labels.select(col("node").as("peer"), col("label")), Seq("peer"))
+          .select(col("node"), col("label"))
+        val jump = labels.select(col("node"), col("label").as("link"))
+          .join(labels.select(col("node").as("link"), col("label")), Seq("link"))
+          .select(col("node"), col("label"))
+        val next = labels.select(col("node"), col("label"))
+          .union(prop).union(jump)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
           .localCheckpoint()
-        changed = jumped
-          .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") =!= col("old")).count()
-        labels = jumped
+        val cur = labelSum(next)
+        converged = cur.compareTo(prev) == 0
+        prev = cur
+        labels = next
+        if (sys.env.contains("GRAFT_DEBUG_CC"))
+          println(s"[cc] superstep done t=${System.nanoTime() / 1e9}")
       }
       labels
         .select(col("node").as("doc_id"), col("label").cast("long").as("cluster_id"))
@@ -235,7 +274,9 @@ object Dedup {
     },
 
     // ---- exact n-gram Jaccard, brute-force on a bounded sample — the
-    // correctness baseline the LSH path is judged against ----
+    // correctness baseline the LSH path is judged against. The sample
+    // is broadcast against itself (≤100 docs), overlap by
+    // array_intersect ----
     sql("dd_ngram_jaccard_sample",
       s"""WITH sh AS ($shinglesSql),
          |sample AS (SELECT * FROM sh WHERE doc_id < 100),
@@ -254,19 +295,16 @@ object Dedup {
          |       CAST(n_union AS BIGINT) AS n_union
          |FROM j
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
-      val sample = shingles(s, dir).filter(col("doc_id") < 100).cache()
-      val counts = sample.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).cache()
-      val a = sample.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sample.select(col("doc_id").as("doc_b"), col("sh"))
-      val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      common
-        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-        .select(col("doc_a"), col("doc_b"),
-          col("n_common").cast("long").as("n_common"),
-          col("n_union").cast("long").as("n_union"))
+      val sample = shArr(s, dir).filter(col("doc_id") < 100)
+      val a = sample.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a"))
+      val b = sample.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n_sh").as("n_b"))
+      a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .filter(col("n_common") >= 1) // oracle's inner join on shared shingles
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_a") + col("n_b") - col("n_common")).as("n_union"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

@@ -153,10 +153,15 @@ object Events {
       val spend = base(s, dir).filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(lsum(col("cents")).as("cents"), lsum(lit(1)).as("n_purchases"))
-      spend
-        .withColumn("rk", row_number()
-          .over(Window.orderBy(col("cents").desc, col("user_id"))).cast("int"))
-        .filter(col("rk") <= 10)
+      // global top-k WITHOUT a single-partition window: limit-after-sort
+      // plans as TakeOrderedAndProject, then rank the bounded winner
+      // set by a broadcast ≤-join
+      val top = spend.orderBy(col("cents").desc, col("user_id")).limit(10)
+      val o = top.select(col("user_id").as("u2"), col("cents").as("c2"))
+      top.join(broadcast(o),
+          col("c2") > col("cents") || (col("c2") === col("cents") && col("u2") <= col("user_id")))
+        .groupBy(col("user_id"), col("cents"), col("n_purchases"))
+        .agg(count(lit(1)).cast("int").as("rk"))
         .select(col("rk"), col("user_id"), col("cents"), col("n_purchases"))
         .orderBy(col("rk"))
     },

@@ -207,8 +207,14 @@ object MetaOps {
       import s.implicits._
       val cat = Seq((1, "col1"), (2, "col2"), (3, "col3"), (4, "col4"), (5, "col5"))
         .toDF("ord", "col_name")
-      val successors = cat.select(col("col_name"),
-        lead(col("col_name"), 1).over(Window.orderBy(col("ord"))).as("next_col"))
+      // LEAD over dense catalog ordinals ≡ equi-join on ord+1 — same
+      // relation, no unpartitioned window (catalog positions are dense
+      // 1..n by construction; the fleet-scale variant additionally
+      // partitions by table id, see md_fleet_position_moves)
+      val successors = cat.join(
+        cat.select((col("ord") - 1).as("ord"), col("col_name").as("next_col")),
+        Seq("ord"), "left_outer")
+        .select(col("col_name"), col("next_col"))
       val directives = Seq(("col5", "col1"), ("col3", "col2")).toDF("mv_name", "after_col")
       directives.join(successors, directives("after_col") === successors("col_name"))
         .filter(!col("next_col").eqNullSafe(col("mv_name")))

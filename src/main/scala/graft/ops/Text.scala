@@ -109,10 +109,16 @@ object Text {
             |  THEN transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))
             |  ELSE array()
             |END""".stripMargin)).as("bigram"))
-      bi.groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n"))
-        .withColumn("rk", row_number()
-          .over(Window.orderBy(col("n").desc, col("bigram"))).cast("int"))
-        .filter(col("rk") <= 20)
+      // global top-k WITHOUT a single-partition window: limit-after-sort
+      // plans as TakeOrderedAndProject (per-partition heaps + driver
+      // merge of k rows), then rank the bounded winner set by a
+      // broadcast ≤-join — nothing here moves all data to one task
+      val top = bi.groupBy(col("bigram")).agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+      val o = top.select(col("bigram").as("b2"), col("n").as("n2"))
+      top.join(broadcast(o),
+          col("n2") > col("n") || (col("n2") === col("n") && col("b2") <= col("bigram")))
+        .groupBy(col("bigram"), col("n")).agg(count(lit(1)).cast("int").as("rk"))
         .select(col("rk"), col("bigram"), col("n"))
         .orderBy(col("rk"))
     },
