@@ -367,5 +367,41 @@ object Events {
       act.join(ret, Seq("day"))
         .select(col("day"), col("active"), col("retained"))
         .orderBy(col("day"))
+    },
+
+    // ---- purchase attribution: interval join of each purchase to the
+    // same user's views in the preceding 30 min — the batch twin of
+    // StreamOps.attributedPurchases (whose stream-stream join bounds
+    // state by the same two-sided time condition). Equi-join on
+    // user_id + range predicate ⇒ one shuffle, range filtered in the
+    // join; never a time×time cross product. ----
+    sql("ev_view_attribution",
+      s"""WITH e AS ($baseSql),
+         |v AS (SELECT user_id, event_id, tsec FROM e WHERE event_type = 'view'),
+         |p AS (SELECT user_id, event_id, tsec, cents FROM e WHERE event_type = 'purchase')
+         |SELECT p.event_id AS purchase_id, p.user_id, p.cents,
+         |       CAST(COUNT(v.event_id) AS BIGINT) AS n_views_30m,
+         |       MAX(v.event_id) AS last_view_id
+         |FROM p LEFT JOIN v
+         |  ON v.user_id = p.user_id
+         | AND v.tsec <= p.tsec AND v.tsec >= p.tsec - 1800
+         |GROUP BY p.event_id, p.user_id, p.cents
+         |ORDER BY purchase_id""") { (s, dir) =>
+      val e = base(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("tsec").as("vsec"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("tsec").as("psec"), col("cents"))
+      p.join(v,
+          p("user_id") === v("user_id") &&
+            col("vsec") <= col("psec") && col("vsec") >= col("psec") - 1800,
+          "left_outer")
+        .groupBy(col("purchase_id"), p("user_id"), col("cents"))
+        .agg(count(col("view_id")).cast("long").as("n_views_30m"),
+          max(col("view_id")).as("last_view_id"))
+        .select(col("purchase_id"), col("user_id"), col("cents"),
+          col("n_views_30m"), col("last_view_id"))
+        .orderBy(col("purchase_id"))
     })
 }

@@ -294,5 +294,73 @@ object Relational {
         .filter(col("total_qty") > col("sz") * 60)
         .select(col("p_partkey"), col("p_name"), col("total_qty"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ---- GROUPING SETS with grouping_id: three explicit aggregation
+    // lattice cells in ONE Expand+hash-agg pass (rollup/cube's general
+    // form; complements q10_rollup and ev_cube) ----
+    sql("q15_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""") { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())
+          |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // ---- deterministic hash sampling: the reproducible Bernoulli
+    // sample every training-data pipeline needs (same md5 threshold in
+    // any engine ⇒ the same rows at any scale, no RNG state, no
+    // coordination; TABLESAMPLE is neither deterministic nor
+    // engine-portable). ~25% of lineitem via first hex digit < '4'. ----
+    sql("q16_hash_sample",
+      """WITH s AS (
+        |  SELECT * FROM lineitem
+        |  WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |               CAST(l_linenumber AS VARCHAR)), 1, 1) < '4')
+        |SELECT l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 1) < "4")
+        .groupBy(col("l_returnflag"))
+        .agg(lsum(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- fuzzy matching: edit-distance self-join on a bounded name
+    // sample (the record-linkage primitive; levenshtein is the same
+    // classic DP in both engines). Broadcast the ≤50-row sample —
+    // never an unbounded name×name cross product. ----
+    sql("q17_fuzzy_partnames",
+      """WITH s AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 50)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 10
+        |ORDER BY key_a, key_b""") { (s, dir) =>
+      val sample = t(s, dir, "part").filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"), col("p_name"))
+      val a = sample.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = sample.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(broadcast(b), col("key_a") < col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+        .filter(col("dist") <= 10)
+        .select(col("key_a"), col("key_b"), col("dist"))
+        .orderBy(col("key_a"), col("key_b"))
     })
 }

@@ -60,24 +60,21 @@ object Similarity {
 
   /** int-quantized vector + its squared norm, both map-side.
     *
-    * All per-vector math here is unrolled over the known dimension
-    * count into flat `a[i] * b[i] + …` expression trees: GetArrayItem
-    * and the arithmetic are whole-stage-codegen'd, where a lambda
-    * formulation (`aggregate(zip_with(...))`) would fall back to
-    * interpreted per-element eval — measured several× slower on the
-    * verify stage. Spark splits oversized generated methods, so the
-    * 64-term sums stay codegen-safe; for very high-dim embeddings
-    * (1024+) the lambda form becomes the right trade again. */
-  private def varr(s: SparkSession, dir: String): DataFrame =
+    * All per-vector math (norms, plane projections, pair dots) runs
+    * through the native [[graft.functions.DotProduct]] expression —
+    * constant-size codegen'd loop; see its scaladoc for why both a
+    * lambda formulation and an unrolled expression tree lose. */
+  private def varr(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
           .as("qe"))
       .withColumn("n2", dot("qe", "qe"))
+  }
 
-  /** Exact integer dot product of two quantized arrays, unrolled. */
-  private def dot(a: String, b: String): Column =
-    (0 until Dims).map(i => col(a)(i) * col(b)(i)).reduce(_ + _)
+  /** Exact integer dot product of two quantized array columns. */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   private val qvSql =
     """SELECT vec_id, i - 1 AS dim,
@@ -107,11 +104,15 @@ object Similarity {
     for (p <- 0 until Planes; d <- 0 until dims)
       yield (p, d, if (md5Hex(s"$p:$d").charAt(0) < '8') 1 else -1, p / 4, 1L << (p % 4))
 
-  /** Plane p's signed projection, unrolled with literal ±1 weights. */
-  private def proj(p: Int): Column =
-    (0 until Dims).map { d =>
-      if (md5Hex(s"$p:$d").charAt(0) < '8') col("qe")(d) else -col("qe")(d)
-    }.reduce(_ + _)
+  /** Plane p's signed projection: graft_dot against the literal ±1
+    * sign vector (a constant array; the codegen'd loop reads it like
+    * any other ArrayData). */
+  private def proj(p: Int): Column = {
+    val signs = (0 until Dims)
+      .map(d => if (md5Hex(s"$p:$d").charAt(0) < '8') "1L" else "-1L")
+      .mkString("array(", ", ", ")")
+    expr(s"graft_dot(qe, $signs)")
+  }
 
   /** Band b's 4-bit bucket id from 4 signed projections — all map-side. */
   private def bucketCol(b: Int): Column =
@@ -128,39 +129,94 @@ object Similarity {
        |FROM (SELECT CAST(range AS INT) AS p FROM range($Planes)) a,
        |     (SELECT CAST(range AS INT) AS dim FROM range($Dims)) b""".stripMargin
 
+  /** CTE chain ending in `ranked` — the brute-force cosine ranking of
+    * the query set against the corpus (shared by ss_brute_topk and
+    * ss_recall_eval). */
+  private val bruteCtesSql =
+    s"""qv AS ($qvSql),
+       |norms AS ($normsSql),
+       |qq AS (SELECT vec_id AS qid, dim, qe AS qqe FROM qv WHERE $QuerySetSql),
+       |dots AS (
+       |  SELECT q.qid, v.vec_id, CAST(SUM(q.qqe * v.qe) AS BIGINT) AS dot
+       |  FROM qq q JOIN qv v ON v.dim = q.dim
+       |  GROUP BY q.qid, v.vec_id),
+       |scored AS (
+       |  SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.dot,
+       |         nq.n2 AS n2_q, nv.n2 AS n2_v
+       |  FROM dots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.vec_id
+       |  WHERE d.vec_id <> d.qid),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
+       |  FROM scored)""".stripMargin
+
+  /** CTE chain ending in `cand(vec_a, vec_b)` — the LSH candidate
+    * pairs (shared by ss_lsh_neardups and ss_recall_eval). */
+  private val lshCandCtesSql =
+    s"""planes AS ($planesSql),
+       |proj AS (
+       |  SELECT v.vec_id, pl.p, pl.band, pl.pw, CAST(SUM(pl.sgn * v.qe) AS BIGINT) AS proj
+       |  FROM qv v JOIN planes pl ON pl.dim = v.dim
+       |  GROUP BY v.vec_id, pl.p, pl.band, pl.pw),
+       |buckets AS (
+       |  SELECT vec_id, band,
+       |         CAST(SUM(CASE WHEN proj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Spark twin of `cand`: LSH candidate pairs over [[varr]]'s `v`.
+    *
+    * The checkpoint sits BETWEEN the projection computing the two
+    * bucket ids and the band explode, for two reasons: (a) EAGER
+    * materialization — the candidate self-join's sides build their
+    * shuffle maps concurrently, and a lazy .cache() would let both
+    * race through all 8 projections; (b) codegen hygiene — a plain
+    * Project splits the 512-term bucket expressions across generated
+    * methods, while the same expressions inlined into the explode's
+    * array(struct(...)) input put the whole computation inside one
+    * Generate consume method, which overflows Janino's 64 KB method
+    * limit and silently falls back to interpreted eval. */
+  private def lshCandidates(v: DataFrame): DataFrame = {
+    val withBuckets = v
+      .select(col("vec_id"), bucketCol(0).as("b0"), bucketCol(1).as("b1"))
+      .localCheckpoint()
+    val buckets = withBuckets
+      .select(col("vec_id"),
+        explode(array(
+          struct(lit(0).as("band"), col("b0").as("bucket")),
+          struct(lit(1).as("band"), col("b1").as("bucket")))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
+  private def bruteScored(v: DataFrame): DataFrame = {
+    val qq = v.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+    v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot("qqe", "qe"))
+      .withColumnRenamed("n2", "n2_v")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact brute-force top-5 for a bounded query set: broadcast
     // the 10 query vectors past every corpus row, one dot each ----
     sql("ss_brute_topk",
-      s"""WITH qv AS ($qvSql),
-         |norms AS ($normsSql),
-         |qq AS (SELECT vec_id AS qid, dim, qe AS qqe FROM qv WHERE $QuerySetSql),
-         |dots AS (
-         |  SELECT q.qid, v.vec_id, CAST(SUM(q.qqe * v.qe) AS BIGINT) AS dot
-         |  FROM qq q JOIN qv v ON v.dim = q.dim
-         |  GROUP BY q.qid, v.vec_id),
-         |scored AS (
-         |  SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.dot,
-         |         nq.n2 AS n2_q, nv.n2 AS n2_v
-         |  FROM dots d
-         |  JOIN norms nq ON nq.vec_id = d.qid
-         |  JOIN norms nv ON nv.vec_id = d.vec_id
-         |  WHERE d.vec_id <> d.qid),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
-         |  FROM scored)
+      s"""WITH $bruteCtesSql
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dot, n2_q, n2_v
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""") { (s, dir) =>
-      val v = varr(s, dir)
-      val qq = v.filter(expr(QuerySetSql))
-        .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
-      v.join(broadcast(qq), col("vec_id") =!= col("qid"))
-        .withColumn("dot", dot("qqe", "qe"))
-        .withColumnRenamed("n2", "n2_v")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+      bruteScored(varr(s, dir))
         .filter(col("rk") <= 5)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("dot"), col("n2_q"), col("n2_v"))
@@ -173,19 +229,7 @@ object Similarity {
     sql("ss_lsh_neardups",
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |planes AS ($planesSql),
-         |proj AS (
-         |  SELECT v.vec_id, pl.p, pl.band, pl.pw, CAST(SUM(pl.sgn * v.qe) AS BIGINT) AS proj
-         |  FROM qv v JOIN planes pl ON pl.dim = v.dim
-         |  GROUP BY v.vec_id, pl.p, pl.band, pl.pw),
-         |buckets AS (
-         |  SELECT vec_id, band,
-         |         CAST(SUM(CASE WHEN proj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |$lshCandCtesSql,
          |pairdot AS (
          |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
          |  FROM cand c
@@ -199,20 +243,7 @@ object Similarity {
          |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
          |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      val buckets = v
-        .select(col("vec_id"),
-          explode(array(
-            struct(lit(0).as("band"), bucketCol(0).as("bucket")),
-            struct(lit(1).as("band"), bucketCol(1).as("bucket")))).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        // self-joined: EAGER materialization (not lazy .cache()) — the
-        // two join sides build their shuffle maps concurrently, and a
-        // cold cache would let both race through all 8 projections
-        .localCheckpoint()
-      val a = buckets.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
-      val b = buckets.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
-      val cand = a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
+      val cand = lshCandidates(v)
       val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
       val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
       cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
@@ -263,5 +294,36 @@ object Similarity {
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("label"), col("dot"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- ANN quality eval: recall@5 of the LSH candidate set against
+    // brute-force ground truth, per query — the measurement loop any
+    // production ANN deployment runs to tune bands×planes. Ground truth
+    // is bounded (query set × 5), so the eval join broadcasts. ----
+    sql("ss_recall_eval",
+      s"""WITH $bruteCtesSql,
+         |$lshCandCtesSql,
+         |top5 AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5),
+         |qcand AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM cand
+         |          UNION SELECT vec_b, vec_a FROM cand)
+         |SELECT t.query_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_top5,
+         |       CAST(COUNT(q.neighbor_id) AS BIGINT) AS n_recalled
+         |FROM top5 t LEFT JOIN qcand q
+         |  ON q.query_id = t.query_id AND q.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id ORDER BY query_id""") { (s, dir) =>
+      val v = varr(s, dir).cache() // brute side + LSH bucket side
+      val top5 = bruteScored(v).filter(col("rk") <= 5)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      val cand = lshCandidates(v)
+      val qcand = cand
+        .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+        .union(cand.select(col("vec_b"), col("vec_a")))
+        .distinct()
+        .withColumn("hit", lit(1))
+      top5.join(qcand, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("n_top5"),
+          count(col("hit")).cast("long").as("n_recalled"))
+        .orderBy(col("query_id"))
     })
 }

@@ -60,6 +60,36 @@ object StreamOps {
         sessionFn(gapSeconds))
   }
 
+  /** Stream-stream interval join: each purchase is attributed to the
+    * same user's views in the `horizonMinutes` before it. Both sides
+    * carry watermarks and the join condition bounds event-time distance
+    * in BOTH directions, so each side's state store holds only the
+    * horizon+lateness window — the canonical bounded-state
+    * stream-stream join (an unbounded-time condition would accumulate
+    * state forever). Shuffles once, on user_id. */
+  def attributedPurchases(views: DataFrame, purchases: DataFrame,
+      horizonMinutes: Int = 30, lateness: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("cents"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("purchase_ts"), col("view_ts"), col("cents"))
+  }
+
+  /** Exactly-once-per-id view of an at-least-once stream:
+    * `dropDuplicatesWithinWatermark` keys state by event_id but evicts
+    * each key once the watermark passes it — O(watermark-window) state,
+    * where a plain `dropDuplicates` on a stream grows state forever. */
+  def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   private def sessionFn(gapSeconds: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState])
       : Iterator[UserSession] = {

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Unit coverage for the native expressions registered by
+  * [[graft.GraftExtensions]] (their end-to-end behavior is also pinned
+  * by the dd_* oracle queries; this spec pins the edge cases).
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def shingleSet(text: String, n: Int): Seq[String] = {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .selectExpr(s"graft_shingle_array(text, $n) AS shs")
+      .as[Seq[String]].head()
+  }
+
+  test("graft_shingle_array returns distinct shingles in first-occurrence order") {
+    assert(shingleSet("a b c a b c a b", 3) ==
+      Seq("a b c", "b c a", "c a b"))
+  }
+
+  test("graft_shingle_array of a too-short doc is empty") {
+    assert(shingleSet("a b", 3).isEmpty)
+    assert(shingleSet("", 3).isEmpty)
+  }
+
+  test("graft_shingle_array equals the distinct set streamed by graft_shingles") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "to be or not to be that is the question to be"),
+      (3L, "one two")).toDF("doc_id", "text")
+    val viaArray = docs
+      .selectExpr("doc_id", "explode(graft_shingle_array(text, 3)) AS sh")
+      .as[(Long, String)].collect().toSet
+    val viaGenerator = docs
+      .selectExpr("doc_id", "graft_shingles(text, 3) AS sh")
+      .distinct().as[(Long, String)].collect().toSet
+    assert(viaArray == viaGenerator)
+    assert(viaArray.nonEmpty)
+  }
+
+  test("graft_dot: exact integer dot product, null array yields null") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT graft_dot(array(1L, -2L, 3L), array(4L, 5L, 6L)) AS d,
+        |       graft_dot(array(1L), array(2L, 99L)) AS truncated,
+        |       graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n""".stripMargin)
+      .as[(Long, Long, Option[Long])].head()
+    assert(got == ((4 - 10 + 18, 2, None)))
+  }
+
+  test("graft_dot matches the lambda formulation on random-ish arrays") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = spark.range(50).selectExpr(
+      "transform(sequence(0, 63), i -> CAST(hash(id, i) % 100000 AS BIGINT)) AS a",
+      "transform(sequence(0, 63), i -> CAST(hash(i, id) % 100000 AS BIGINT)) AS b")
+    val diffs = df.selectExpr(
+      """graft_dot(a, b) -
+        |aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT),
+        |          (acc, v) -> acc + v) AS diff""".stripMargin)
+      .as[Long].collect()
+    assert(diffs.forall(_ == 0L))
+  }
+
+  test("graft_shingle_array propagates null text as null") {
+    graft.GraftExtensions.register(spark)
+    val row = spark.sql("SELECT graft_shingle_array(CAST(NULL AS STRING), 3) AS shs")
+      .collect().head
+    assert(row.isNullAt(0))
+  }
+}

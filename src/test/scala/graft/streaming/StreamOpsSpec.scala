@@ -135,6 +135,95 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributedPurchases joins purchases to views within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributedPurchases(views.toDF(), purchases.toDF(),
+        horizonMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Event(1, 1, "view", ts(0), 0),   // 20 min before purchase: attributed
+        Event(2, 1, "view", ts(-40), 0), // 60 min before: outside horizon
+        Event(3, 2, "view", ts(10), 0))  // other user
+      purchases.addData(Event(10, 1, "purchase", ts(20), 500))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "purchase_id", "view_id", "cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L, 1L, 500L)))
+    } finally q.stop()
+  }
+
+  test("attributedPurchases on the fixture matches the batch interval join") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def normalized(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      to_timestamp(expr("ts div 1000000000")).as("ts"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
+    val batch = {
+      val e = normalized(raw)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("cents"))
+      v.join(p, col("user_id") === col("p_user_id") &&
+          col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("purchase_id"), col("view_id"))
+        .collect().map(_.toSeq).toSet
+    }
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ev-attrib-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = normalized(
+      spark.readStream.schema(raw.schema).parquet(streamDir.toString))
+    val q = StreamOps.attributedPurchases(
+        stream.filter(col("event_type") === "view"),
+        stream.filter(col("event_type") === "purchase"),
+        horizonMinutes = 30)
+      .writeStream.format("memory").queryName("attrib_fixture")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib_fixture")
+        .select("purchase_id", "view_id").collect().map(_.toSeq).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops re-deliveries of the same event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, 1, "view", ts(0), 10),
+        Event(1, 1, "view", ts(0), 10),  // same-batch duplicate
+        Event(2, 2, "view", ts(5), 20))
+      q.processAllAvailable()
+      input.addData(Event(1, 1, "view", ts(0), 10)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val got = spark.table("dedup").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
