@@ -78,4 +78,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // stage n — the expression must not force the Project out of it
     assert(plan.contains("*(1) Project [graft_simhash16"), plan)
   }
+
+  test("graft_dot stays inside WholeStageCodegen") {
+    GraftExtensions.register(spark)
+    val plan = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe")
+      .selectExpr("graft_dot(qe, qe) AS n2")
+      .queryExecution.executedPlan.toString
+    // the Project evaluating dotproduct must carry the "*(n)" codegen
+    // marker (the transform() projection below it is interpreted — HOFs
+    // are CodegenFallback — which is exactly why graft_dot exists)
+    assert("\\*\\(\\d+\\) Project \\[dotproduct".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("interval-join attribution pushes the event_type filters to the scan") {
+    val df = SparkEntry.queries("ev_view_attribution")(spark, dir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // both sides must filter BEFORE the join: a Filter node on
+    // event_type can only sit below it (the join's output drops the
+    // column). The scan under it is a FileScan with DataFilters in a
+    // fresh session, or an InMemoryTableScan if another suite cached
+    // the base relation — either way the Filter node must exist.
+    assert("Filter [^\\n]*event_type[^\\n]* = view".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("Filter [^\\n]*event_type[^\\n]* = purchase".r
+      .findFirstIn(plan).isDefined, plan)
+  }
 }
