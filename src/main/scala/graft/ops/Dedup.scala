@@ -215,8 +215,11 @@ object Dedup {
       val sym = pairs.select(col("doc_a").as("node"), col("doc_b").as("peer"))
         .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("peer")))
       dbg("sym checkpointed")
-      var labels = sym.select(col("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
+      // seed = superstep 0 for free: min over the direct neighborhood
+      // is one aggregation over the edge list, no join
+      var labels = sym.groupBy(col("node"))
+        .agg(least(col("node"), min(col("peer"))).as("label"))
+        .localCheckpoint()
       dbg("labels init")
       // Superstep = one union of three candidate sources + one min-agg:
       //   keep:  (node, label)                      — monotonic floor
