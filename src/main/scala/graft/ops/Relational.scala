@@ -362,5 +362,45 @@ object Relational {
         .filter(col("dist") <= 10)
         .select(col("key_a"), col("key_b"), col("dist"))
         .orderBy(col("key_a"), col("key_b"))
+    },
+
+    // ---- correlated EXISTS subquery: exercises Catalyst's
+    // decorrelation (RewritePredicateSubquery ⇒ left-semi join) — the
+    // subquery SURFACE, complementing q7/q8's explicit semi/anti
+    // DataFrame joins ----
+    sql("q18_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_ex")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ---- explicit window frame: per-customer running balance (ROWS
+    // UNBOUNDED PRECEDING..CURRENT ROW), partitioned on the customer
+    // key — decimal-domain sum, deterministic (date, orderkey) order ----
+    sql("q19_running_total",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DECIMAL(38,2)) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
 }

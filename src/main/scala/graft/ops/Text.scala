@@ -214,5 +214,39 @@ object Text {
           lsum(col("n_chars")).as("total_chars"),
           expr("CAST(sum(n_tokens) div count(1) AS BIGINT)").as("avg_tokens_floor"))
         .orderBy(col("lang"))
+    },
+
+    // ---- TF-IDF top-3 terms per doc (bounded sample): tf and df are
+    // exact integers; the tf/df score exists only as an ORDER BY key
+    // (IEEE division of identical integers is bit-equal in both
+    // engines), with full (score, term) tie-breaks. The word-count
+    // shape twice + a per-doc window — no all-pairs, no collect. ----
+    sql("tx_tfidf_topterms",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.word) AS rk
+        |  FROM tf JOIN df ON tf.word = df.word)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, word,
+        |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""") { (s, dir) =>
+      val w = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("word"))
+      tf.join(df, Seq("word"))
+        .withColumn("rk", row_number().over(win).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("word"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"))
+        .orderBy(col("doc_id"), col("rk"))
     })
 }
