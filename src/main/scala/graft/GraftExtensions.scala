@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }
 
@@ -49,8 +50,12 @@ object GraftExtensions {
       s"shingle width must be a literal int, got $other")
   }
 
-  /** Runtime registration for sessions created without the extension
-    * (Verify/Bench register this way). */
+  /** Runtime registration of the FUNCTIONS only, for sessions created
+    * without the extension (Verify/Bench register this way). The
+    * [[graft.plans.RewriteRankFilterToTopK]] optimizer rule is NOT
+    * added here — it changes window plans session-wide, so it is an
+    * explicit opt-in via `spark.sql.extensions=graft.GraftExtensions`
+    * or `spark.experimental.extraOptimizations`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
