@@ -402,5 +402,53 @@ object Relational {
           sum(dec2(col("o_totalprice"))).over(w)
             .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- column profiler (ANALYZE-shape, training-data QA): stats
+    // for every profiled column in ONE aggregation pass over the scan,
+    // unpivoted to a row per column. String/decimal domains only
+    // (double→string rendering differs across engines). ----
+    sql("q20_column_profile", {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_orderkey",
+        "l_quantity", "l_discount")
+      val selects = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT($c) AS BIGINT) AS n_filled,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(MIN($c) AS VARCHAR) AS min_s,
+           |       CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM li""".stripMargin
+      }
+      s"""WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey,
+         |                   CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+         |                   CAST(l_discount AS DECIMAL(18,2)) AS l_discount
+         |            FROM lineitem)
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY col_name""".stripMargin
+    }) { (s, dir) =>
+      val profiled = Seq("l_returnflag", "l_linestatus", "l_orderkey",
+        "l_quantity", "l_discount")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        dec2(col("l_quantity")).as("l_quantity"),
+        dec2(col("l_discount")).as("l_discount"))
+      val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_filled"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val structs = profiled.map { c =>
+        struct(lit(c).as("col_name"),
+          col("n_rows").cast("long").as("n_rows"),
+          col(s"${c}_filled").cast("long").as("n_filled"),
+          col(s"${c}_distinct").cast("long").as("n_distinct"),
+          col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(structs: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
     })
 }

@@ -82,6 +82,25 @@ object StreamOps {
         col("purchase_ts"), col("view_ts"), col("cents"))
   }
 
+  /** Idempotent parquet SINK for the hourly rollup via foreachBatch +
+    * dynamic partition overwrite: each micro-batch rewrites exactly the
+    * `window_start` partitions it carries updated aggregates for, so a
+    * replayed batch (failure/retry) converges to the same files instead
+    * of duplicating — exactly-once table semantics on a plain parquet
+    * layout, no transactional format required. Returns the started
+    * query; the caller owns its lifecycle. */
+  def rollupToParquet(events: DataFrame, outDir: String,
+      lateness: String = "2 hours") =
+    hourlyRollup(events, lateness)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy("window_start").parquet(outDir)
+      }
+      .start()
+
   /** Exactly-once-per-id view of an at-least-once stream:
     * `dropDuplicatesWithinWatermark` keys state by event_id but evicts
     * each key once the watermark passes it — O(watermark-window) state,

@@ -203,6 +203,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollupToParquet lands the same table as the batch rollup, idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-rollup-sink-").toString
+    val input = MemoryStream[Event]
+    val q = StreamOps.rollupToParquet(input.toDF(), out)
+    try {
+      input.addData(
+        Event(1, 1, "view", ts(10), 100),
+        Event(2, 1, "view", ts(20), 50))
+      q.processAllAvailable()
+      // a second batch UPDATES hour 0 and ADDS hour 1: the hour-0
+      // partition must be rewritten in place, not duplicated
+      input.addData(
+        Event(3, 2, "view", ts(30), 25),
+        Event(4, 2, "click", ts(70), 10))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "total_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        (ts(0), "view", 3L, 175L),
+        (ts(60), "click", 1L, 10L)))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops re-deliveries of the same event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
