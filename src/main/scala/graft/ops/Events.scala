@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Tables._
-import QuerySpec.sql
+import QuerySpec.{rowsOnly, sql}
 
 /** Event-stream analytics over the `events` table — the batch
   * expressions of the streaming shapes (tumbling windows,
@@ -403,5 +403,20 @@ object Events {
         .select(col("purchase_id"), col("user_id"), col("cents"),
           col("n_views_30m"), col("last_view_id"))
         .orderBy(col("purchase_id"))
+    },
+
+    // ---- HLL sketch surface: approximate distinct users per type.
+    // Sketch internals are engine-specific, so no DuckDB oracle
+    // (rows-only driver check); the accuracy bound vs the exact count
+    // is asserted in SketchSpec. At 100 TB this is THE cardinality
+    // shape: constant-size (rsd-bounded) state per group, map-side
+    // combinable, one shuffle of sketches — where exact COUNT(DISTINCT)
+    // shuffles every distinct value. ----
+    rowsOnly("ev_approx_users") { (s, dir) =>
+      base(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          lsum(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
     })
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Tables._
-import QuerySpec.sql
+import QuerySpec.{rowsOnly, sql}
 
 /** Core relational operator surface over the TPC-H-ish tables.
   *
@@ -450,5 +450,20 @@ object Relational {
         .select(explode(array(structs: _*)).as("p"))
         .select(col("p.*"))
         .orderBy(col("col_name"))
+    },
+
+    // ---- quantile sketch surface: approx_percentile (a mergeable
+    // quantile digest). Sketch internals are engine-specific, so no
+    // DuckDB oracle (rows-only driver check); the error bound vs the
+    // exact rank-based quantile is asserted in SketchSpec. The exact
+    // variant is ev_type_quantiles; this is what replaces it at 100 TB
+    // when a full per-group sort is too expensive. ----
+    rowsOnly("q21_approx_quantiles") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT)," +
+          " array(0.5D, 0.9D), 10000)").as("p50_p90_cents"),
+          lsum(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
     })
 }
