@@ -62,6 +62,28 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE-ish subword counting: the GPT-2-style pre-tokenizer
+    // shape reduced to its engine-portable core — alpha runs, digit
+    // runs, and punctuation as separate token classes via one regex
+    // (identical character-class semantics in Java and RE2 regexes).
+    // Pure map-side expressions, zero shuffle. ----
+    sql("tx_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+        |         AS n_subtokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha_runs,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_digit_runs,
+        |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS n_other
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS INT)")
+          .as("n_subtokens"),
+        expr("CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS INT)").as("n_alpha_runs"),
+        expr("CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS INT)").as("n_digit_runs"),
+        expr("CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS INT)").as("n_other"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- quality score: stopword ratio + length buckets (heuristic
     // filter stage of a data-curation pipeline), integer arithmetic ----
     sql("tx_quality_score",
