@@ -433,9 +433,12 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
         dec2(col("l_quantity")).as("l_quantity"),
         dec2(col("l_discount")).as("l_discount"))
+      // count/min/max in one expand-free pass; distincts via an
+      // unpivot to narrow (col_name, value) pairs — N distinct
+      // aggregates in ONE agg would Expand every row N-fold, measured
+      // 5-7x slower at sf0.1 and quadratically worse with more columns
       val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { c =>
         Seq(count(col(c)).as(s"${c}_filled"),
-          countDistinct(col(c)).as(s"${c}_distinct"),
           min(col(c)).cast("string").as(s"${c}_min"),
           max(col(c)).cast("string").as(s"${c}_max"))
       }
@@ -443,13 +446,48 @@ object Relational {
         struct(lit(c).as("col_name"),
           col("n_rows").cast("long").as("n_rows"),
           col(s"${c}_filled").cast("long").as("n_filled"),
-          col(s"${c}_distinct").cast("long").as("n_distinct"),
           col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))
       }
-      li.agg(aggs.head, aggs.tail: _*)
+      val base = li.agg(aggs.head, aggs.tail: _*)
         .select(explode(array(structs: _*)).as("p"))
         .select(col("p.*"))
+      // decimal/bigint→string is injective, so distinct-of-rendering
+      // equals distinct-of-value; the pair shuffle is map-side partial
+      val pairs = li.select(explode(array(profiled.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      val distincts = pairs.filter(col("v").isNotNull)
+        .groupBy(col("col_name"))
+        .agg(countDistinct(col("v")).cast("long").as("n_distinct"))
+      base.join(distincts, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_filled"),
+          col("n_distinct"), col("min_s"), col("max_s"))
         .orderBy(col("col_name"))
+    },
+
+    // ---- full-outer join over data-scaled aggregates (the md_* diffs
+    // full-outer-join fixture relations; this is the same shape on
+    // fact data, with genuinely one-sided keys) ----
+    sql("q22_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_suppkey < 20 GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+        |       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""") { (s, dir) =>
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_suppkey") < 20)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0)).cast("long").as("n_cust"),
+          coalesce(col("n_supp"), lit(0)).cast("long").as("n_supp"))
+        .orderBy(col("nationkey"))
     },
 
     // ---- quantile sketch surface: approx_percentile (a mergeable
