@@ -405,6 +405,40 @@ object Events {
         .orderBy(col("purchase_id"))
     },
 
+    // ---- the same sessions via Spark's BUILT-IN session_window
+    // aggregation (one shuffle on user_id, no window-function pass;
+    // also the shape that runs incrementally under a watermark).
+    // Boundary note: session_window merges touching windows
+    // INCLUSIVELY (new session iff diff > gap), which is exactly the
+    // lag-formulation's `diff > 1800` — so the gaps coincide at 1800s
+    // (verified: an exclusive-boundary reading is off by one session
+    // on the fixture). ----
+    sql("ev_session_window",
+      s"""WITH e AS ($baseSql),
+         |flagged AS (
+         |  SELECT user_id, tsec, cents, event_id,
+         |         CASE WHEN tsec - LAG(tsec) OVER w > 1800
+         |              OR LAG(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         |sessions AS (
+         |  SELECT user_id, tsec, cents,
+         |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+         |                          ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, CAST(MIN(tsec) AS BIGINT) AS start_sec,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents
+         |FROM sessions GROUP BY user_id, session_seq
+         |ORDER BY user_id, start_sec""") { (s, dir) =>
+      base(s, dir)
+        .select(col("user_id"), to_timestamp(col("tsec")).as("ts"), col("cents"))
+        .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds").as("sw"))
+        .agg(lsum(lit(1)).as("n_events"), lsum(col("cents")).as("total_cents"))
+        .select(col("user_id"), col("sw.start").cast("long").as("start_sec"),
+          col("n_events"), col("total_cents"))
+        .orderBy(col("user_id"), col("start_sec"))
+    },
+
     // ---- HLL sketch surface: approximate distinct users per type.
     // Sketch internals are engine-specific, so no DuckDB oracle
     // (rows-only driver check); the accuracy bound vs the exact count

@@ -68,17 +68,23 @@ object StreamOps {
     * stream-stream join (an unbounded-time condition would accumulate
     * state forever). Shuffles once, on user_id. */
   def attributedPurchases(views: DataFrame, purchases: DataFrame,
-      horizonMinutes: Int = 30, lateness: String = "1 hour"): DataFrame = {
+      horizonMinutes: Int = 30, lateness: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", lateness)
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
     val p = purchases.withWatermark("ts", lateness)
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("cents"))
+    // rightOuter: purchases with NO view in the horizon still emit
+    // (view columns null) — but only once the watermark proves no
+    // matching view can still arrive, which is exactly why the outer
+    // flavors REQUIRE the two-sided time bound
     v.join(p,
       col("user_id") === col("p_user_id") &&
         col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
-      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
+      .select(col("p_user_id").as("user_id"), col("purchase_id"), col("view_id"),
         col("purchase_ts"), col("view_ts"), col("cents"))
   }
 

@@ -158,6 +158,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("right-outer attributedPurchases emits view-less purchases after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributedPurchases(views.toDF(), purchases.toDF(),
+        horizonMinutes = 30, lateness = "0 seconds", joinType = "rightOuter")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(Event(1, 1, "view", ts(0), 0))
+      purchases.addData(
+        Event(10, 1, "purchase", ts(20), 500), // attributed to view 1
+        Event(11, 2, "purchase", ts(20), 700)) // no view at all
+      q.processAllAvailable()
+      // advance BOTH watermarks past purchase_ts so the unmatched row
+      // can be declared final and emitted with null view columns
+      views.addData(Event(98, 9, "view", ts(600), 0))
+      purchases.addData(Event(99, 9, "purchase", ts(600), 0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .select("purchase_id", "view_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((10L, Some(1L))), got)
+      assert(got.contains((11L, None)), got)
+    } finally q.stop()
+  }
+
   test("attributedPurchases on the fixture matches the batch interval join") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
