@@ -42,6 +42,15 @@ object Text {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** DuckDB oracle shared by both rolling-hash variants. */
+  private val rollingHashOracleSql =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- per-doc token statistics: pure array exprs, zero shuffle ----
@@ -164,19 +173,23 @@ object Text {
     // ---- polynomial rolling hash over the character stream (the
     // content-defined fingerprint primitive; pure array fold, zero
     // shuffle, codegen'd) ----
-    sql("tx_rolling_hash",
-      """SELECT doc_id,
-        |       list_reduce(
-        |         list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
-        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    sql("tx_rolling_hash", rollingHashOracleSql) { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         expr("""aggregate(
                 |  transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
                 |  CAST(0 AS BIGINT),
                 |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
           .as("rhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the same fingerprint as ONE native codegen'd expression
+    // (graft.functions.RollingHash): no per-character string array, no
+    // interpreted lambdas — shares tx_rolling_hash's oracle verbatim ----
+    sql("tx_rolling_hash_native", rollingHashOracleSql) { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      docs(s, dir)
+        .selectExpr("doc_id", "graft_rolling_hash(text) AS rhash")
         .orderBy(col("doc_id"))
     },
 
