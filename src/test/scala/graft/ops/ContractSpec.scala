@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Invariants of the driver contract (SparkEntry + Verify + Bench):
+  * regressions here break the external harness before any query runs.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("spec names are unique, lowercase, and family-prefixed") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.distinct.size == names.size)
+    names.foreach { n =>
+      assert(n.matches("[a-z0-9_]+"), s"bad name: $n")
+      assert(n.matches("(q\\d+|md|dd|ev|tx|ss|mm)_.*"), s"unknown family: $n")
+    }
+  }
+
+  test("every oracle belongs to a registered query and orders deterministically") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(qs.contains(name), s"oracle without query: $name")
+      // single-row global aggregates are deterministic without one
+      val singleRow = Set("q2_forecast_revenue", "ev_funnel")
+      assert(sql.toUpperCase.contains("ORDER BY") || singleRow(name),
+        s"oracle for $name lacks a deterministic ORDER BY")
+    }
+  }
+
+  test("the flagship entry returns rows at sf0.001 (driver smoke mirror)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query returns a non-empty, readable schema at sf0.001") {
+    // schema resolution only (no execution): catches broken column refs
+    // across the whole surface in seconds
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val schema = fn(spark, "/root/testdata/sf0.001").schema
+      assert(schema.nonEmpty, s"$name has an empty schema")
+      assert(schema.fieldNames.distinct.length == schema.fieldNames.length,
+        s"$name has duplicate output columns: ${schema.fieldNames.mkString(",")}")
+    }
+  }
+}
