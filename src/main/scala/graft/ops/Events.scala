@@ -439,6 +439,64 @@ object Events {
         .orderBy(col("user_id"), col("start_sec"))
     },
 
+    // ---- calendar densification (gap fill): the hour × type grid
+    // built from the data's own bounds, counts left-joined onto it,
+    // zeros where silent — the resample/reindex step before any
+    // time-series model. The grid sides are aggregate-bounded (hours,
+    // types), so the cross join is a broadcast of two tiny frames,
+    // never data × data. ----
+    sql("ev_gap_fill",
+      s"""WITH e AS ($baseSql),
+         |h AS (SELECT tsec // 3600 AS hour, event_type,
+         |             CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM e GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM h),
+         |hours AS (SELECT unnest(range(h0, h1 + 1)) AS hour FROM bounds),
+         |types AS (SELECT DISTINCT event_type FROM e),
+         |grid AS (SELECT hour, event_type FROM hours CROSS JOIN types)
+         |SELECT g.hour AS hour, g.event_type AS event_type,
+         |       COALESCE(h.n, 0) AS n
+         |FROM grid g LEFT JOIN h
+         |  ON h.hour = g.hour AND h.event_type = g.event_type
+         |ORDER BY hour, event_type""") { (s, dir) =>
+      val e = base(s, dir)
+      val h = e.groupBy(expr("tsec div 3600").as("hour"), col("event_type"))
+        .agg(lsum(lit(1)).as("n"))
+      val hours = h.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(explode(expr("sequence(h0, h1)")).as("hour"))
+      val types = e.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(h, Seq("hour", "event_type"), "left_outer")
+        .select(col("hour"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // ---- cumulative adoption: users counted on their FIRST active
+    // hour, then a running total — exact cumulative-distinct without
+    // any per-period distinct state (the first-touch trick). The
+    // running sum is a broadcast ≤-join over the hour dimension
+    // (bounded), not an unpartitioned window. ----
+    sql("ev_cumulative_users",
+      s"""WITH e AS ($baseSql),
+         |fd AS (SELECT user_id, MIN(tsec // 3600) AS first_hour FROM e GROUP BY user_id),
+         |d AS (SELECT first_hour AS hour, COUNT(*) AS new_users FROM fd GROUP BY first_hour)
+         |SELECT a.hour AS hour, CAST(a.new_users AS BIGINT) AS new_users,
+         |       CAST(SUM(b.new_users) AS BIGINT) AS cumulative_users
+         |FROM d a JOIN d b ON b.hour <= a.hour
+         |GROUP BY a.hour, a.new_users
+         |ORDER BY hour""") { (s, dir) =>
+      val fd = base(s, dir).groupBy(col("user_id"))
+        .agg(min(expr("tsec div 3600")).as("first_hour"))
+      val d = fd.groupBy(col("first_hour").as("hour")).agg(count(lit(1)).as("new_users"))
+      val b = d.select(col("hour").as("b_hour"), col("new_users").as("b_new"))
+      d.join(broadcast(b), col("b_hour") <= col("hour"))
+        .groupBy(col("hour"), col("new_users"))
+        .agg(lsum(col("b_new")).as("cumulative_users"))
+        .select(col("hour"), col("new_users").cast("long").as("new_users"),
+          col("cumulative_users"))
+        .orderBy(col("hour"))
+    },
+
     // ---- HLL sketch surface: approximate distinct users per type.
     // Sketch internals are engine-specific, so no DuckDB oracle
     // (rows-only driver check); the accuracy bound vs the exact count
