@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{DotProduct, RollingHash, WordShingleArray}
+
+/** Property tests pinning the native expressions' eval against
+  * independent pure-Scala models over generated inputs (the oracle
+  * queries pin them on fixture data and FunctionsSpec covers the
+  * codegen path through SQL; this covers the input space around both).
+  */
+object NativeExprPropSpec extends Properties("NativeExprs") {
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] = Gen.choose(0, 30)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  property("graft_rolling_hash equals the per-char polynomial model") =
+    Prop.forAll(text) { t =>
+      val got = RollingHash(Literal(t)).eval(null).asInstanceOf[Long]
+      val expected = t.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+      got == expected
+    }
+
+  property("graft_shingle_array equals the sliding-window distinct model") =
+    Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val got = WordShingleArray(Literal(t), n).eval(null)
+        .asInstanceOf[ArrayData].toObjectArray(
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val words = t.split(" ", -1)
+      val expected =
+        if (words.length < n) Seq.empty[String]
+        else words.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == expected
+    }
+
+  private val vec: Gen[Seq[Long]] = Gen.choose(0, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)))
+
+  property("graft_dot equals the elementwise model, incl. truncation") =
+    Prop.forAll(vec, vec) { (a, b) =>
+      val lit = (v: Seq[Long]) => Literal.create(v, ArrayType(LongType))
+      val got = DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Long]
+      got == a.zip(b).map { case (x, y) => x * y }.sum
+    }
+}
