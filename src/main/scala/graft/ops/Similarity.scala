@@ -171,20 +171,23 @@ object Similarity {
 
   /** Spark twin of `cand`: LSH candidate pairs over [[varr]]'s `v`.
     *
-    * The checkpoint sits BETWEEN the projection computing the two
-    * bucket ids and the band explode, for two reasons: (a) EAGER
+    * The cache+eager-count sits BETWEEN the projection computing the
+    * two bucket ids and the band explode, for two reasons: (a) EAGER
     * materialization — the candidate self-join's sides build their
-    * shuffle maps concurrently, and a lazy .cache() would let both
-    * race through all 8 projections; (b) codegen hygiene — a plain
-    * Project splits the 512-term bucket expressions across generated
-    * methods, while the same expressions inlined into the explode's
+    * shuffle maps concurrently, and a cold cache would let both race
+    * through all 8 projections (cache(), not localCheckpoint, so the
+    * identical sub-plan in ss_recall_eval hits the CacheManager
+    * instead of recomputing); (b) codegen hygiene — a plain Project
+    * splits the big bucket expressions across generated methods, while
+    * the same expressions inlined into the explode's
     * array(struct(...)) input put the whole computation inside one
     * Generate consume method, which overflows Janino's 64 KB method
     * limit and silently falls back to interpreted eval. */
   private def lshCandidates(v: DataFrame): DataFrame = {
     val withBuckets = v
       .select(col("vec_id"), bucketCol(0).as("b0"), bucketCol(1).as("b1"))
-      .localCheckpoint()
+      .cache()
+    withBuckets.count()
     val buckets = withBuckets
       .select(col("vec_id"),
         explode(array(
