@@ -96,8 +96,8 @@ object StreamOps {
     * layout, no transactional format required. Returns the started
     * query; the caller owns its lifecycle. */
   def rollupToParquet(events: DataFrame, outDir: String,
-      lateness: String = "2 hours") =
-    hourlyRollup(events, lateness)
+      lateness: String = "2 hours", checkpointDir: Option[String] = None) = {
+    val writer = hourlyRollup(events, lateness)
       .writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -105,7 +105,13 @@ object StreamOps {
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.write.mode("overwrite").partitionBy("window_start").parquet(outDir)
       }
+    // a real deployment always sets this: the checkpoint is what makes
+    // stop/restart resume from the last committed offsets instead of
+    // reprocessing or losing data (exactly-once with the idempotent
+    // partition-overwrite sink above)
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
+  }
 
   /** Exactly-once-per-id view of an at-least-once stream:
     * `dropDuplicatesWithinWatermark` keys state by event_id but evicts

@@ -257,6 +257,49 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollupToParquet survives a stop/restart from its checkpoint, exactly-once") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-restart-")
+    val (in, out, ckpt) = (s"$work/in", s"$work/out", s"$work/ckpt")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
+    def land(file: String, events: (Long, Long, String, Long, Long)*): Unit =
+      events.toSeq
+        .map { case (id, uid, typ, m, c) => Event(id, uid, typ, ts(m), c) }
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$work/stage-$file")
+        // atomic arrival: file sources list complete files only
+        .ensuring { _ =>
+          val staged = java.nio.file.Files.list(
+            java.nio.file.Paths.get(s"$work/stage-$file")).toArray
+            .map(_.toString).filter(_.endsWith(".parquet"))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(staged.head),
+            java.nio.file.Paths.get(s"$in/$file.parquet"))
+          true
+        }
+    val schema = Seq.empty[Event].toDF().schema
+    def start() = StreamOps.rollupToParquet(
+      spark.readStream.schema(schema).parquet(in), out,
+      checkpointDir = Some(ckpt))
+
+    land("a", (1, 1, "view", 10, 100), (2, 1, "view", 20, 50))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second file arrives while the query is DOWN; the restart must
+    // pick it up from the checkpoint and update hour 0 in place
+    land("b", (3, 2, "view", 30, 25), (4, 2, "click", 70, 10))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "total_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        (ts(0), "view", 3L, 175L),
+        (ts(60), "click", 1L, 10L)))
+    } finally q2.stop()
+  }
+
   test("dedupEvents drops re-deliveries of the same event_id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
