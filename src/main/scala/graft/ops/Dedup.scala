@@ -235,7 +235,11 @@ object Dedup {
       // tiny job on the checkpointed result, with no compare-join.
       // (decimal(38,0): a BIGINT sum could overflow at 1e9+ nodes.)
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).first.getDecimal(0)
+        // SUM over an empty relation is NULL (e.g. a corpus with no
+        // near-dup pairs at all) — treat as zero so the loop converges
+        // immediately instead of NPE-ing on compareTo
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
       var prev = labelSum(labels)
       var converged = false
       while (!converged) {
