@@ -497,6 +497,32 @@ object Events {
         .orderBy(col("hour"))
     },
 
+    // ---- rolling 7-day active users per day (the DAU/WAU shape):
+    // the window is a broadcast range join of the bounded day
+    // dimension against per-day distinct users — never a per-row
+    // 7-day rescan of the fact table ----
+    sql("ev_dau_wau",
+      s"""WITH e AS ($baseSql),
+         |ud AS (SELECT DISTINCT tsec // 86400 AS day, user_id FROM e),
+         |days AS (SELECT DISTINCT day FROM ud)
+         |SELECT d.day AS day,
+         |       CAST(COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS BIGINT)
+         |         AS dau,
+         |       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         |GROUP BY d.day ORDER BY day""") { (s, dir) =>
+      val ud = base(s, dir)
+        .select(expr("tsec div 86400").as("day"), col("user_id")).distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      ud.join(broadcast(days),
+          col("day") >= col("d") - 6 && col("day") <= col("d"))
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct(when(col("day") === col("d"), col("user_id")))
+          .cast("long").as("dau"),
+          countDistinct(col("user_id")).cast("long").as("wau"))
+        .orderBy(col("day"))
+    },
+
     // ---- HLL sketch surface: approximate distinct users per type.
     // Sketch internals are engine-specific, so no DuckDB oracle
     // (rows-only driver check); the accuracy bound vs the exact count

@@ -166,6 +166,25 @@ object Multimodal {
         .orderBy(col("asset_id"), col("pos"))
     },
 
+    // ---- duplicate assets by leading-chunk digest: md5 of the first
+    // 80 payload bytes — the header/magic-bytes heuristic that catches
+    // re-encoded or truncated copies of the same asset (a whole-payload
+    // digest finds only bit-exact dups). One hash aggregation; bytes
+    // never shuffle, only the 16-byte digest. ----
+    sql("mm_dup_assets",
+      """SELECT md5(substr(text, 1, 80)) AS chunk_md5,
+        |       CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |       CAST(MIN(doc_id) AS BIGINT) AS canonical_asset
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY chunk_md5""") { (s, dir) =>
+      assets(s, dir).toDF()
+        .groupBy(md5(expr("substring(bytes, 1, 80)")).as("chunk_md5"))
+        .agg(count(lit(1)).cast("long").as("n_assets"),
+          min(col("asset_id")).cast("long").as("canonical_asset"))
+        .filter(col("n_assets") > 1)
+        .orderBy(col("chunk_md5"))
+    },
+
     // ---- the typed decode pipeline end-to-end (mapPartitions stub) ----
     sql("mm_feature_histogram",
       """WITH chars AS (

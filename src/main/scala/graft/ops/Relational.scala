@@ -490,6 +490,39 @@ object Relational {
         .orderBy(col("nationkey"))
     },
 
+    // ---- referential-integrity audit (data-quality gate): orphaned
+    // facts per FK via anti-join counts — the check every ingest
+    // pipeline runs before publishing a table ----
+    sql("q23_fk_orphans",
+      """SELECT 'lineitem.l_orderkey' AS fk,
+        |       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+        |       CAST((SELECT COUNT(*) FROM lineitem l
+        |             WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |         AS n_orphans
+        |UNION ALL
+        |SELECT 'orders.o_custkey',
+        |       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM orders o
+        |             WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |ORDER BY fk""") { (s, dir) =>
+      def audit(fk: String, fact: DataFrame, key: String,
+          dim: DataFrame, dimKey: String): DataFrame = {
+        val orphans = fact.join(dim.select(col(dimKey).as(key)).distinct(),
+          Seq(key), "left_anti")
+        fact.agg(lsum(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(orphans.agg(lsum(lit(1)).as("n_orphans"))))
+          .select(lit(fk).as("fk"), col("n_rows"),
+            coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
+      }
+      audit("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+        .union(audit("orders.o_custkey", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey")), "o_custkey"))
+        .orderBy(col("fk"))
+    },
+
     // ---- quantile sketch surface: approx_percentile (a mergeable
     // quantile digest). Sketch internals are engine-specific, so no
     // DuckDB oracle (rows-only driver check); the error bound vs the

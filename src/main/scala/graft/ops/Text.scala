@@ -251,6 +251,24 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // ---- corpus duplication report: the before/after numbers every
+    // dedup run is judged by (one aggregation over content hashes) ----
+    sql("tx_dedup_rate",
+      """WITH h AS (SELECT md5(text) AS ch FROM documents),
+        |g AS (SELECT ch, COUNT(*) AS n FROM h GROUP BY ch)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+        |       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_dup_groups,
+        |       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removable
+        |FROM g""") { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("ch")).agg(count(lit(1)).as("n"))
+        .agg(lsum(col("n")).as("n_docs"),
+          lsum(lit(1)).as("n_unique_texts"),
+          lsum(when(col("n") > 1, col("n")).otherwise(0)).as("n_docs_in_dup_groups"),
+          (lsum(col("n")) - lsum(lit(1))).cast("long").as("n_removable"))
+    },
+
     // ---- TF-IDF top-3 terms per doc (bounded sample): tf and df are
     // exact integers; the tf/df score exists only as an ORDER BY key
     // (IEEE division of identical integers is bit-equal in both

@@ -25,7 +25,7 @@ class ContractSpec extends AnyFunSuite {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(qs.contains(name), s"oracle without query: $name")
       // single-row global aggregates are deterministic without one
-      val singleRow = Set("q2_forecast_revenue", "ev_funnel")
+      val singleRow = Set("q2_forecast_revenue", "ev_funnel", "tx_dedup_rate")
       assert(sql.toUpperCase.contains("ORDER BY") || singleRow(name),
         s"oracle for $name lacks a deterministic ORDER BY")
     }
