@@ -523,6 +523,34 @@ object Relational {
         .orderBy(col("fk"))
     },
 
+    // ---- stratified deterministic sampling: per-class rates via
+    // per-stratum md5-digit thresholds (class rebalancing for training
+    // sets — downsample the majority class, keep the rest). Same
+    // reproducibility argument as q16: no RNG state, any engine, any
+    // scale; the rate map rides along as a broadcast literal table. ----
+    sql("q24_stratified_sample",
+      """WITH rates AS (SELECT * FROM (VALUES ('A', '2'), ('N', '8'), ('R', '4'))
+        |               AS t(flag, thresh)),
+        |s AS (
+        |  SELECT l.l_returnflag, l.l_quantity
+        |  FROM lineitem l JOIN rates r ON r.flag = l.l_returnflag
+        |  WHERE substr(md5(CAST(l.l_orderkey AS VARCHAR) || ':' ||
+        |               CAST(l.l_linenumber AS VARCHAR)), 1, 1) < r.thresh)
+        |SELECT l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      import s.implicits._
+      val rates = Seq(("A", "2"), ("N", "8"), ("R", "4")).toDF("flag", "thresh")
+      t(s, dir, "lineitem")
+        .join(broadcast(rates), col("flag") === col("l_returnflag"))
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 1) < col("thresh"))
+        .groupBy(col("l_returnflag"))
+        .agg(lsum(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- quantile sketch surface: approx_percentile (a mergeable
     // quantile digest). Sketch internals are engine-specific, so no
     // DuckDB oracle (rows-only driver check); the error bound vs the
