@@ -92,6 +92,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) Project \\[dotproduct".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("the LSH pipelines compile under codegen with fallback disabled") {
+    // guards the regression class found this round: generated methods
+    // overflowing Janino's 64 KB limit silently drop to interpreted
+    // eval when fallback is on; with it off, the query would throw
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(SparkEntry.queries("ss_lsh_neardups")(spark, dir).count() >= 0)
+      assert(SparkEntry.queries("dd_minhash_neardups")(spark, dir).count() >= 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("interval-join attribution pushes the event_type filters to the scan") {
     val df = SparkEntry.queries("ev_view_attribution")(spark, dir)
     df.write.format("noop").mode("overwrite").save() // finalize AQE
