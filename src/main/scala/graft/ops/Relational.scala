@@ -33,10 +33,10 @@ object Relational {
     // ---- scan + aggregate (pricing summary, TPC-H Q1 shape) ----
     sql("q1_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_c4,
         |       CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -46,10 +46,10 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .as("sum_disc_price"),
+          csum(col("l_quantity")).as("sum_qty_c"),
+          csum(col("l_extendedprice")).as("sum_base_price_c"),
+          csum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .as("sum_disc_price_c4"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -58,8 +58,8 @@ object Relational {
     // The filter reaches the scan as PushedFilters on l_shipdate /
     // l_discount / l_quantity; only 4 columns are read.
     sql("q2_forecast_revenue",
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_c4,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -71,7 +71,7 @@ object Relational {
           col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(
-          dsum4(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("revenue"),
+          csum4(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("revenue_c4"),
           count(lit(1)).as("n"))
     },
 
@@ -92,8 +92,8 @@ object Relational {
     // shuffle-hash from measured size at runtime (safe at 100×). ----
     sql("q4_revenue_by_segment",
       """SELECT c_mktsegment,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT) AS revenue_c4,
         |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -107,8 +107,8 @@ object Relational {
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          dsum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .as("revenue"),
+          csum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .as("revenue_c4"),
           countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
         .orderBy(col("c_mktsegment"))
     },
@@ -116,8 +116,8 @@ object Relational {
     // ---- 5-way star join down to region (broadcast chain) ----
     sql("q5_nation_volume",
       """SELECT r_name, n_name,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT) AS revenue_c4
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -135,8 +135,8 @@ object Relational {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(dsum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .as("revenue"))
+        .agg(csum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .as("revenue_c4"))
         .orderBy(col("r_name"), col("n_name"))
     },
 
@@ -214,13 +214,13 @@ object Relational {
     sql("q10_rollup",
       """SELECT l_returnflag, l_linestatus,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), csum(col("l_quantity")).as("sum_qty_c"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     },
@@ -278,21 +278,21 @@ object Relational {
     // ---- correlated-aggregate filter (TPC-H Q17/Q22 flavor):
     // parts whose total ordered quantity exceeds 60× their size ----
     sql("q14_hot_parts",
-      """SELECT p_partkey, p_name, total_qty FROM (
+      """SELECT p_partkey, p_name, total_qty_c FROM (
         |  SELECT p_partkey, p_name,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
+        |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_qty_c,
         |         MAX(p_size) AS sz
         |  FROM part JOIN lineitem ON p_partkey = l_partkey
         |  GROUP BY p_partkey, p_name) x
-        |WHERE total_qty > sz * 60
+        |WHERE total_qty_c > sz * 6000
         |ORDER BY p_partkey""") { (s, dir) =>
       val p = t(s, dir, "part")
       val li = t(s, dir, "lineitem")
       p.join(li, p("p_partkey") === li("l_partkey"))
         .groupBy(col("p_partkey"), col("p_name"))
-        .agg(dsum(col("l_quantity")).as("total_qty"), max(col("p_size")).as("sz"))
-        .filter(col("total_qty") > col("sz") * 60)
-        .select(col("p_partkey"), col("p_name"), col("total_qty"))
+        .agg(csum(col("l_quantity")).as("total_qty_c"), max(col("p_size")).as("sz"))
+        .filter(col("total_qty_c") > col("sz") * 6000)
+        .select(col("p_partkey"), col("p_name"), col("total_qty_c"))
         .orderBy(col("p_partkey"))
     },
 
@@ -303,7 +303,7 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
         |       CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), ())
@@ -313,7 +313,7 @@ object Relational {
         """SELECT o_orderstatus, o_orderpriority,
           |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
           |       CAST(COUNT(*) AS BIGINT) AS n,
-          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), ())
@@ -332,13 +332,13 @@ object Relational {
         |               CAST(l_linenumber AS VARCHAR)), 1, 1) < '4')
         |SELECT l_returnflag,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"))), 1, 1) < "4")
         .groupBy(col("l_returnflag"))
-        .agg(lsum(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(lsum(lit(1)).as("n_rows"), csum(col("l_quantity")).as("sum_qty_c"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -389,18 +389,18 @@ object Relational {
     // key — decimal-domain sum, deterministic (date, orderkey) order ----
     sql("q19_running_total",
       """SELECT o_custkey, o_orderkey,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
         |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS DECIMAL(38,2)) AS running_total
+        |         AS BIGINT) AS running_total_c
         |FROM orders ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec2(col("o_totalprice"))).over(w)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("running_total"))
+          sum(cents(col("o_totalprice"))).over(w)
+            .cast("long").as("running_total_c"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -459,9 +459,13 @@ object Relational {
       val distincts = pairs.filter(col("v").isNotNull)
         .groupBy(col("col_name"))
         .agg(countDistinct(col("v")).cast("long").as("n_distinct"))
-      base.join(distincts, Seq("col_name"))
+      // left_outer + coalesce: an all-NULL profiled column has no row
+      // in `distincts` (it only aggregates non-null values) but must
+      // still profile with n_distinct=0, matching the oracle
+      base.join(distincts, Seq("col_name"), "left_outer")
         .select(col("col_name"), col("n_rows"), col("n_filled"),
-          col("n_distinct"), col("min_s"), col("max_s"))
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_s"), col("max_s"))
         .orderBy(col("col_name"))
     },
 
@@ -538,7 +542,7 @@ object Relational {
         |               CAST(l.l_linenumber AS VARCHAR)), 1, 1) < r.thresh)
         |SELECT l_returnflag,
         |       CAST(COUNT(*) AS BIGINT) AS n_sampled,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM s GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
       import s.implicits._
       val rates = Seq(("A", "2"), ("N", "8"), ("R", "4")).toDF("flag", "thresh")
@@ -547,7 +551,7 @@ object Relational {
         .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"))), 1, 1) < col("thresh"))
         .groupBy(col("l_returnflag"))
-        .agg(lsum(lit(1)).as("n_sampled"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(lsum(lit(1)).as("n_sampled"), csum(col("l_quantity")).as("sum_qty_c"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -557,12 +561,19 @@ object Relational {
     // exact rank-based quantile is asserted in SketchSpec. The exact
     // variant is ev_type_quantiles; this is what replaces it at 100 TB
     // when a full per-group sort is too expensive. ----
+    // Output is SCALAR columns (p50/p90 split out): the driver's
+    // harness pandas-sorts every column and crashes on ARRAY cells
+    // (unhashable ndarray), so sketch outputs must stay flat.
     rowsOnly("q21_approx_quantiles") { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT)," +
-          " array(0.5D, 0.9D), 10000)").as("p50_p90_cents"),
+          " array(0.5D, 0.9D), 10000)").as("pq"),
           lsum(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus"),
+          col("pq").getItem(0).cast("long").as("p50_cents"),
+          col("pq").getItem(1).cast("long").as("p90_cents"),
+          col("n_orders"))
         .orderBy(col("o_orderstatus"))
     })
 }

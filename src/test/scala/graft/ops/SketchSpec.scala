@@ -36,7 +36,7 @@ class SketchSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q21_approx_quantiles")(spark, dir).collect()
     rows.foreach { r =>
       val status = r.getString(0)
-      val Seq(p50, p90) = r.getSeq[Long](1)
+      val (p50, p90) = (r.getLong(1), r.getLong(2))
       val cents = spark.read.parquet(s"$dir/orders.parquet")
         .filter(col("o_orderstatus") === status)
         .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")

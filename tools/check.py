@@ -5,58 +5,69 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against the parquet
-tables in <sfDir>, and compares: column names (sorted), row count, and
-cell values (rows sorted canonically). Exits nonzero on any mismatch.
+tables in <sfDir>, and compares the way the DRIVER does:
+
+  - Spark side loaded with pyarrow -> pandas  (DECIMAL -> decimal.Decimal)
+  - oracle side loaded with duckdb .df()      (DECIMAL -> float64)
+  - columns sorted by name, rows sorted, then TYPE-STRICT cell compare.
+
+Round 2 lesson: the old version normalized Decimals to str(v) on BOTH
+sides before comparing, so Decimal('506627.00') (Spark parquet via
+pyarrow) compared equal to 506627.0 (DuckDB via .df()) -> local gate
+said EXACT while the driver's hasher (which sees the two different
+pandas dtypes) said mismatch, 9 times. The fix below keeps each side's
+pandas representation and compares (type-class, canonical-string) pairs,
+so a Decimal-vs-float divergence fails HERE first. Queries therefore
+must emit integer (BIGINT) or string outputs for anything SUM-derived.
+
+Also flags ARRAY-typed output columns in every Verify output (the
+driver's pandas sort crashes on ndarray cells -> harness error, see
+CORRECTNESS_r02 q21).
 
 This file is a DEV TOOL only — the Scala library has no Python deps.
 """
 import json
 import math
 import sys
+import decimal
 
 import duckdb
+import numpy as np
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
+def cellkey(v):
+    """Type-strict canonical form, mirroring what a value-hash over the
+    pandas frame would see. Decimal and float deliberately do NOT unify."""
     if v is None:
-        return (0, "")
-    if isinstance(v, bool):
-        return (1, str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return (2, "nan")
-        return (2, repr(v))
-    if isinstance(v, (int,)):
-        return (2, repr(float(v))) if False else (3, str(v))
-    if isinstance(v, (list, tuple)):
-        return (4, tuple(canon(x) for x in v))
-    return (5, str(v))
-
-
-def norm_cell(v):
-    # EXACT compare, mirroring the driver's hash: Decimals stay Decimals
-    # (value + scale both matter), floats stay floats. Do NOT relax this
-    # back to float() — that is how round-1 shipped 6 hash-fail queries
-    # while the local gate said "pass (approx)".
-    import decimal
+        return ("null", "")
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("null", "") if math.isnan(f) else ("float", repr(f))
     if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    return v
+        return ("decimal", str(v))
+    if isinstance(v, bool):
+        return ("bool", str(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", str(int(v)))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("list", tuple(cellkey(x) for x in v))
+    return (type(v).__name__, str(v))
 
 
-def table_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    return sorted(out, key=lambda row: tuple(canon(c) for c in row)), \
-        [cols[i] for i in order]
+def frame_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(cellkey(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows), cols
+
+
+def has_arrays(df):
+    return [c for c in df.columns
+            if any(isinstance(v, (list, np.ndarray)) for v in df[c].head(50))]
 
 
 def main():
@@ -67,23 +78,35 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    failures, passed, exact = [], 0, 0
-    for name, sql in sorted(oracle.items()):
+    failures, passed = [], 0
+    import os
+    all_outputs = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    for name in all_outputs:
         if only and name not in only:
             continue
         try:
-            got_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
-            got_cols = got_tbl.column_names
-            got_rows = [tuple(got_tbl.column(c)[i].as_py() for c in got_cols)
-                        for i in range(got_tbl.num_rows)]
-            cur = con.execute(sql)
-            exp_cols = [d[0] for d in cur.description]
-            exp_rows = cur.fetchall()
+            got = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
         except Exception as e:
-            failures.append((name, f"EXEC ERROR: {e}"))
+            failures.append((name, f"SPARK READ ERROR: {e}"))
             continue
-        g_rows, g_cols = table_rows(got_cols, got_rows)
-        e_rows, e_cols = table_rows(exp_cols, exp_rows)
+        arr_cols = has_arrays(got)
+        if arr_cols:
+            failures.append(
+                (name, f"ARRAY-typed output column(s) {arr_cols}: the "
+                       f"driver's pandas sort crashes on ndarray cells"))
+            continue
+        if name not in oracle:
+            print(f"SKIP  {name}  (rows-only: {len(got)} rows, no oracle)")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            failures.append((name, f"ORACLE EXEC ERROR: {e}"))
+            continue
+        g_rows, g_cols = frame_rows(got)
+        e_rows, e_cols = frame_rows(exp)
         if g_cols != e_cols:
             failures.append((name, f"COLS spark={g_cols} oracle={e_cols}"))
             continue
@@ -91,21 +114,20 @@ def main():
             failures.append(
                 (name, f"ROWCOUNT spark={len(g_rows)} oracle={len(e_rows)}"))
             continue
-        # EXACT equality only — the driver hashes values, no tolerance.
         bad = None
         for i, (g, e) in enumerate(zip(g_rows, e_rows)):
             if g != e:
                 bad = (i, g, e)
                 break
         if bad:
-            failures.append((name, f"VALUE row{bad[0]}\n  spark={bad[1]}\n  oracle={bad[2]}"))
+            failures.append(
+                (name, f"VALUE row{bad[0]}\n  spark={bad[1]}\n  oracle={bad[2]}"))
         else:
             passed += 1
-            exact += 1
-            print(f"PASS  {name}  ({len(g_rows)} rows, EXACT)")
+            print(f"PASS  {name}  ({len(g_rows)} rows, type-strict EXACT)")
     for name, msg in failures:
         print(f"FAIL  {name}: {msg}")
-    print(f"\n{passed} passed ({exact} exact), {len(failures)} failed")
+    print(f"\n{passed} passed, {len(failures)} failed")
     sys.exit(1 if failures else 0)
 
 
