@@ -30,6 +30,15 @@ import QuerySpec.sql
   *    MinHash — a valid random permutation via hash ordering, identical
   *    in any engine with md5;
   *  - outputs are integers/hex-strings only, no floating point.
+  *
+  * Cache lifecycle: the pipeline caches (MEMORY_AND_DISK — Dataset
+  * `cache()`'s default, so eviction spills instead of recomputing the
+  * whole shingle pipeline) and eagerly materializes two shared
+  * relations, and deliberately does NOT unpersist them: the dd_*
+  * queries share identical sub-plans through the CacheManager, and the
+  * operator surface assumes the short-lived driver session of
+  * Verify/Bench. A long-lived service embedding these builders should
+  * call `spark.catalog.clearCache()` between corpus versions.
   */
 object Dedup {
 
@@ -218,7 +227,7 @@ object Dedup {
       dbg("pairs built")
       val sym = pairs.select(col("doc_a").as("node"), col("doc_b").as("peer"))
         .union(pairs.select(col("doc_b").as("node"), col("doc_a").as("peer")))
-      dbg("sym checkpointed")
+      dbg("sym built")
       // seed = superstep 0 for free: min over the direct neighborhood
       // is one aggregation over the edge list, no join
       var labels = sym.groupBy(col("node"))

@@ -33,10 +33,26 @@ import QuerySpec.{rowsOnly, sql}
   */
 object Events {
 
-  /** events with ts as BIGINT nanoseconds (see scaladoc). */
+  /** events with ts as BIGINT nanoseconds (see scaladoc).
+    *
+    * The legacy flag is scoped set-construct-restore: schema inference
+    * (the step Spark 4 refuses without the flag) happens eagerly at
+    * DataFrame construction, so the session conf is back to its prior
+    * value before this returns — a later unrelated query in the same
+    * session that reads a nanos-timestamp parquet sees Spark's default
+    * behavior, not a leaked BIGINT coercion. Execution of the returned
+    * frame is unaffected: the resolved schema is already pinned in the
+    * plan (ContractSpec exercises collect-after-restore).
+    */
   private[ops] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try t(s, dir, "events")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** epoch seconds + integer cents, the engine-portable core columns. */

@@ -36,17 +36,83 @@ final case class AssetFeature(asset_id: Long, bucket: Int, cnt: Long)
   */
 object Multimodal {
 
-  /** Where the real decoders would live. Deliberately unimplemented:
-    * the container has no image/audio libraries. The pipeline below
-    * uses [[nibbleHistogram]] as a deterministic stand-in feature
-    * extractor with the same shape (bytes in, fixed-width features
-    * out). */
+  /** Real codecs, JDK-only: `javax.imageio` decodes PNG/BMP/GIF/JPEG
+    * and `javax.sound.sampled` decodes WAV PCM without any external
+    * library, so the image and audio paths are REAL here (exercised by
+    * mm_image_dims and MultimodalCodecSpec). Video remains a documented
+    * stub: no JDK video codec exists, and this environment can't add
+    * one — [[nibbleHistogram]] is its deterministic stand-in with the
+    * same shape (bytes in, fixed-width features out). */
   object RealCodecs {
-    /** e.g. JPEG decode → (width, height, channels). */
-    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = ???
-    /** e.g. PCM frames at a fixed sample rate. */
-    def decodeAudio(bytes: Array[Byte]): Array[Short] = ???
-    /** e.g. every k-th video frame re-encoded as JPEG. */
+    /** Image decode → (width, height, color components). */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+
+    /** PNG encode of an RGB pixel-byte stream (cycled to fill w×h) —
+      * the synthesis half of the round-trip mm_image_dims verifies. */
+    def encodePng(width: Int, height: Int, pixelSource: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val raster = img.getRaster
+      var i = 0
+      val n = math.max(1, pixelSource.length)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, pixelSource(i % n) & 0xff); i += 1
+          raster.setSample(x, y, 1, pixelSource(i % n) & 0xff); i += 1
+          raster.setSample(x, y, 2, pixelSource(i % n) & 0xff); i += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** WAV (PCM 16-bit) decode → sample array (first channel order as
+      * interleaved in the stream). */
+    def decodeAudio(bytes: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, s"want 16-bit PCM, got $fmt")
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+        out
+      } finally in.close()
+    }
+
+    /** WAV encode of 16-bit mono PCM at `sampleRate` Hz — the synthesis
+      * half of the audio round-trip (MultimodalCodecSpec). */
+    def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** e.g. every k-th video frame re-encoded as JPEG — STUB: the JDK
+      * has no video codec and this offline build can't add one. The
+      * plumbing that would host it is [[nibbleHistogram]]'s
+      * mapPartitions shape. */
     def sampleFrames(bytes: Array[Byte], everyK: Int): Iterator[Array[Byte]] = ???
   }
 
@@ -183,6 +249,38 @@ object Multimodal {
           min(col("asset_id")).cast("long").as("canonical_asset"))
         .filter(col("n_assets") > 1)
         .orderBy(col("chunk_md5"))
+    },
+
+    // ---- REAL image decode end-to-end: synthesize a PNG per sampled
+    // asset (dims are deterministic functions of doc_id, pixels fed
+    // from the payload bytes), then recover the dims with the REAL
+    // ImageIO decoder inside mapPartitions. The oracle recomputes the
+    // expected dims arithmetically — a wrong decode (or a codec that
+    // didn't run) breaks the hash. Sampled 1-in-29 because encode+
+    // decode is the genuinely expensive per-record path; at scale this
+    // runs where the rows live, zero shuffle before the final sort. ----
+    sql("mm_image_dims",
+      """SELECT doc_id AS asset_id,
+        |       CAST(16 + doc_id % 16 AS INT) AS width,
+        |       CAST(8 + doc_id % 8 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels
+        |FROM documents WHERE doc_id % 29 = 0 ORDER BY asset_id""") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { docs =>
+          // per-partition scope: ImageIO plugin lookup warms once here
+          docs.map { case (id, payload) =>
+            val png = RealCodecs.encodePng(
+              (16 + id % 16).toInt, (8 + id % 8).toInt, payload)
+            val (w, h, ch) = RealCodecs.decodeImage(png)
+            (id, w, h, ch)
+          }
+        }
+        .toDF("asset_id", "width", "height", "channels")
+        .orderBy(col("asset_id"))
     },
 
     // ---- the typed decode pipeline end-to-end (mapPartitions stub) ----

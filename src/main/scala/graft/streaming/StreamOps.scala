@@ -89,12 +89,17 @@ object StreamOps {
   }
 
   /** Idempotent parquet SINK for the hourly rollup via foreachBatch +
-    * dynamic partition overwrite: each micro-batch rewrites exactly the
-    * `window_start` partitions it carries updated aggregates for, so a
-    * replayed batch (failure/retry) converges to the same files instead
-    * of duplicating — exactly-once table semantics on a plain parquet
-    * layout, no transactional format required. Returns the started
-    * query; the caller owns its lifecycle. */
+    * dynamic partition overwrite. The sink partitions by BOTH grouping
+    * keys (window_start, event_type) so each overwritten partition
+    * corresponds 1:1 to an aggregation group: in Update mode a
+    * micro-batch emits only the groups that changed, and a partition
+    * holding more than one group would lose the unchanged groups on
+    * overwrite (e.g. a batch updating only 'view' for hour H would
+    * silently delete the 'click' row already written for H). With the
+    * 1:1 layout a replayed batch (failure/retry) converges to the same
+    * files instead of duplicating — exactly-once table semantics on a
+    * plain parquet layout, no transactional format required. Returns
+    * the started query; the caller owns its lifecycle. */
   def rollupToParquet(events: DataFrame, outDir: String,
       lateness: String = "2 hours", checkpointDir: Option[String] = None) = {
     val writer = hourlyRollup(events, lateness)
@@ -103,7 +108,8 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite").partitionBy("window_start").parquet(outDir)
+        batch.write.mode("overwrite")
+          .partitionBy("window_start", "event_type").parquet(outDir)
       }
     // a real deployment always sets this: the checkpoint is what makes
     // stop/restart resume from the last committed offsets instead of

@@ -35,6 +35,25 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no query builder leaks a session-conf mutation (nanosAsLong scoping)") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    // getOption reports the registered DEFAULT ("false") when unset —
+    // the contract is "value unchanged after building", not "absent"
+    val baseline = spark.conf.get(key)
+    assert(baseline == "false")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, "/root/testdata/sf0.001").schema
+      assert(spark.conf.get(key) == baseline,
+        s"$name leaked $key=${spark.conf.get(key)}")
+    }
+    // and execution AFTER the restore still reads the nanos fixture
+    // (the resolved schema is pinned in the plan, not re-inferred)
+    val n = SparkEntry.queries("ev_hourly_rollup")(spark, "/root/testdata/sf0.001").count()
+    assert(n > 0)
+    assert(spark.conf.get(key) == baseline)
+  }
+
   test("every registered query returns a non-empty, readable schema at sf0.001") {
     // schema resolution only (no execution): catches broken column refs
     // across the whole surface in seconds

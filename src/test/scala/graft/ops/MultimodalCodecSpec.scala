@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal.RealCodecs
+
+/** The codecs are REAL (JDK ImageIO / javax.sound.sampled) — these are
+  * byte-level round-trips, no Spark involved.
+  */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  test("PNG round-trip recovers dimensions and channel count") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val png = RealCodecs.encodePng(23, 11, payload)
+    // PNG magic bytes: a real encoded stream, not a fake
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(RealCodecs.decodeImage(png) == ((23, 11, 3)))
+  }
+
+  test("PNG round-trip preserves pixel content losslessly") {
+    val payload = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val png = RealCodecs.encodePng(4, 4, payload)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // first pixel's three samples are payload[0..2] (PNG is lossless)
+    val r = img.getRaster
+    assert(r.getSample(0, 0, 0) == (payload(0) & 0xff))
+    assert(r.getSample(0, 0, 1) == (payload(1) & 0xff))
+    assert(r.getSample(0, 0, 2) == (payload(2) & 0xff))
+  }
+
+  test("decodeImage rejects non-image payloads") {
+    intercept[IllegalArgumentException] {
+      RealCodecs.decodeImage("not an image".getBytes)
+    }
+  }
+
+  test("WAV 16-bit PCM round-trip recovers the sample values") {
+    val samples = Array.tabulate[Short](256)(i =>
+      (math.sin(i / 16.0) * 12000).toShort)
+    val wav = RealCodecs.encodeWav(samples)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(RealCodecs.decodeAudio(wav).toSeq == samples.toSeq)
+  }
+
+  test("sampleFrames remains an explicit stub (no JDK video codec)") {
+    intercept[NotImplementedError] {
+      RealCodecs.sampleFrames(Array[Byte](1, 2, 3), 2)
+    }
+  }
+}

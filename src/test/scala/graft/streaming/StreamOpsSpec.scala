@@ -257,6 +257,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rollupToParquet keeps sibling groups when one group in an hour updates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-rollup-sib-").toString
+    val input = MemoryStream[Event]
+    val q = StreamOps.rollupToParquet(input.toDF(), out)
+    try {
+      // batch 1: TWO event types land in the same hour partition
+      input.addData(
+        Event(1, 1, "view", ts(10), 100),
+        Event(2, 2, "click", ts(15), 40))
+      q.processAllAvailable()
+      // batch 2 updates ONLY 'view' for that hour; in Update mode the
+      // batch carries no 'click' row, so a sink partitioned by
+      // window_start alone would overwrite the hour and lose 'click'
+      input.addData(Event(3, 3, "view", ts(20), 60))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "total_cents")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        (ts(0), "view", 2L, 160L),
+        (ts(0), "click", 1L, 40L)))
+    } finally q.stop()
+  }
+
   test("rollupToParquet survives a stop/restart from its checkpoint, exactly-once") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-restart-")
