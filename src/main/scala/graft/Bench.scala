@@ -18,12 +18,26 @@ object Bench {
       spark.range(1000).selectExpr("md5(CAST(id AS STRING)) AS h")
         .groupBy("h").count().write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink fully executes the plan (count() can prune projections)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min-of-N (default 2): a single ambient-noise spike (first-touch
+    // page cache, JIT, a concurrent process) otherwise reads as a 10×
+    // "regression" — BENCH_r02 recorded q5 at 19.5 s that re-ran at
+    // 1.48 s. The min is the steady-state cost of the PLAN, which is
+    // what round-over-round comparisons need.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // dev aid: SPARK_GRAFT_ONLY=q1_x,dd_y times a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink fully executes the plan (count() can prune projections)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
