@@ -7,6 +7,21 @@ import org.apache.spark.sql.expressions.Window
 import Tables._
 import QuerySpec.sql
 
+/** MinHash-LSH geometry: `bands` bands of `rowsPerBand` signature rows
+  * (k = bands × rowsPerBand permutations), plus the hot-bucket cap.
+  * The similarity threshold an (b, r) choice targets is ≈ (1/b)^(1/r).
+  *
+  * The fixture default (4 × 2, cap 10 000) is tuned to the synthetic
+  * corpus; a production 100 TB corpus would run e.g. 16 × 8 with the
+  * same code — the builders below take the geometry as an argument,
+  * and the registered queries pin the default so the generated oracle
+  * SQL stays in lock-step with the DataFrame side. */
+final case class LshGeometry(bands: Int, rowsPerBand: Int, maxBucketSize: Long = 10000L) {
+  val k: Int = bands * rowsPerBand
+  /** md5 digests needed: each 32-hex digest yields four 8-hex hashes. */
+  val digests: Int = (k + 3) / 4
+}
+
 /** Document deduplication for training-data pipelines, designed for
   * 100 TB: every variant is a hash-partitioned aggregation or a
   * bucket-join — never an all-pairs comparison (except the explicitly
@@ -42,8 +57,7 @@ import QuerySpec.sql
   */
 object Dedup {
 
-  private val K = 8          // minhash permutations
-  private val Bands = 4      // LSH bands of 2 rows each
+  val DefaultGeometry: LshGeometry = LshGeometry(bands = 4, rowsPerBand = 2)
 
   /** (doc_id, shs: array<string>, n_sh): the distinct shingle SET per
     * doc as one map-side array column (native
@@ -85,35 +99,43 @@ object Dedup {
     * higher-order functions are interpreted, not codegen'd: per-shingle
     * md5 through a lambda measured ~5× slower than this codegen'd
     * explode+combine at sf0.1, and the combined shuffle is tiny.) */
-  private def signatures(sh: DataFrame): DataFrame = {
+  private[ops] def signatures(sh: DataFrame, g: LshGeometry = DefaultGeometry): DataFrame = {
     val digs = sh
       .select(col("doc_id"), explode(col("shs")).as("x"))
-      .select(col("doc_id") +: (0 until K / 4).map(seed =>
+      .select(col("doc_id") +: (0 until g.digests).map(seed =>
         md5(concat(lit(s"$seed:"), col("x"))).as(s"d$seed")): _*)
-    val mins = (0 until K).map { k =>
+    val mins = (0 until g.k).map { k =>
       min(substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"h$k")
     }
     digs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  private val minhashAggSql: String =
-    (0 until K)
+  private def minhashAggSql(g: LshGeometry = DefaultGeometry): String =
+    (0 until g.k)
       .map(k => s"min(substr(md5('${k / 4}:' || sh), ${(k % 4) * 8 + 1}, 8)) AS h$k")
       .mkString(", ")
 
   /** CTE chain ending in `pairs(doc_a, doc_b, n_common, n_union)` —
     * the verified near-dup pairs, shared by the pair query and the
     * clustering query. */
-  private val neardupCtesSql: String = {
-    val bandSelects = (0 until Bands)
-      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bkey FROM sig")
+  private[ops] def neardupCtesSqlFor(g: LshGeometry): String = {
+    val bandSelects = (0 until g.bands)
+      .map { b =>
+        val hs = (0 until g.rowsPerBand).map(r => s"h${g.rowsPerBand * b + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($hs) AS bkey FROM sig"
+      }
       .mkString("\nUNION ALL\n")
     s"""sh AS ($shinglesSql),
-       |sig AS (SELECT doc_id, $minhashAggSql FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ${minhashAggSql(g)} FROM sh GROUP BY doc_id),
        |bands AS ($bandSelects),
+       |bkept AS (
+       |  SELECT bands.* FROM bands
+       |  JOIN (SELECT band, bkey, COUNT(*) AS bn FROM bands GROUP BY band, bkey) s
+       |    ON s.band = bands.band AND s.bkey = bands.bkey
+       |  WHERE s.bn <= ${g.maxBucketSize}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM bkept a JOIN bkept b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id),
        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |common AS (
@@ -132,16 +154,23 @@ object Dedup {
        |  WHERE m.n_common * 2 >= (ca.n_sh + cb.n_sh - m.n_common))""".stripMargin
   }
 
+  private val neardupCtesSql: String = neardupCtesSqlFor(DefaultGeometry)
+
   /** Spark twin of [[neardupCtesSql]]'s `pairs`: shingle → minhash →
     * banded LSH bucket-join → exact-Jaccard verify (≥ 0.5). Signatures
     * and bands are map-side; the verify is `array_intersect` on the two
-    * shingle arrays, not an exploded shingle join. */
-  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    * shingle arrays, not an exploded shingle join. Oversize buckets are
+    * dropped before the self-join ([[Skew.dropOversizeGroups]]) — the
+    * hot-bucket guard that keeps a degenerate bucket (boilerplate text)
+    * from going quadratic on one reducer at corpus scale. */
+  private[ops] def neardupPairs(s: SparkSession, dir: String,
+      g: LshGeometry = DefaultGeometry): DataFrame = {
     val sh = shArr(s, dir).cache() // band side + both verify sides
-    val sig = signatures(sh)
-    val bandStructs = (0 until Bands).map { b =>
+    val sig = signatures(sh, g)
+    val bandStructs = (0 until g.bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bkey"))
+        md5(concat((0 until g.rowsPerBand)
+          .map(r => col(s"h${g.rowsPerBand * b + r}")): _*)).as("bkey"))
     }
     // self-joined: cache + EAGER count() — the two join sides build
     // their shuffle maps concurrently, and a cold cache would let both
@@ -154,8 +183,9 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .cache()
     bands.count()
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val kept = Skew.dropOversizeGroups(bands, Seq("band", "bkey"), g.maxBucketSize)
+    val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("n_sh").as("n_a"))
@@ -188,7 +218,7 @@ object Dedup {
     // ---- MinHash signatures over word-3-gram shingles: pure map ----
     sql("dd_minhash_signatures",
       s"""WITH sh AS ($shinglesSql)
-         |SELECT doc_id, $minhashAggSql
+         |SELECT doc_id, ${minhashAggSql()}
          |FROM sh GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       signatures(shArr(s, dir)).orderBy(col("doc_id"))
     },

@@ -10,6 +10,22 @@ import org.apache.spark.sql.expressions.Window
 import Tables._
 import QuerySpec.sql
 
+/** Sign-random-projection LSH geometry: `bands` bands of
+  * `planesPerBand` hyperplanes over `dims`-dimensional vectors, plus
+  * the hot-bucket cap. Collision probability per band for angle θ is
+  * (1 − θ/π)^planesPerBand — bands×planes is the recall/cost knob.
+  *
+  * Fixture default: 2 × 4 over 64 dims (wide buckets, tuned to the
+  * synthetic corpus's cosine range ≤ ~0.5); a production deployment
+  * over real embeddings would run 8-16 bands of 8-12 planes plus
+  * multi-probe. The builders take the geometry as an argument; the
+  * registered queries pin the default so the generated oracle SQL
+  * stays in lock-step with the DataFrame side. */
+final case class SignLshGeometry(
+    bands: Int, planesPerBand: Int, dims: Int, maxBucketSize: Long = 10000L) {
+  val planes: Int = bands * planesPerBand
+}
+
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label).
   *
@@ -54,8 +70,8 @@ import QuerySpec.sql
   */
 object Similarity {
 
-  private val Planes = 8 // 2 bands × 4 planes
-  private val Dims = 64
+  val DefaultGeometry: SignLshGeometry =
+    SignLshGeometry(bands = 2, planesPerBand = 4, dims = 64)
   private val QuerySetSql = "vec_id < 10" // bounded query sample
 
   /** int-quantized vector + its squared norm, both map-side.
@@ -98,36 +114,41 @@ object Similarity {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** (plane, dim, sign, band, in-band bit weight) — kept row-shaped for
-    * the unit spec; the query path consumes [[planeSigns]]. */
-  private[ops] def planeRows(dims: Int): Seq[(Int, Int, Int, Int, Long)] =
-    for (p <- 0 until Planes; d <- 0 until dims)
-      yield (p, d, if (md5Hex(s"$p:$d").charAt(0) < '8') 1 else -1, p / 4, 1L << (p % 4))
+  /** (plane, dim, sign, band, in-band bit weight) — the row-shaped view
+    * of the deterministic geometry. */
+  private[ops] def planeRows(g: SignLshGeometry = DefaultGeometry)
+      : Seq[(Int, Int, Int, Int, Long)] =
+    for (p <- 0 until g.planes; d <- 0 until g.dims)
+      yield (p, d, if (md5Hex(s"$p:$d").charAt(0) < '8') 1 else -1,
+        p / g.planesPerBand, 1L << (p % g.planesPerBand))
 
   /** Plane p's signed projection: graft_dot against the literal ±1
     * sign vector (a constant array; the codegen'd loop reads it like
     * any other ArrayData). */
-  private def proj(p: Int): Column = {
-    val signs = (0 until Dims)
+  private def proj(p: Int, g: SignLshGeometry): Column = {
+    val signs = (0 until g.dims)
       .map(d => if (md5Hex(s"$p:$d").charAt(0) < '8') "1L" else "-1L")
       .mkString("array(", ", ", ")")
     expr(s"graft_dot(qe, $signs)")
   }
 
-  /** Band b's 4-bit bucket id from 4 signed projections — all map-side. */
-  private def bucketCol(b: Int): Column =
-    (4 * b until 4 * b + 4).map { p =>
-      when(proj(p) > 0, lit(1L << (p % 4))).otherwise(lit(0L))
+  /** Band b's bucket id from its planesPerBand signed projections —
+    * all map-side. */
+  private def bucketCol(b: Int, g: SignLshGeometry): Column =
+    (g.planesPerBand * b until g.planesPerBand * (b + 1)).map { p =>
+      when(proj(p, g) > 0, lit(1L << (p % g.planesPerBand))).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private val planesSql =
+  private def planesSqlFor(g: SignLshGeometry) =
     s"""SELECT a.p, b.dim,
        |       CASE WHEN substr(md5(CAST(a.p AS VARCHAR) || ':' || CAST(b.dim AS VARCHAR)), 1, 1)
        |                 IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn,
-       |       a.p // 4 AS band,
-       |       CAST(2 ** (a.p % 4) AS BIGINT) AS pw
-       |FROM (SELECT CAST(range AS INT) AS p FROM range($Planes)) a,
-       |     (SELECT CAST(range AS INT) AS dim FROM range($Dims)) b""".stripMargin
+       |       a.p // ${g.planesPerBand} AS band,
+       |       CAST(2 ** (a.p % ${g.planesPerBand}) AS BIGINT) AS pw
+       |FROM (SELECT CAST(range AS INT) AS p FROM range(${g.planes})) a,
+       |     (SELECT CAST(range AS INT) AS dim FROM range(${g.dims})) b""".stripMargin
+
+  private val planesSql = planesSqlFor(DefaultGeometry)
 
   /** CTE chain ending in `ranked` — the brute-force cosine ranking of
     * the query set against the corpus (shared by ss_brute_topk and
@@ -153,9 +174,10 @@ object Similarity {
        |  FROM scored)""".stripMargin
 
   /** CTE chain ending in `cand(vec_a, vec_b)` — the LSH candidate
-    * pairs (shared by ss_lsh_neardups and ss_recall_eval). */
-  private val lshCandCtesSql =
-    s"""planes AS ($planesSql),
+    * pairs (shared by ss_lsh_neardups and ss_recall_eval), with the
+    * same hot-bucket cap the Spark side applies. */
+  private def lshCandCtesSqlFor(g: SignLshGeometry) =
+    s"""planes AS (${planesSqlFor(g)}),
        |proj AS (
        |  SELECT v.vec_id, pl.p, pl.band, pl.pw, CAST(SUM(pl.sgn * v.qe) AS BIGINT) AS proj
        |  FROM qv v JOIN planes pl ON pl.dim = v.dim
@@ -164,10 +186,17 @@ object Similarity {
        |  SELECT vec_id, band,
        |         CAST(SUM(CASE WHEN proj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id, band),
+       |bkept AS (
+       |  SELECT buckets.* FROM buckets
+       |  JOIN (SELECT band, bucket, COUNT(*) AS bn FROM buckets GROUP BY band, bucket) s
+       |    ON s.band = buckets.band AND s.bucket = buckets.bucket
+       |  WHERE s.bn <= ${g.maxBucketSize}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM buckets a JOIN buckets b
+       |  FROM bkept a JOIN bkept b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  private val lshCandCtesSql = lshCandCtesSqlFor(DefaultGeometry)
 
   /** Spark twin of `cand`: LSH candidate pairs over [[varr]]'s `v`.
     *
@@ -183,19 +212,23 @@ object Similarity {
     * array(struct(...)) input put the whole computation inside one
     * Generate consume method, which overflows Janino's 64 KB method
     * limit and silently falls back to interpreted eval. */
-  private def lshCandidates(v: DataFrame): DataFrame = {
+  private[ops] def lshCandidates(v: DataFrame,
+      g: SignLshGeometry = DefaultGeometry): DataFrame = {
     val withBuckets = v
-      .select(col("vec_id"), bucketCol(0).as("b0"), bucketCol(1).as("b1"))
+      .select(col("vec_id") +:
+        (0 until g.bands).map(b => bucketCol(b, g).as(s"b$b")): _*)
       .cache()
     withBuckets.count()
     val buckets = withBuckets
       .select(col("vec_id"),
-        explode(array(
-          struct(lit(0).as("band"), col("b0").as("bucket")),
-          struct(lit(1).as("band"), col("b1").as("bucket")))).as("bb"))
+        explode(array((0 until g.bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = buckets.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
-    val b = buckets.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
+    // hot-bucket guard: one degenerate bucket (all-zero vectors, a
+    // popular sign pattern) otherwise goes quadratic on one reducer
+    val kept = Skew.dropOversizeGroups(buckets, Seq("band", "bucket"), g.maxBucketSize)
+    val a = kept.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+    val b = kept.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
   }

@@ -24,6 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Drops rows belonging to groups larger than `maxSize` — the
+    * hot-bucket guard for LSH-style candidate self-joins.
+    *
+    * A bucket of n members contributes n² candidate pairs that all
+    * land on ONE reducer (the join key IS the bucket id — salting
+    * can't split it without losing intra-bucket pairs), so one
+    * degenerate bucket — boilerplate text, zero vectors, a hash
+    * collision — turns the candidate join quadratic on a single
+    * partition at 100 TB. Oversize buckets are also useless for
+    * similarity (they pair everything with everything), so the
+    * standard LSH practice is to drop them outright; callers mirror
+    * the same cap in their oracle SQL so engines agree when it fires.
+    * Cost: one map-side-combined count per group + a re-join against
+    * the (tiny, group-count-sized) size relation.
+    */
+  def dropOversizeGroups(df: DataFrame, keys: Seq[String], maxSize: Long): DataFrame = {
+    require(maxSize > 0, "maxSize must be positive")
+    val sizes = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__group_n"))
+      .filter(col("__group_n") <= maxSize)
+      .drop("__group_n")
+    df.join(sizes, keys)
+  }
+
   /** Equi-join `fact ⋈ dim` on `factKey == dimKey`, salted `n` ways.
     * `saltSource` must be a fact column with per-row variation (an id,
     * an event time) — it seeds the deterministic salt.
