@@ -27,4 +27,11 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allSpecs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** For each queries key WITHOUT an oracleSql entry: why rows-only is
+    * the intended contract and which exact twin + accuracy-bound spec
+    * stands in for the cross-engine check. A driver report line of
+    * err="no_oracle" for these names is by design, not a gap. */
+  def rowsOnlyContract: Map[String, String] =
+    allSpecs.flatMap(q => q.contract.map(q.name -> _)).toMap
 }

@@ -37,6 +37,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar: why each oracle-less query is rows-only BY DESIGN and
+    // which exact twin + accuracy spec stands in for the oracle
+    val contracts = SparkEntry.rowsOnlyContract
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_contract.json"), contracts)
     spark.stop()
   }
 }

@@ -103,7 +103,12 @@ object AlteratorCli {
       val sources = files.map(f => Alterator.DdlSource(f, Worklist.readFile(f)))
       val alterator = new Alterator(catalog, validate = cfg.validate,
         force = cfg.force, emitIcebergDdl = cfg.emitIcebergDdl)
-      val report = alterator.alterSchema(sources, cfg.accountId)
+      // no --account-id ⇒ the reference's provider chain (S9): env →
+      // STS → IMDS; all rungs absent ⇒ "" (templating left untouched)
+      val accountId =
+        if (cfg.accountId.nonEmpty) cfg.accountId
+        else AwsIdentity.Default.accountId.getOrElse("")
+      val report = alterator.alterSchema(sources, accountId)
       println(report.render)
       0
     }

@@ -284,7 +284,7 @@ object Dedup {
         // SUM over an empty relation is NULL (e.g. a corpus with no
         // near-dup pairs at all) — treat as zero so the loop converges
         // immediately instead of NPE-ing on compareTo
-        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first.getDecimal(0))
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0))
           .getOrElse(java.math.BigDecimal.ZERO)
       var prev = labelSum(labels)
       var converged = false

@@ -546,7 +546,11 @@ object Events {
     // shape: constant-size (rsd-bounded) state per group, map-side
     // combinable, one shuffle of sketches — where exact COUNT(DISTINCT)
     // shuffles every distinct value. ----
-    rowsOnly("ev_approx_users") { (s, dir) =>
+    rowsOnly("ev_approx_users",
+      contract = "rows-only BY DESIGN: HLL sketch counts are " +
+        "engine-specific (no DuckDB twin can hash-match). Exact twin: " +
+        "ev_dau_wau / the countDistinct in SketchSpec, which bounds " +
+        "this sketch within 3x the 2% configured rsd per event_type.") { (s, dir) =>
       base(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),

@@ -564,7 +564,11 @@ object Relational {
     // Output is SCALAR columns (p50/p90 split out): the driver's
     // harness pandas-sorts every column and crashes on ARRAY cells
     // (unhashable ndarray), so sketch outputs must stay flat.
-    rowsOnly("q21_approx_quantiles") { (s, dir) =>
+    rowsOnly("q21_approx_quantiles",
+      contract = "rows-only BY DESIGN: approx_percentile's KLL-style " +
+        "sketch is engine-specific (no DuckDB twin can hash-match). " +
+        "Exact twin: ev_type_quantiles (oracle-EXACT); SketchSpec " +
+        "bounds p50/p90 within 2% rank error of the exact quantiles.") { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT)," +

@@ -31,6 +31,17 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("every oracle-less query documents its rows-only contract") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    noOracle.foreach { name =>
+      val c = SparkEntry.rowsOnlyContract.get(name)
+      assert(c.exists(_.length > 40),
+        s"$name has no oracle and no rows-only contract documenting why")
+    }
+    // and no contract without a registered query
+    assert((SparkEntry.rowsOnlyContract.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
   test("the flagship entry returns rows at sf0.001 (driver smoke mirror)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
