@@ -84,4 +84,37 @@ object IcebergDdl {
 
     renames ++ typeUpdates ++ backfills ++ adds ++ drops ++ moves ++ parts ++ props
   }
+
+  /** True when Iceberg's Spark runtime is on the classpath — the
+    * precondition for [[apply]] actually executing the plan. This
+    * build environment ships Spark 4.1.2 without
+    * `iceberg-spark-runtime`, so the probe returns false there and
+    * [[apply]] degrades to a documented skip instead of a
+    * ClassNotFound at ALTER time. */
+  def runtimeAvailable: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Executes the plan's statements against `spark`, in order, stopping
+    * at the first failure: Left(skip/failure reason) or Right(count
+    * executed). Probe-and-skip: without the Iceberg runtime the plan is
+    * still emitted (`--emit-iceberg-ddl`), only execution is refused —
+    * matching the reference's report-only behavior on such clusters. */
+  def apply(spark: org.apache.spark.sql.SparkSession, r: Result): Either[String, Int] =
+    if (!runtimeAvailable)
+      Left("iceberg-spark-runtime is not on the classpath; emitted the " +
+        s"${statements(r).size}-statement plan but skipped execution " +
+        "(add org.apache.iceberg:iceberg-spark-runtime and an Iceberg " +
+        "catalog config to apply)")
+    else {
+      val stmts = statements(r)
+      var done = 0
+      try {
+        stmts.foreach { s => spark.sql(s); done += 1 }
+        Right(done)
+      } catch {
+        case e: Exception =>
+          Left(s"statement ${done + 1}/${stmts.size} failed: ${e.getMessage}")
+      }
+    }
 }

@@ -58,4 +58,18 @@ class IcebergDdlSpec extends AnyFunSuite {
       IcebergDiff.PropsDiff(Map.empty, Nil, Map.empty), migration = false)
     assert(IcebergDdl.statements(r).isEmpty)
   }
+
+  test("apply probes for the Iceberg runtime and skips with the plan intact (this env has none)") {
+    assert(!IcebergDdl.runtimeAvailable,
+      "this build env ships no iceberg-spark-runtime; if that changed, " +
+        "extend this spec to execute against a hadoop catalog")
+    val r = IcebergDiff.Result("spark_catalog.sdb.t",
+      None, IcebergDiff.PartitionsDiff(
+        Seq(IcebergDiff.NewPartition(1000, "day_rk")), Nil, Nil),
+      IcebergDiff.PropsDiff(Map.empty, Nil, Map.empty), migration = false)
+    val res = IcebergDdl.apply(graft.SparkTestSession.spark, r)
+    assert(res.left.exists(_.contains("skipped execution")), res)
+    // the plan itself is still emitted for --emit-iceberg-ddl consumers
+    assert(IcebergDdl.statements(r).nonEmpty)
+  }
 }
