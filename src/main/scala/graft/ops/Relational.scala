@@ -89,7 +89,14 @@ object Relational {
 
     // ---- 3-way join + agg (TPC-H Q3/Q5 shape). customer scales with
     // SF, so no forced broadcast hint — AQE picks broadcast vs
-    // shuffle-hash from measured size at runtime (safe at 100×). ----
+    // shuffle-hash from measured size at runtime (safe at 100×).
+    // lineitem is pre-aggregated per order BEFORE the joins: the
+    // per-orderkey partial combines map-side on the same key the join
+    // shuffles on anyway, cuts the join input ~4×, and turns
+    // COUNT(DISTINCT o_orderkey) into a plain COUNT (one row per
+    // order) — dropping the distinct-aggregate Expand entirely.
+    // Measured ~20% faster at sf0.1 (1.83 s → 1.45 s isolated); the
+    // Expand removal and the 4× join-input cut grow with SF. ----
     sql("q4_revenue_by_segment",
       """SELECT c_mktsegment,
         |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -100,16 +107,18 @@ object Relational {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""") { (s, dir) =>
-      val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(csum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .as("rev_c4"))
+      perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          csum4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-            .as("revenue_c4"),
-          countDistinct(col("o_orderkey")).cast("long").as("n_orders"))
+          lsum(col("rev_c4")).as("revenue_c4"),
+          count(lit(1)).cast("long").as("n_orders"))
         .orderBy(col("c_mktsegment"))
     },
 
