@@ -283,6 +283,38 @@ object Multimodal {
         .orderBy(col("asset_id"))
     },
 
+    // ---- REAL audio decode end-to-end: synthesize 16-bit mono WAV
+    // per sampled asset (samples derived from the payload's character
+    // codes), decode it back with the REAL javax.sound codec, emit
+    // sample count + peak/trough. The oracle recomputes the expected
+    // stats arithmetically from the same codes — a decoder that
+    // didn't run or mis-read the PCM stream breaks the hash. ----
+    sql("mm_audio_peaks",
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(substring(text, i, 1)) AS code
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        |  WHERE doc_id % 31 = 0)
+        |SELECT doc_id AS asset_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(MAX((code - 64) * 256) AS INT) AS peak,
+        |       CAST(MIN((code - 64) * 256) AS INT) AS trough
+        |FROM chars GROUP BY doc_id ORDER BY asset_id""") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 31 === 0 && length(col("text")) > 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { docs =>
+          docs.map { case (id, payload) =>
+            val samples = payload.map(b => (((b & 0xff) - 64) * 256).toShort)
+            val decoded = RealCodecs.decodeAudio(RealCodecs.encodeWav(samples))
+            (id, decoded.length.toLong, decoded.max.toInt, decoded.min.toInt)
+          }
+        }
+        .toDF("asset_id", "n_samples", "peak", "trough")
+        .orderBy(col("asset_id"))
+    },
+
     // ---- the typed decode pipeline end-to-end (mapPartitions stub) ----
     sql("mm_feature_histogram",
       """WITH chars AS (

@@ -159,6 +159,31 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(res.left.exists(_.message.contains("AWS SDK")), res)
   }
 
+  test("EP1 end-to-end through GlueCatalog: DDL vs Glue table, applied via update_table") {
+    val (api, cat) = fixture()
+    val ddl =
+      """CREATE EXTERNAL TABLE `db1.t1` (
+        |  `id` BIGINT,
+        |  `name` STRING,
+        |  `amount` DOUBLE
+        |)
+        |PARTITIONED BY (`day_rk` DATE)
+        |STORED AS PARQUET""".stripMargin
+    val report = new graft.meta.app.Alterator(cat)
+      .alterSchema(Seq(graft.meta.app.Alterator.DdlSource("t1.hql", ddl))).render
+    // the diff is add `amount`; applied through the Glue wire call
+    assert(report.contains(""""num_updates": 1"""), report)
+    assert(report.contains(""""Name": "amount""""), report)
+    assert(api.updates.size == 1, report)
+    val (_, sent) = api.updates.last
+    assert(sent.storageDescriptor.columns.map(_.name.toLowerCase) ==
+      Seq("id", "name", "amount"))
+    // fixpoint: re-running the same DDL now diffs clean (no_changes)
+    val report2 = new graft.meta.app.Alterator(cat)
+      .alterSchema(Seq(graft.meta.app.Alterator.DdlSource("t1.hql", ddl))).render
+    assert(api.updates.size == 1, report2)
+  }
+
   test("the full alterator apply path works through GlueCatalog (K1 parity)") {
     val (api, cat) = fixture()
     // simulate the apply of a diff: two adds, one delete, then re-read
