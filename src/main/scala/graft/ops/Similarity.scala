@@ -173,10 +173,9 @@ object Similarity {
        |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
        |  FROM scored)""".stripMargin
 
-  /** CTE chain ending in `cand(vec_a, vec_b)` — the LSH candidate
-    * pairs (shared by ss_lsh_neardups and ss_recall_eval), with the
-    * same hot-bucket cap the Spark side applies. */
-  private def lshCandCtesSqlFor(g: SignLshGeometry) =
+  /** CTE chain ending in `bkept(vec_id, band, bucket)` — the
+    * hot-bucket-capped LSH bucket assignments. */
+  private def lshBucketCtesSqlFor(g: SignLshGeometry) =
     s"""planes AS (${planesSqlFor(g)}),
        |proj AS (
        |  SELECT v.vec_id, pl.p, pl.band, pl.pw, CAST(SUM(pl.sgn * v.qe) AS BIGINT) AS proj
@@ -190,11 +189,36 @@ object Similarity {
        |  SELECT buckets.* FROM buckets
        |  JOIN (SELECT band, bucket, COUNT(*) AS bn FROM buckets GROUP BY band, bucket) s
        |    ON s.band = buckets.band AND s.bucket = buckets.bucket
-       |  WHERE s.bn <= ${g.maxBucketSize}),
+       |  WHERE s.bn <= ${g.maxBucketSize})""".stripMargin
+
+  /** CTE chain ending in `cand(vec_a, vec_b)` — the LSH candidate
+    * pairs (shared by ss_lsh_neardups and ss_recall_eval), with the
+    * same hot-bucket cap the Spark side applies. */
+  private def lshCandCtesSqlFor(g: SignLshGeometry) =
+    s"""${lshBucketCtesSqlFor(g)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bkept a JOIN bkept b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Multi-probe variant of `cand`: each vector ALSO probes the
+    * `planesPerBand` buckets one sign-flip away, so pairs whose
+    * buckets differ by ≤1 bit become candidates — the standard
+    * recall-vs-bands tradeoff (more probes, fewer tables/bands).
+    * Still a pure EQUI-join: the probe set is expanded row-wise
+    * (planesPerBand+1 probes per (vec, band)), never a non-equi
+    * bucket-distance join. */
+  private def lshMultiprobeCandCtesSqlFor(g: SignLshGeometry) =
+    s"""${lshBucketCtesSqlFor(g)},
+       |probes AS (
+       |  SELECT vec_id, band, bucket AS probe FROM bkept
+       |  UNION ALL
+       |  SELECT b.vec_id, b.band, xor(b.bucket, CAST(2 ** j.j AS BIGINT)) AS probe
+       |  FROM bkept b, (SELECT CAST(range AS INT) AS j FROM range(${g.planesPerBand})) j),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probes a JOIN bkept b
+       |    ON a.band = b.band AND a.probe = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   private val lshCandCtesSql = lshCandCtesSqlFor(DefaultGeometry)
 
@@ -212,8 +236,9 @@ object Similarity {
     * array(struct(...)) input put the whole computation inside one
     * Generate consume method, which overflows Janino's 64 KB method
     * limit and silently falls back to interpreted eval. */
-  private[ops] def lshCandidates(v: DataFrame,
-      g: SignLshGeometry = DefaultGeometry): DataFrame = {
+  /** Hot-bucket-capped (vec_id, band, bucket) assignments — the shared
+    * upstream of the plain and multi-probe candidate joins. */
+  private def keptBuckets(v: DataFrame, g: SignLshGeometry): DataFrame = {
     val withBuckets = v
       .select(col("vec_id") +:
         (0 until g.bands).map(b => bucketCol(b, g).as(s"b$b")): _*)
@@ -226,8 +251,31 @@ object Similarity {
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // hot-bucket guard: one degenerate bucket (all-zero vectors, a
     // popular sign pattern) otherwise goes quadratic on one reducer
-    val kept = Skew.dropOversizeGroups(buckets, Seq("band", "bucket"), g.maxBucketSize)
+    Skew.dropOversizeGroups(buckets, Seq("band", "bucket"), g.maxBucketSize)
+  }
+
+  private[ops] def lshCandidates(v: DataFrame,
+      g: SignLshGeometry = DefaultGeometry): DataFrame = {
+    val kept = keptBuckets(v, g)
     val a = kept.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+    val b = kept.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+  }
+
+  /** Spark twin of [[lshMultiprobeCandCtesSqlFor]]'s `cand`: one side's
+    * probe set is expanded to the bucket itself plus its
+    * `planesPerBand` one-bit-flip neighbors, then equi-joined against
+    * the other side's actual buckets — recall of ≤1-bit-apart pairs at
+    * (planesPerBand+1)× one side's exchange volume, no non-equi join. */
+  private[ops] def lshMultiprobeCandidates(v: DataFrame,
+      g: SignLshGeometry = DefaultGeometry): DataFrame = {
+    val kept = keptBuckets(v, g)
+    val probes = kept.select(col("vec_id"), col("band"), col("bucket").as("probe"))
+      .union(kept.select(col("vec_id"), col("band"),
+        explode(array((0 until g.planesPerBand).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("probe")))
+    val a = probes.select(col("vec_id").as("vec_a"), col("band"), col("probe").as("bucket"))
     val b = kept.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()
@@ -280,6 +328,39 @@ object Similarity {
          |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
       val cand = lshCandidates(v)
+      val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
+      val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
+      cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+        .withColumn("dot", dot("qe_a", "qe_b"))
+        .filter(col("dot") > 0 &&
+          lit(400) * col("dot") * col("dot") >= lit(49) * col("n2_a") * col("n2_b"))
+        .select(col("vec_a"), col("vec_b"), col("dot"), col("n2_a"), col("n2_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // ---- multi-probe sign-LSH (cos ≥ 0.35): each vector also probes
+    // its planesPerBand one-bit-flip neighbor buckets, recovering
+    // pairs that straddle one hyperplane — the production lever for
+    // recall without more bands/tables. Candidate superset of
+    // ss_lsh_neardups (asserted in SimilaritySpec); same verify. ----
+    sql("ss_lsh_multiprobe",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |${lshMultiprobeCandCtesSqlFor(DefaultGeometry)},
+         |pairdot AS (
+         |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qv va ON va.vec_id = c.vec_a
+         |  JOIN qv vb ON vb.vec_id = c.vec_b AND vb.dim = va.dim
+         |  GROUP BY c.vec_a, c.vec_b)
+         |SELECT p.vec_a, p.vec_b, p.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+         |FROM pairdot p
+         |JOIN norms na ON na.vec_id = p.vec_a
+         |JOIN norms nb ON nb.vec_id = p.vec_b
+         |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
+         |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
+      val v = varr(s, dir).cache() // bucket side + both pair sides
+      val cand = lshMultiprobeCandidates(v)
       val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
       val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
       cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
