@@ -53,6 +53,53 @@ object Text {
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // ---- per-source corpus profile: the curation dashboard row a
+    // pipeline keeps per upstream source — volume, language spread,
+    // exact-dup rate (distinct content hashes vs docs). One hash
+    // aggregation keyed on source; countDistinct shuffles digests and
+    // langs, never text. ----
+    sql("tx_source_profile",
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("lang")).cast("long").as("n_langs"),
+          countDistinct(md5(col("text"))).cast("long").as("n_unique"),
+          lsum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    },
+
+    // ---- cross-source contamination: duplicated content reported
+    // with how many SOURCES it spans — the train/test-leakage
+    // primitive every benchmark-hygiene pipeline runs (n_sources > 1
+    // = the same text leaked across corpus splits). Keyed on the
+    // leading-80-char digest, the header heuristic that also catches
+    // truncated/re-encoded copies (exact-md5 groups only appear at
+    // sf0.1 in this fixture — the chunk digest keeps the check
+    // non-vacuous at every SF). Shuffles (digest, source) pairs; text
+    // never leaves its scan partition. ----
+    sql("tx_cross_source_dups",
+      """SELECT md5(substr(text, 1, 80)) AS chunk_md5,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM documents GROUP BY 1
+        |HAVING COUNT(*) > 1
+        |ORDER BY chunk_md5""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(expr("substring(text, 1, 80)")).as("chunk_md5"))
+        .agg(countDistinct(col("source")).cast("long").as("n_sources"),
+          count(lit(1)).cast("long").as("n_docs"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("chunk_md5"))
+    },
+
     // ---- per-doc token statistics: pure array exprs, zero shuffle ----
     sql("tx_token_stats",
       """SELECT doc_id,
