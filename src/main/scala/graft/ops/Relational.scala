@@ -588,5 +588,31 @@ object Relational {
           col("pq").getItem(1).cast("long").as("p90_cents"),
           col("n_orders"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- per-nation top-3 suppliers by account balance (TPC-H Q2
+    // flavor): broadcast the 25-row nation dim, window partitioned on
+    // the nation key — per-key top-k, no global sort. Completes data-
+    // model coverage (s_name / s_acctbal were otherwise unread). ----
+    sql("q25_top_suppliers_per_nation",
+      """SELECT n_name, rk, s_suppkey, s_name, acctbal_c FROM (
+        |  SELECT n.n_name, s.s_suppkey, s.s_name,
+        |         CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+        |           ORDER BY CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DESC,
+        |                    s.s_suppkey) AS INT) AS rk
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey) x
+        |WHERE rk <= 3 ORDER BY n_name, rk""") { (s, dir) =>
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("acctbal_c").desc, col("s_suppkey"))
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("s_name"),
+          cents(col("s_acctbal")).as("acctbal_c"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("n_name"), col("rk"), col("s_suppkey"), col("s_name"), col("acctbal_c"))
+        .orderBy(col("n_name"), col("rk"))
     })
 }
