@@ -23,21 +23,28 @@ object Bench {
     // "regression" — BENCH_r02 recorded q5 at 19.5 s that re-ran at
     // 1.48 s. The min is the steady-state cost of the PLAN, which is
     // what round-over-round comparisons need.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     // dev aid: SPARK_GRAFT_ONLY=q1_x,dd_y times a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // (elapsed, succeeded): a failed run must not contribute its
+      // fail-fast elapsed time to the min — min-of-N would otherwise
+      // report a 0.1 s crash as a 100× "speedup"
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink fully executes the plan (count() can prune projections)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.collect { case (t, true) => t }
+      // all runs failed: report the SLOWEST failure so the number can't
+      // masquerade as a fast success
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,6 +1,5 @@
 package graft.meta.catalog
 
-import scala.util.{Failure, Success, Try}
 
 import graft.meta.model._
 
@@ -99,15 +98,30 @@ final class GlueCatalog(
     }
 
   /** S8 — a Glue entry for an Iceberg table carries `metadata_location`
-    * in its parameters; project that metadata.json. */
+    * in its parameters; project that metadata.json. None ONLY for
+    * "table absent" / "no metadata_location" (genuinely not an Iceberg
+    * view); API errors and unreadable/corrupt metadata PROPAGATE — a
+    * throttled call or broken metadata.json must not silently route an
+    * Iceberg table down the Hive diff path. */
   override def getIcebergView(db: String, table: String)
       : Option[(Seq[IcebergField], Seq[IcebergPartField], Map[String, String])] =
-    for {
-      t <- api.getTable(db, table).toOption
-      location <- t.input.parameters.get("metadata_location")
-        .orElse(t.input.parameters.get("metadata-location"))
-      parsed <- Try(IcebergMetadataJson.parse(readFile(location))).toOption
-    } yield (parsed.fields, parsed.partitionFields, parsed.properties)
+    api.getTable(db, table) match {
+      case Left(e) if e.code == "EntityNotFoundException" => None
+      case Left(e) => throw new RuntimeException(
+        s"Glue get_table($db.$table): ${e.code} ${e.message}")
+      case Right(t) =>
+        t.input.parameters.get("metadata_location")
+          .orElse(t.input.parameters.get("metadata-location"))
+          .map { location =>
+            val parsed =
+              try IcebergMetadataJson.parse(readFile(location))
+              catch {
+                case e: Exception => throw new RuntimeException(
+                  s"unreadable Iceberg metadata for $db.$table at $location: ${e.getMessage}", e)
+              }
+            (parsed.fields, parsed.partitionFields, parsed.properties)
+          }
+    }
 
   /** S7 — newest version id; throws when the list is empty, as the
     * reference does (glue_utils.py:104-106). */
@@ -180,23 +194,38 @@ final class AwsSdkGlueApi(region: String) extends GlueApi {
           "to run against the real Glue service, or use GlueCatalog with a custom GlueApi")
     }
 
-  private def call(o: AnyRef, m: String, args: (Class[_], AnyRef)*): AnyRef =
-    o.getClass.getMethod(m, args.map(_._1): _*)
-      .invoke(o, args.map(_._2): _*)
+  /** Invokes the public method named `m` whose parameters ACCEPT the
+    * given arguments (runtime-instance compatibility, not exact-class
+    * lookup): SDK v2 setters take concrete model classes, interfaces,
+    * or collections, and an exact-Class getMethod against e.g. a
+    * builder's fluent `region(Region)` or a client's
+    * `getTable(GetTableRequest)` has no reliable compile-time Class to
+    * name offline — matching by what the argument IS does. */
+  private def call(o: AnyRef, m: String, args: AnyRef*): AnyRef = {
+    val method = o.getClass.getMethods
+      .find(mm => mm.getName == m && mm.getParameterCount == args.length &&
+        mm.getParameterTypes.zip(args).forall { case (pt, a) =>
+          a == null || pt.isInstance(a) || pt.isPrimitive
+        })
+      .getOrElse(throw new NoSuchMethodException(
+        s"${o.getClass.getName}.$m(${args.map(_.getClass.getSimpleName).mkString(",")})"))
+    method.setAccessible(true)
+    method.invoke(o, args: _*)
+  }
 
   private lazy val client: AnyRef = {
     val regionObj = cls("software.amazon.awssdk.regions.Region")
       .getMethod("of", classOf[String]).invoke(null, region)
     val b = cls("software.amazon.awssdk.services.glue.GlueClient")
       .getMethod("builder").invoke(null)
-    call(call(b, "region", (regionObj.getClass.getSuperclass, regionObj)), "build")
+    call(call(b, "region", regionObj), "build")
   }
 
   private def builderOf(n: String): AnyRef =
     cls(n).getMethod("builder").invoke(null)
 
   private def str(o: AnyRef, m: String): Option[String] =
-    Option(call(o, m, Nil: _*)).map(_.toString)
+    Option(call(o, m)).map(_.toString)
 
   private def toGlueColumns(javaList: AnyRef): Seq[GlueColumn] =
     javaList.asInstanceOf[java.util.List[AnyRef]].asScala.toSeq.map { c =>
@@ -216,25 +245,24 @@ final class AwsSdkGlueApi(region: String) extends GlueApi {
     try {
       val req = call(call(call(
         builderOf("software.amazon.awssdk.services.glue.model.GetTableRequest"),
-        "databaseName", (classOf[String], database)),
-        "name", (classOf[String], name)), "build")
-      val resp = call(client, "getTable", (req.getClass.getInterfaces.headOption.getOrElse(req.getClass), req))
-      val t = call(resp, "table", Nil: _*)
-      val sd = call(t, "storageDescriptor", Nil: _*)
+        "databaseName", database), "name", name), "build")
+      val resp = call(client, "getTable", req)
+      val t = call(resp, "table")
+      val sd = call(t, "storageDescriptor")
       Right(GlueTable(
         databaseName = database,
         input = GlueTableInput(
           name = str(t, "name").get,
           storageDescriptor = GlueStorageDescriptor(
-            columns = toGlueColumns(call(sd, "columns", Nil: _*)),
+            columns = toGlueColumns(call(sd, "columns")),
             location = str(sd, "location"),
             inputFormat = str(sd, "inputFormat"),
             outputFormat = str(sd, "outputFormat"),
-            serializationLibrary = Option(call(sd, "serdeInfo", Nil: _*))
+            serializationLibrary = Option(call(sd, "serdeInfo"))
               .flatMap(si => str(si, "serializationLibrary"))),
-          partitionKeys = toGlueColumns(call(t, "partitionKeys", Nil: _*)),
+          partitionKeys = toGlueColumns(call(t, "partitionKeys")),
           tableType = str(t, "tableType").getOrElse("EXTERNAL_TABLE"),
-          parameters = call(t, "parameters", Nil: _*)
+          parameters = call(t, "parameters")
             .asInstanceOf[java.util.Map[String, String]].asScala.toMap),
         readOnlyKeys = Map(
           "VersionId" -> str(t, "versionId").getOrElse(""),
@@ -246,11 +274,9 @@ final class AwsSdkGlueApi(region: String) extends GlueApi {
     try {
       val req = call(call(call(
         builderOf("software.amazon.awssdk.services.glue.model.GetTableVersionsRequest"),
-        "databaseName", (classOf[String], database)),
-        "tableName", (classOf[String], tableName)), "build")
-      val resp = call(client, "getTableVersions",
-        (req.getClass.getInterfaces.headOption.getOrElse(req.getClass), req))
-      val versions = call(resp, "tableVersions", Nil: _*)
+        "databaseName", database), "tableName", tableName), "build")
+      val resp = call(client, "getTableVersions", req)
+      val versions = call(resp, "tableVersions")
         .asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
       Right(versions.map(v => str(v, "versionId").getOrElse("0")))
     } catch { case e: Throwable => glueError(e) }
@@ -261,33 +287,38 @@ final class AwsSdkGlueApi(region: String) extends GlueApi {
       def column(c: GlueColumn): AnyRef = {
         val b0 = call(call(
           builderOf("software.amazon.awssdk.services.glue.model.Column"),
-          "name", (classOf[String], c.name)),
-          "type", (classOf[String], c.dataType))
-        call(c.comment.fold(b0)(cm => call(b0, "comment", (classOf[String], cm))), "build")
+          "name", c.name), "type", c.dataType)
+        call(c.comment.fold(b0)(cm => call(b0, "comment", cm)), "build")
       }
       val columnList: AnyRef = input.storageDescriptor.columns.map(column).asJava
-      val sdB = builderOf("software.amazon.awssdk.services.glue.model.StorageDescriptor")
-      var sd = call(sdB, "columns", (classOf[java.util.Collection[_]], columnList))
-      input.storageDescriptor.location.foreach(l => sd = call(sd, "location", (classOf[String], l)))
-      input.storageDescriptor.inputFormat.foreach(f => sd = call(sd, "inputFormat", (classOf[String], f)))
-      input.storageDescriptor.outputFormat.foreach(f => sd = call(sd, "outputFormat", (classOf[String], f)))
+      var sd = call(
+        builderOf("software.amazon.awssdk.services.glue.model.StorageDescriptor"),
+        "columns", columnList)
+      input.storageDescriptor.location.foreach(l => sd = call(sd, "location", l))
+      input.storageDescriptor.inputFormat.foreach(f => sd = call(sd, "inputFormat", f))
+      input.storageDescriptor.outputFormat.foreach(f => sd = call(sd, "outputFormat", f))
+      // Glue UpdateTable REPLACES the whole StorageDescriptor — the
+      // serde must round-trip or the altered table loses its
+      // ParquetHiveSerDe and breaks every downstream reader
+      input.storageDescriptor.serializationLibrary.foreach { lib =>
+        val serde = call(call(
+          builderOf("software.amazon.awssdk.services.glue.model.SerDeInfo"),
+          "serializationLibrary", lib), "build")
+        sd = call(sd, "serdeInfo", serde)
+      }
       val sdBuilt = call(sd, "build")
       var ti = call(call(
         builderOf("software.amazon.awssdk.services.glue.model.TableInput"),
-        "name", (classOf[String], input.name)),
-        "tableType", (classOf[String], input.tableType))
-      ti = call(ti, "storageDescriptor", (sdBuilt.getClass.getInterfaces.headOption.getOrElse(sdBuilt.getClass), sdBuilt))
-      ti = call(ti, "partitionKeys",
-        (classOf[java.util.Collection[_]], input.partitionKeys.map(column).asJava: AnyRef))
-      ti = call(ti, "parameters", (classOf[java.util.Map[_, _]], input.parameters.asJava: AnyRef))
+        "name", input.name), "tableType", input.tableType)
+      ti = call(ti, "storageDescriptor", sdBuilt)
+      ti = call(ti, "partitionKeys", input.partitionKeys.map(column).asJava: AnyRef)
+      ti = call(ti, "parameters", input.parameters.asJava: AnyRef)
       val tiBuilt = call(ti, "build")
       val req = call(call(call(
         builderOf("software.amazon.awssdk.services.glue.model.UpdateTableRequest"),
-        "databaseName", (classOf[String], database)),
-        "tableInput", (tiBuilt.getClass.getInterfaces.headOption.getOrElse(tiBuilt.getClass), tiBuilt)), "build")
-      val resp = call(client, "updateTable",
-        (req.getClass.getInterfaces.headOption.getOrElse(req.getClass), req))
-      val http = call(call(resp, "sdkHttpResponse", Nil: _*), "statusCode", Nil: _*)
+        "databaseName", database), "tableInput", tiBuilt), "build")
+      val resp = call(client, "updateTable", req)
+      val http = call(call(resp, "sdkHttpResponse"), "statusCode")
       Right(http.asInstanceOf[Int])
     } catch { case e: Throwable => glueError(e) }
 }

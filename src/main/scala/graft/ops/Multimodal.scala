@@ -58,14 +58,16 @@ object Multimodal {
         width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val raster = img.getRaster
       var i = 0
-      val n = math.max(1, pixelSource.length)
+      // empty payload ⇒ a black image, not an index-out-of-bounds
+      val src = if (pixelSource.isEmpty) Array[Byte](0) else pixelSource
+      val n = src.length
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          raster.setSample(x, y, 0, pixelSource(i % n) & 0xff); i += 1
-          raster.setSample(x, y, 1, pixelSource(i % n) & 0xff); i += 1
-          raster.setSample(x, y, 2, pixelSource(i % n) & 0xff); i += 1
+          raster.setSample(x, y, 0, src(i % n) & 0xff); i += 1
+          raster.setSample(x, y, 1, src(i % n) & 0xff); i += 1
+          raster.setSample(x, y, 2, src(i % n) & 0xff); i += 1
           x += 1
         }
         y += 1
@@ -284,29 +286,38 @@ object Multimodal {
     },
 
     // ---- REAL audio decode end-to-end: synthesize 16-bit mono WAV
-    // per sampled asset (samples derived from the payload's character
-    // codes), decode it back with the REAL javax.sound codec, emit
-    // sample count + peak/trough. The oracle recomputes the expected
-    // stats arithmetically from the same codes — a decoder that
-    // didn't run or mis-read the PCM stream breaks the hash. ----
+    // per sampled asset (one sample per UTF-16 code unit of the text,
+    // (code − 64) · 256 wrapped to Short), decode it back with the
+    // REAL javax.sound codec, emit sample count + peak/trough. The
+    // oracle recomputes the expected stats arithmetically with the
+    // identical wrap ((x+32768) % 65536 − 32768) — a decoder that
+    // didn't run or mis-read the PCM stream breaks the hash. Char
+    // granularity (not UTF-8 bytes) keeps Spark and the oracle's
+    // ascii() in lock-step for any BMP text, not just ASCII. ----
     sql("mm_audio_peaks",
       """WITH chars AS (
-        |  SELECT doc_id, ascii(substring(text, i, 1)) AS code
+        |  SELECT doc_id,
+        |         ((ascii(substring(text, i, 1)) - 64) * 256 + 32768) % 65536 - 32768 AS s
         |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
         |  WHERE doc_id % 31 = 0)
         |SELECT doc_id AS asset_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_samples,
-        |       CAST(MAX((code - 64) * 256) AS INT) AS peak,
-        |       CAST(MIN((code - 64) * 256) AS INT) AS trough
+        |       CAST(MAX(s) AS INT) AS peak,
+        |       CAST(MIN(s) AS INT) AS trough
         |FROM chars GROUP BY doc_id ORDER BY asset_id""") { (s, dir) =>
       import s.implicits._
       t(s, dir, "documents")
         .filter(col("doc_id") % 31 === 0 && length(col("text")) > 0)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
         .mapPartitions { docs =>
-          docs.map { case (id, payload) =>
-            val samples = payload.map(b => (((b & 0xff) - 64) * 256).toShort)
+          docs.map { case (id, text) =>
+            val samples = new Array[Short](text.length)
+            var i = 0
+            while (i < text.length) {
+              samples(i) = ((text.charAt(i).toInt - 64) * 256).toShort
+              i += 1
+            }
             val decoded = RealCodecs.decodeAudio(RealCodecs.encodeWav(samples))
             (id, decoded.length.toLong, decoded.max.toInt, decoded.min.toInt)
           }

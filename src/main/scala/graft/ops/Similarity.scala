@@ -114,14 +114,6 @@ object Similarity {
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** (plane, dim, sign, band, in-band bit weight) — the row-shaped view
-    * of the deterministic geometry. */
-  private[ops] def planeRows(g: SignLshGeometry = DefaultGeometry)
-      : Seq[(Int, Int, Int, Int, Long)] =
-    for (p <- 0 until g.planes; d <- 0 until g.dims)
-      yield (p, d, if (md5Hex(s"$p:$d").charAt(0) < '8') 1 else -1,
-        p / g.planesPerBand, 1L << (p % g.planesPerBand))
-
   /** Plane p's signed projection: graft_dot against the literal ±1
     * sign vector (a constant array; the codegen'd loop reads it like
     * any other ArrayData). */
@@ -148,7 +140,6 @@ object Similarity {
        |FROM (SELECT CAST(range AS INT) AS p FROM range(${g.planes})) a,
        |     (SELECT CAST(range AS INT) AS dim FROM range(${g.dims})) b""".stripMargin
 
-  private val planesSql = planesSqlFor(DefaultGeometry)
 
   /** CTE chain ending in `ranked` — the brute-force cosine ranking of
     * the query set against the corpus (shared by ss_brute_topk and

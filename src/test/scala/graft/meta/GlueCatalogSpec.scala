@@ -96,6 +96,34 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(sent.storageDescriptor.columns.exists(_.name == "name"))
   }
 
+  test("updateSchema round-trips the serde (Glue replaces the WHOLE StorageDescriptor)") {
+    val (api, cat) = fixture()
+    cat.updateSchema("db1", "t1", add = Seq(PartitionKey("x", "int")), drop = Nil)
+    val (_, sent) = api.updates.last
+    assert(sent.storageDescriptor.serializationLibrary
+      .contains("org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"),
+      "losing the serde on update breaks every downstream reader of the table")
+    assert(sent.storageDescriptor.inputFormat.exists(_.contains("Parquet")))
+  }
+
+  test("getIcebergView propagates API errors instead of reading as 'not Iceberg'") {
+    val (api, _) = fixture()
+    api.failGetWith = Some(GlueApiError("ThrottlingException", "slow down"))
+    val cat = new GlueCatalog(api, readFile = _ => fail("should not read"))
+    val e = intercept[RuntimeException](cat.getIcebergView("db1", "t1"))
+    assert(e.getMessage.contains("ThrottlingException"))
+    api.failGetWith = None
+    // corrupt metadata also propagates (with the location in the message)
+    val base = api.tables(("db1", "t1"))
+    api.tables += (("db1", "ice") -> base.copy(input = base.input.copy(
+      name = "ice", parameters = Map("metadata_location" -> "s3://b/v1.metadata.json"))))
+    val cat2 = new GlueCatalog(api, readFile = _ => "{ not json")
+    val e2 = intercept[RuntimeException](cat2.getIcebergView("db1", "ice"))
+    assert(e2.getMessage.contains("v1.metadata.json"), e2.getMessage)
+    // and a table with no metadata_location is genuinely None
+    assert(new GlueCatalog(api, readFile = _ => "").getIcebergView("db1", "t1").isEmpty)
+  }
+
   test("the echoed TableInput carries no read-only keys (VersionId/CatalogId/...)") {
     val (api, cat) = fixture()
     cat.updateSchema("db1", "t1", add = Seq(PartitionKey("x", "int")), drop = Nil)

@@ -28,6 +28,22 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(r.getSample(0, 0, 2) == (payload(2) & 0xff))
   }
 
+  test("encodePng survives an empty payload (black image, not an index error)") {
+    val png = RealCodecs.encodePng(5, 3, Array.emptyByteArray)
+    assert(RealCodecs.decodeImage(png) == ((5, 3, 3)))
+  }
+
+  test("audio sample wrap matches the oracle's modular formula for all BMP codes") {
+    // Spark synthesizes ((code-64)*256).toShort; the DuckDB oracle
+    // computes ((code-64)*256 + 32768) % 65536 - 32768. These must be
+    // the same function or non-ASCII text diverges the hash.
+    for (code <- Seq(0, 32, 64, 127, 128, 233, 0x7ff, 0xffff)) {
+      val spark = (((code - 64) * 256).toShort).toInt
+      val oracle = ((code - 64) * 256 + 32768) % 65536 - 32768
+      assert(spark == oracle, s"code=$code spark=$spark oracle=$oracle")
+    }
+  }
+
   test("decodeImage rejects non-image payloads") {
     intercept[IllegalArgumentException] {
       RealCodecs.decodeImage("not an image".getBytes)

@@ -80,11 +80,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures, passed = [], 0
     import os
-    all_outputs = sorted(
+    out_dirs = set(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
-    for name in all_outputs:
+    # iterate the UNION of oracle entries and dumped outputs: an oracle
+    # query whose Verify output is missing must FAIL, not silently skip
+    for name in sorted(out_dirs | set(oracle)):
         if only and name not in only:
+            continue
+        if name not in out_dirs:
+            failures.append((name, "MISSING OUTPUT: oracle entry has no "
+                                   "Verify parquet dump (did Verify crash?)"))
             continue
         try:
             got = ds.dataset(f"{out_dir}/{name}").to_table().to_pandas()
