@@ -100,8 +100,21 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       assert(SparkEntry.queries("ss_lsh_neardups")(spark, dir).count() >= 0)
+      assert(SparkEntry.queries("ss_lsh_multiprobe")(spark, dir).count() >= 0)
       assert(SparkEntry.queries("dd_minhash_neardups")(spark, dir).count() >= 0)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("codec queries prune the documents scan to (doc_id, text)") {
+    for (name <- Seq("mm_image_dims", "mm_audio_peaks")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+      assert(readSchemas.nonEmpty, s"$name: no FileScan found\n$plan")
+      // lang/source/n_chars must not be read for a payload round-trip
+      assert(readSchemas.forall(rs => !rs.contains("lang") && !rs.contains("source")),
+        s"$name reads unused columns: ${readSchemas.mkString("\n")}")
+    }
   }
 
   test("interval-join attribution pushes the event_type filters to the scan") {
