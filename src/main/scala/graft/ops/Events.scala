@@ -87,6 +87,38 @@ object Events {
         .orderBy(col("epoch_hour"), col("event_type"))
     },
 
+    // ---- spike detection: hours whose event count exceeds 2× the
+    // trailing-24-row per-type baseline (integer cross-multiplication,
+    // no floats). The window runs over the PRE-AGGREGATED hourly
+    // relation — hours × types rows, not events — so the per-type
+    // partition is tiny at any corpus scale; ≥12 prior rows required
+    // before an hour can be judged (cold-start guard). ----
+    sql("ev_hourly_spikes",
+      s"""WITH e AS ($baseSql),
+         |h AS (SELECT tsec // 3600 AS epoch_hour, event_type,
+         |             CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY 1, 2),
+         |w AS (SELECT epoch_hour, event_type, cnt,
+         |             CAST(SUM(cnt) OVER tw AS BIGINT) AS cnt_trail,
+         |             CAST(COUNT(*) OVER tw AS BIGINT) AS n_trail
+         |      FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY epoch_hour
+         |                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT epoch_hour, event_type, cnt, cnt_trail, n_trail
+         |FROM w WHERE n_trail >= 12 AND cnt * n_trail > 2 * cnt_trail
+         |ORDER BY event_type, epoch_hour""") { (s, dir) =>
+      val tw = Window.partitionBy(col("event_type"))
+        .orderBy(col("epoch_hour"))
+        .rowsBetween(-24, -1)
+      base(s, dir)
+        .groupBy(expr("tsec div 3600").as("epoch_hour"), col("event_type"))
+        .agg(lsum(lit(1)).as("cnt"))
+        .select(col("epoch_hour"), col("event_type"), col("cnt"),
+          sum(col("cnt")).over(tw).cast("long").as("cnt_trail"),
+          count(lit(1)).over(tw).cast("long").as("n_trail"))
+        .filter(col("n_trail") >= 12 && col("cnt") * col("n_trail") > lit(2) * col("cnt_trail"))
+        .orderBy(col("event_type"), col("epoch_hour"))
+    },
+
     // ---- sessionization: 30-min-gap sessions per user (lag → flag →
     // running sum), the batch twin of streaming state timeouts ----
     sql("ev_sessionization",
