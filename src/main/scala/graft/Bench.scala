@@ -42,14 +42,19 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = times.collect { case (t, true) => t }
-      // all runs failed: report the SLOWEST failure so the number can't
-      // masquerade as a fast success
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
+      // all runs failed: report the SLOWEST failure and mark the query
+      // failed in the JSON — a fail-fast crash (e.g. an
+      // AnalysisException in 0.08 s) must never read as a speedup
+      (name, if (good.nonEmpty) good.min else times.map(_._1).max, good.isEmpty)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (n, _, true) => n }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

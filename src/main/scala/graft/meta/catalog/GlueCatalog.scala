@@ -208,7 +208,8 @@ final class AwsSdkGlueApi(region: String) extends GlueApi {
           a == null || pt.isInstance(a) || pt.isPrimitive
         })
       .getOrElse(throw new NoSuchMethodException(
-        s"${o.getClass.getName}.$m(${args.map(_.getClass.getSimpleName).mkString(",")})"))
+        s"${o.getClass.getName}.$m(${args.map(a =>
+          if (a == null) "null" else a.getClass.getSimpleName).mkString(",")})"))
     method.setAccessible(true)
     method.invoke(o, args: _*)
   }

@@ -270,7 +270,10 @@ object Multimodal {
       import s.implicits._
       t(s, dir, "documents")
         .filter(col("doc_id") % 29 === 0)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        // NULL text ⇒ empty payload ⇒ black image with the same dims,
+        // matching the oracle (which derives dims from doc_id alone)
+        .select(col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { docs =>
           // per-partition scope: ImageIO plugin lookup warms once here
@@ -286,14 +289,15 @@ object Multimodal {
     },
 
     // ---- REAL audio decode end-to-end: synthesize 16-bit mono WAV
-    // per sampled asset (one sample per UTF-16 code unit of the text,
-    // (code − 64) · 256 wrapped to Short), decode it back with the
-    // REAL javax.sound codec, emit sample count + peak/trough. The
-    // oracle recomputes the expected stats arithmetically with the
-    // identical wrap ((x+32768) % 65536 − 32768) — a decoder that
-    // didn't run or mis-read the PCM stream breaks the hash. Char
-    // granularity (not UTF-8 bytes) keeps Spark and the oracle's
-    // ascii() in lock-step for any BMP text, not just ASCII. ----
+    // per sampled asset (one sample per Unicode CODE POINT of the
+    // text, (code − 64) · 256 wrapped to Short), decode it back with
+    // the REAL javax.sound codec, emit sample count + peak/trough.
+    // The oracle recomputes the expected stats arithmetically with
+    // the identical wrap ((x+32768) % 65536 − 32768) — a decoder that
+    // didn't run or mis-read the PCM stream breaks the hash.
+    // Code-point granularity (not UTF-8 bytes, not UTF-16 units)
+    // matches DuckDB's length()/ascii() for ANY text incl. astral
+    // chars, not just ASCII. ----
     sql("mm_audio_peaks",
       """WITH chars AS (
         |  SELECT doc_id,
@@ -312,12 +316,8 @@ object Multimodal {
         .as[(Long, String)]
         .mapPartitions { docs =>
           docs.map { case (id, text) =>
-            val samples = new Array[Short](text.length)
-            var i = 0
-            while (i < text.length) {
-              samples(i) = ((text.charAt(i).toInt - 64) * 256).toShort
-              i += 1
-            }
+            val samples = text.codePoints().toArray
+              .map(cp => ((cp - 64) * 256).toShort)
             val decoded = RealCodecs.decodeAudio(RealCodecs.encodeWav(samples))
             (id, decoded.length.toLong, decoded.max.toInt, decoded.min.toInt)
           }

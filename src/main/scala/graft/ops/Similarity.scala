@@ -283,6 +283,40 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
   }
 
+  /** Shared verify tail: candidate pairs → exact integer dot + the
+    * cos ≥ 0.35 cross-multiplication (400·dot² ≥ 49·n2a·n2b), as SQL
+    * over a CTE chain ending in `cand` — ONE definition so the plain
+    * and multi-probe variants can never drift apart. */
+  private def neardupVerifySqlFor(candCtes: String) =
+    s"""WITH qv AS ($qvSql),
+       |norms AS ($normsSql),
+       |$candCtes,
+       |pairdot AS (
+       |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN qv va ON va.vec_id = c.vec_a
+       |  JOIN qv vb ON vb.vec_id = c.vec_b AND vb.dim = va.dim
+       |  GROUP BY c.vec_a, c.vec_b)
+       |SELECT p.vec_a, p.vec_b, p.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+       |FROM pairdot p
+       |JOIN norms na ON na.vec_id = p.vec_a
+       |JOIN norms nb ON nb.vec_id = p.vec_b
+       |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
+       |ORDER BY p.vec_a, p.vec_b""".stripMargin
+
+  /** Spark twin of [[neardupVerifySqlFor]]'s tail over any candidate
+    * relation. */
+  private def verifiedPairs(v: DataFrame, cand: DataFrame): DataFrame = {
+    val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
+    val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
+    cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+      .withColumn("dot", dot("qe_a", "qe_b"))
+      .filter(col("dot") > 0 &&
+        lit(400) * col("dot") * col("dot") >= lit(49) * col("n2_a") * col("n2_b"))
+      .select(col("vec_a"), col("vec_b"), col("dot"), col("n2_a"), col("n2_b"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact brute-force top-5 for a bounded query set: broadcast
@@ -302,31 +336,9 @@ object Similarity {
     // band buckets map-side, candidates meet only inside a (band,
     // bucket) cell, dots verified per candidate pair ----
     sql("ss_lsh_neardups",
-      s"""WITH qv AS ($qvSql),
-         |norms AS ($normsSql),
-         |$lshCandCtesSql,
-         |pairdot AS (
-         |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
-         |  FROM cand c
-         |  JOIN qv va ON va.vec_id = c.vec_a
-         |  JOIN qv vb ON vb.vec_id = c.vec_b AND vb.dim = va.dim
-         |  GROUP BY c.vec_a, c.vec_b)
-         |SELECT p.vec_a, p.vec_b, p.dot, na.n2 AS n2_a, nb.n2 AS n2_b
-         |FROM pairdot p
-         |JOIN norms na ON na.vec_id = p.vec_a
-         |JOIN norms nb ON nb.vec_id = p.vec_b
-         |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
-         |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
+      neardupVerifySqlFor(lshCandCtesSql)) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      val cand = lshCandidates(v)
-      val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
-      val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
-      cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
-        .withColumn("dot", dot("qe_a", "qe_b"))
-        .filter(col("dot") > 0 &&
-          lit(400) * col("dot") * col("dot") >= lit(49) * col("n2_a") * col("n2_b"))
-        .select(col("vec_a"), col("vec_b"), col("dot"), col("n2_a"), col("n2_b"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      verifiedPairs(v, lshCandidates(v))
     },
 
     // ---- multi-probe sign-LSH (cos ≥ 0.35): each vector also probes
@@ -335,31 +347,9 @@ object Similarity {
     // recall without more bands/tables. Candidate superset of
     // ss_lsh_neardups (asserted in SimilaritySpec); same verify. ----
     sql("ss_lsh_multiprobe",
-      s"""WITH qv AS ($qvSql),
-         |norms AS ($normsSql),
-         |${lshMultiprobeCandCtesSqlFor(DefaultGeometry)},
-         |pairdot AS (
-         |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
-         |  FROM cand c
-         |  JOIN qv va ON va.vec_id = c.vec_a
-         |  JOIN qv vb ON vb.vec_id = c.vec_b AND vb.dim = va.dim
-         |  GROUP BY c.vec_a, c.vec_b)
-         |SELECT p.vec_a, p.vec_b, p.dot, na.n2 AS n2_a, nb.n2 AS n2_b
-         |FROM pairdot p
-         |JOIN norms na ON na.vec_id = p.vec_a
-         |JOIN norms nb ON nb.vec_id = p.vec_b
-         |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
-         |ORDER BY p.vec_a, p.vec_b""") { (s, dir) =>
+      neardupVerifySqlFor(lshMultiprobeCandCtesSqlFor(DefaultGeometry))) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      val cand = lshMultiprobeCandidates(v)
-      val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
-      val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
-      cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
-        .withColumn("dot", dot("qe_a", "qe_b"))
-        .filter(col("dot") > 0 &&
-          lit(400) * col("dot") * col("dot") >= lit(49) * col("n2_a") * col("n2_b"))
-        .select(col("vec_a"), col("vec_b"), col("dot"), col("n2_a"), col("n2_b"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      verifiedPairs(v, lshMultiprobeCandidates(v))
     },
 
     // ---- IVF cell-probe top-3: `label` is the coarse cell id ----

@@ -83,9 +83,14 @@ def main():
     out_dirs = set(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
-    # iterate the UNION of oracle entries and dumped outputs: an oracle
+    # iterate the UNION of oracle entries, registered rows-only queries
+    # (from the contract sidecar), and dumped outputs: ANY registered
     # query whose Verify output is missing must FAIL, not silently skip
-    for name in sorted(out_dirs | set(oracle)):
+    try:
+        rows_only = set(json.load(open(f"{out_dir}/rows_only_contract.json")))
+    except Exception:
+        rows_only = set()
+    for name in sorted(out_dirs | set(oracle) | rows_only):
         if only and name not in only:
             continue
         if name not in out_dirs:
