@@ -316,6 +316,82 @@ object Text {
           (lsum(col("n")) - lsum(lit(1))).cast("long").as("n_removable"))
     },
 
+    // ---- per-source exact-dup rate: the dedup dashboard sliced by
+    // upstream source (which feeds decide-what-to-recrawl); duplicates
+    // counted WITHIN each source. Two hash aggregations, digests only
+    // on the wire. ----
+    sql("tx_dedup_rate_by_source",
+      """WITH h AS (SELECT source, md5(text) AS ch FROM documents),
+        |g AS (SELECT source, ch, COUNT(*) AS n FROM h GROUP BY source, ch)
+        |SELECT source,
+        |       CAST(SUM(n) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+        |       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removable
+        |FROM g GROUP BY source ORDER BY source""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), md5(col("text")).as("ch"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(lsum(col("n")).as("n_docs"),
+          lsum(lit(1)).as("n_unique_texts"),
+          (lsum(col("n")) - lsum(lit(1))).cast("long").as("n_removable"))
+        .orderBy(col("source"))
+    },
+
+    // ---- char-trigram language-ID: the n-gram heuristic proper. The
+    // per-language trigram profile is TRAINED ON THE CORPUS ITSELF
+    // (top-20 trigrams per labeled language — one word-count-shaped
+    // aggregation), broadcast, then each doc votes by profile-trigram
+    // hits. Complements tx_langid's word-dictionary approach; both are
+    // two linear passes + a bounded broadcast, no all-pairs. ----
+    sql("tx_trigram_langid",
+      """WITH tg AS (
+        |  SELECT doc_id, lang, substring(text, i, 3) AS tri
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)),
+        |prof AS (SELECT lang, tri, COUNT(*) AS cnt FROM tg GROUP BY 1, 2),
+        |top AS (SELECT lang AS cand, tri FROM (
+        |          SELECT lang, tri,
+        |                 ROW_NUMBER() OVER (PARTITION BY lang
+        |                                    ORDER BY cnt DESC, tri) AS rk
+        |          FROM prof) WHERE rk <= 20),
+        |votes AS (SELECT t.doc_id, p.cand, COUNT(*) AS hits
+        |          FROM tg t JOIN top p ON p.tri = t.tri
+        |          GROUP BY t.doc_id, p.cand),
+        |best AS (SELECT doc_id, cand, hits,
+        |                ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                   ORDER BY hits DESC, cand) AS rk
+        |         FROM votes)
+        |SELECT d.doc_id,
+        |       COALESCE(b.cand, 'und') AS predicted,
+        |       CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits,
+        |       d.lang AS labeled
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        |  ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val tg = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1, greatest(length(text) - 2, 0))")).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("lang"), expr("substring(text, i, 3)").as("tri"))
+      val top = tg.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("cand"), col("tri"))
+      val votes = tg.join(broadcast(top), Seq("tri"))
+        .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("hits"))
+      val best = votes.withColumn("rk", row_number()
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand"))))
+        .filter(col("rk") === 1)
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(best.drop("lang"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cand"), lit("und")).as("predicted"),
+          coalesce(col("hits"), lit(0)).cast("long").as("hits"),
+          col("lang").as("labeled"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- TF-IDF top-3 terms per doc (bounded sample): tf and df are
     // exact integers; the tf/df score exists only as an ORDER BY key
     // (IEEE division of identical integers is bit-equal in both
