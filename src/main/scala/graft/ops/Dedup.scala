@@ -332,6 +332,28 @@ object Dedup {
     // correctness baseline the LSH path is judged against. The sample
     // is broadcast against itself (≤100 docs), overlap by
     // array_intersect ----
+    sql("dd_neardup_rate",
+      s"""WITH $neardupCtesSql,
+         |involved AS (SELECT doc_a AS d FROM pairs
+         |             UNION SELECT doc_b FROM pairs)
+         |SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+         |       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs_with_neardup
+         |FROM involved""") { (s, dir) =>
+      // corpus near-dup health: one row — total docs, verified pairs,
+      // docs appearing in ≥1 pair. Reuses the cached pairs pipeline;
+      // the involved-docs count is a distinct over pair endpoints
+      // (2×|pairs| rows), nowhere near corpus-sized. The three 1-row
+      // aggregates combine via broadcast nested-loop joins (1×1 rows —
+      // not a data-sized cartesian).
+      val pairs = neardupPairs(s, dir)
+      val involved = pairs.select(col("doc_a").as("d"))
+        .union(pairs.select(col("doc_b").as("d"))).distinct()
+      t(s, dir, "documents").agg(count(lit(1)).cast("long").as("n_docs"))
+        .crossJoin(pairs.agg(count(lit(1)).cast("long").as("n_pairs")))
+        .crossJoin(involved.agg(count(lit(1)).cast("long").as("n_docs_with_neardup")))
+    },
+
     sql("dd_ngram_jaccard_sample",
       s"""WITH sh AS ($shinglesSql),
          |sample AS (SELECT * FROM sh WHERE doc_id < 100),

@@ -25,7 +25,8 @@ class ContractSpec extends AnyFunSuite {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(qs.contains(name), s"oracle without query: $name")
       // single-row global aggregates are deterministic without one
-      val singleRow = Set("q2_forecast_revenue", "ev_funnel", "tx_dedup_rate")
+      val singleRow = Set("q2_forecast_revenue", "ev_funnel", "tx_dedup_rate",
+        "dd_neardup_rate")
       assert(sql.toUpperCase.contains("ORDER BY") || singleRow(name),
         s"oracle for $name lacks a deterministic ORDER BY")
     }
