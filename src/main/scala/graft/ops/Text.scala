@@ -368,18 +368,26 @@ object Text {
         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
         |  ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""") { (s, dir) =>
-      val tg = docs(s, dir)
+      // ONE explode pass: per-doc trigram instance counts (map-side
+      // combined), cached — both the training aggregation and the
+      // voting join derive from it. The broadcast (top) side's job
+      // runs first and warms the cache for the voting stream side.
+      val tgc = docs(s, dir)
         .select(col("doc_id"), col("lang"),
           explode(expr("sequence(1, greatest(length(text) - 2, 0))")).as("i"),
           col("text"))
         .select(col("doc_id"), col("lang"), expr("substring(text, i, 3)").as("tri"))
-      val top = tg.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("lang"), col("tri"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+      val top = tgc.groupBy(col("lang"), col("tri"))
+        .agg(sum(col("cnt")).as("cnt"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))))
         .filter(col("rk") <= 20)
         .select(col("lang").as("cand"), col("tri"))
-      val votes = tg.join(broadcast(top), Seq("tri"))
-        .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("hits"))
+      val votes = tgc.join(broadcast(top), Seq("tri"))
+        .groupBy(col("doc_id"), col("cand")).agg(sum(col("cnt")).as("hits"))
       val best = votes.withColumn("rk", row_number()
         .over(Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand"))))
         .filter(col("rk") === 1)
