@@ -372,9 +372,15 @@ object Text {
       // combined), cached — both the training aggregation and the
       // voting join derive from it. The broadcast (top) side's job
       // runs first and warms the cache for the voting stream side.
+      // Spark's sequence(start, stop) DESCENDS when start > stop, so a
+      // doc with length(text) <= 2 (or NULL text) must hit an explicit
+      // empty-array branch — otherwise sequence(1, 0) = [1, 0] emits two
+      // phantom trigram rows that the oracle's empty range never produces.
       val tgc = docs(s, dir)
         .select(col("doc_id"), col("lang"),
-          explode(expr("sequence(1, greatest(length(text) - 2, 0))")).as("i"),
+          explode(expr(
+            "CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2) " +
+              "ELSE CAST(array() AS ARRAY<INT>) END")).as("i"),
           col("text"))
         .select(col("doc_id"), col("lang"), expr("substring(text, i, 3)").as("tri"))
         .groupBy(col("doc_id"), col("lang"), col("tri"))
