@@ -272,6 +272,93 @@ object Similarity {
       .select(col("vec_a"), col("vec_b")).distinct()
   }
 
+  // ---------------------------------------------------------------
+  // Trained IVF: k-means coarse quantizer learned from the corpus
+  // ---------------------------------------------------------------
+
+  /** Number of IVF cells and Lloyd update rounds for ss_ivf_trained.
+    * Init is deterministic (first `KmeansK` vectors by vec_id) so the
+    * DuckDB oracle can replay the whole training run. */
+  private val KmeansK = 8
+  private val KmeansRounds = 2
+
+  /** Map-side nearest-centroid assignment: argmin over the k learned
+    * centroids of ||v − c||², expanded to n2c − 2·dot(v, c) (the n2_v
+    * term is constant per vector and drops out of the argmin). The
+    * centroids arrive as LITERAL arrays — k·dims ≈ 512 longs of model
+    * state, the Spark MLlib KMeans shape — so assignment is one
+    * codegen'd expression with zero shuffle and zero extra scan.
+    * Ties break on cell id via the lexicographic (score, cid) min. */
+  private def assignCell(cents: Seq[(Long, Array[Long])]): Column = {
+    val elems = cents.map { case (cid, ce) =>
+      val n2c = ce.map(x => x * x).sum
+      val arr = ce.mkString("array(", "L, ", "L)")
+      s"named_struct('s', ${n2c}L - 2L * graft_dot(qe, $arr), 'c', ${cid}L)"
+    }.mkString(", ")
+    expr(s"array_min(array($elems)).c")
+  }
+
+  /** One trained-k-means pass over [[varr]]'s output: deterministic
+    * first-k init, `KmeansRounds` Lloyd updates, final assignment.
+    *
+    * Scale shape: per round, assignment is the map-side literal-argmin
+    * above and the centroid update is ONE word-count-shaped aggregation
+    * (posexplode to (cid, dim) partial sums, map-side combined). The
+    * only driver-side materialization is the k·dims aggregated model
+    * state (512 rows here) — bounded by model size, never by corpus
+    * size, exactly like MLlib's KMeans collecting centroids per round.
+    * Centroid means use floor division (Math.floorDiv ≡ the oracle's
+    * `(S - ((S % N + N) % N)) // N`) so the learned model is bit-equal
+    * in both engines even for negative coordinate sums. */
+  private def trainedCells(v: DataFrame): DataFrame = {
+    var cents: Seq[(Long, Array[Long])] = v
+      .filter(col("vec_id") < KmeansK)
+      .select(col("vec_id"), col("qe"))
+      .collect() // k rows: the deterministic init, model-sized
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .toSeq.sortBy(_._1)
+    for (_ <- 1 to KmeansRounds) {
+      val assigned = v.select(assignCell(cents).as("cid"), col("qe"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("qe")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // k·dims aggregated rows: model state, not data
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Long](DefaultGeometry.dims)
+          rows.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          (cid, arr)
+        }
+        .toSeq.sortBy(_._1)
+    }
+    v.withColumn("cell", assignCell(cents))
+  }
+
+  /** Oracle replay of one assignment round against centroid CTE
+    * `c$idx`, producing `a$idx(vec_id, cid)`. */
+  private def kmeansAssignSql(idx: Int): String =
+    s"""s$idx AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c FROM c$idx GROUP BY cid),
+       |d$idx AS (SELECT v.vec_id, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
+       |          FROM qv v JOIN c$idx c ON c.dim = v.dim
+       |          GROUP BY v.vec_id, c.cid),
+       |a$idx AS (SELECT vec_id, cid FROM (
+       |            SELECT d.vec_id, d.cid,
+       |                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |                     ORDER BY s.n2c - 2 * d.dot, d.cid) AS rk
+       |            FROM d$idx d JOIN s$idx s ON s.cid = d.cid) t
+       |          WHERE rk = 1)""".stripMargin
+
+  /** Oracle replay of one centroid update from assignment `a$idx`:
+    * elementwise floor-division mean, exact in integers. */
+  private def kmeansUpdateSql(idx: Int): String =
+    s"""c${idx + 1} AS (
+       |  SELECT a.cid, v.dim,
+       |         CAST((SUM(v.qe) - ((SUM(v.qe) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*)
+       |              AS BIGINT) AS ce
+       |  FROM a$idx a JOIN qv v ON v.vec_id = a.vec_id
+       |  GROUP BY a.cid, v.dim)""".stripMargin
+
   /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
   private def bruteScored(v: DataFrame): DataFrame = {
     val qq = v.filter(expr(QuerySetSql))
@@ -391,6 +478,63 @@ object Similarity {
         .filter(col("rk") <= 3)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("label"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- trained-IVF cell-probe top-3: the coarse quantizer is now
+    // LEARNED from the corpus (k-means: deterministic first-k init,
+    // 2 Lloyd rounds, floor-division integer means — bit-replayable in
+    // the oracle), instead of the given `label` column. The cell-probe
+    // join itself is identical to ss_ivf_topk's: a query only scans
+    // its own learned cell. ----
+    sql("ss_ivf_trained", {
+      val iters = (0 until KmeansRounds)
+        .map(i => s"${kmeansAssignSql(i)},\n${kmeansUpdateSql(i)}")
+        .mkString(",\n")
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $KmeansK),
+         |$iters,
+         |${kmeansAssignSql(KmeansRounds)},
+         |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds),
+         |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
+         |cp AS (
+         |  SELECT q.qid, c.vec_id, c.cell
+         |  FROM qq q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid),
+         |dots AS (
+         |  SELECT cp.qid, cp.vec_id, cp.cell, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM cp
+         |  JOIN qv a ON a.vec_id = cp.qid
+         |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+         |  GROUP BY cp.qid, cp.vec_id, cp.cell),
+         |scored AS (
+         |  SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.cell, d.dot,
+         |         nq.n2 AS n2_q, nv.n2 AS n2_v
+         |  FROM dots d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cell, dot
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
+    }) { (s, dir) =>
+      val v = varr(s, dir).cache() // init + per-round assign/update + final
+      v.count() // eager, so training rounds reuse one materialization
+      val cells = trainedCells(v)
+      val qq = cells.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("cell"),
+          col("qe").as("qqe"), col("n2").as("n2_q"))
+      cells.join(broadcast(qq), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("cell"), col("dot"))
         .orderBy(col("query_id"), col("rk"))
     },
 
