@@ -115,10 +115,10 @@ object Dedup {
       .map(k => s"min(substr(md5('${k / 4}:' || sh), ${(k % 4) * 8 + 1}, 8)) AS h$k")
       .mkString(", ")
 
-  /** CTE chain ending in `pairs(doc_a, doc_b, n_common, n_union)` —
-    * the verified near-dup pairs, shared by the pair query and the
-    * clustering query. */
-  private[ops] def neardupCtesSqlFor(g: LshGeometry): String = {
+  /** CTE chain ending in `bkept(doc_id, band, bkey)` — the
+    * hot-bucket-capped band-key table (the "signature index" a
+    * production incremental pipeline would persist). */
+  private def bucketCtesSqlFor(g: LshGeometry): String = {
     val bandSelects = (0 until g.bands)
       .map { b =>
         val hs = (0 until g.rowsPerBand).map(r => s"h${g.rowsPerBand * b + r}").mkString(" || ")
@@ -132,27 +132,55 @@ object Dedup {
        |  SELECT bands.* FROM bands
        |  JOIN (SELECT band, bkey, COUNT(*) AS bn FROM bands GROUP BY band, bkey) s
        |    ON s.band = bands.band AND s.bkey = bands.bkey
-       |  WHERE s.bn <= ${g.maxBucketSize}),
+       |  WHERE s.bn <= ${g.maxBucketSize})""".stripMargin
+  }
+
+  /** Exact-Jaccard verify tail over a CTE `cand(doc_a, doc_b)`, ending
+    * in `pairs(doc_a, doc_b, n_common, n_union)` — ONE definition shared
+    * by the full and incremental variants so they can never drift. */
+  private val pairVerifyTailSql =
+    """counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      |  GROUP BY c.doc_a, c.doc_b),
+      |pairs AS (
+      |  SELECT m.doc_a, m.doc_b,
+      |         CAST(m.n_common AS BIGINT) AS n_common,
+      |         CAST(ca.n_sh + cb.n_sh - m.n_common AS BIGINT) AS n_union
+      |  FROM common m
+      |  JOIN counts ca ON ca.doc_id = m.doc_a
+      |  JOIN counts cb ON cb.doc_id = m.doc_b
+      |  WHERE m.n_common * 2 >= (ca.n_sh + cb.n_sh - m.n_common))""".stripMargin
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, n_common, n_union)` —
+    * the verified near-dup pairs, shared by the pair query and the
+    * clustering query. */
+  private[ops] def neardupCtesSqlFor(g: LshGeometry): String =
+    s"""${bucketCtesSqlFor(g)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bkept a JOIN bkept b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id),
-       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       |common AS (
-       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-       |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-       |  GROUP BY c.doc_a, c.doc_b),
-       |pairs AS (
-       |  SELECT m.doc_a, m.doc_b,
-       |         CAST(m.n_common AS BIGINT) AS n_common,
-       |         CAST(ca.n_sh + cb.n_sh - m.n_common AS BIGINT) AS n_union
-       |  FROM common m
-       |  JOIN counts ca ON ca.doc_id = m.doc_a
-       |  JOIN counts cb ON cb.doc_id = m.doc_b
-       |  WHERE m.n_common * 2 >= (ca.n_sh + cb.n_sh - m.n_common))""".stripMargin
-  }
+       |$pairVerifyTailSql""".stripMargin
+
+  /** Incremental variant: the candidate join's LEFT side is only the
+    * delta batch's band keys (doc_id past the 80th-percentile-of-max
+    * threshold — the stand-in for "today's crawl"), probed against the
+    * full band-key index. Pairs within the old corpus are NOT
+    * re-derived; verify tail unchanged. */
+  private[ops] def incrementalNeardupCtesSqlFor(g: LshGeometry): String =
+    s"""${bucketCtesSqlFor(g)},
+       |thr AS (SELECT (MAX(doc_id) * 4) // 5 AS t FROM documents),
+       |cand AS (
+       |  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |                  GREATEST(a.doc_id, b.doc_id) AS doc_b
+       |  FROM (SELECT * FROM bkept WHERE doc_id >= (SELECT t FROM thr)) a
+       |  JOIN bkept b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id <> b.doc_id),
+       |$pairVerifyTailSql""".stripMargin
 
   private val neardupCtesSql: String = neardupCtesSqlFor(DefaultGeometry)
 
@@ -163,31 +191,33 @@ object Dedup {
     * dropped before the self-join ([[Skew.dropOversizeGroups]]) — the
     * hot-bucket guard that keeps a degenerate bucket (boilerplate text)
     * from going quadratic on one reducer at corpus scale. */
-  private[ops] def neardupPairs(s: SparkSession, dir: String,
-      g: LshGeometry = DefaultGeometry): DataFrame = {
-    val sh = shArr(s, dir).cache() // band side + both verify sides
+  /** Hot-bucket-capped (doc_id, band, bkey) assignments — the Spark
+    * twin of the `bkept` CTE (the persistable "signature index").
+    *
+    * Self-joined downstream: cache + EAGER count() — the two join
+    * sides build their shuffle maps concurrently, and a cold cache
+    * would let both race through the full shingle+minhash pipeline
+    * before either populates it. cache() (not localCheckpoint) keeps
+    * the plan canonical, so the OTHER dd_* queries' identical
+    * sub-plans hit the CacheManager instead of recomputing. */
+  private def keptBands(sh: DataFrame, g: LshGeometry): DataFrame = {
     val sig = signatures(sh, g)
     val bandStructs = (0 until g.bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until g.rowsPerBand)
           .map(r => col(s"h${g.rowsPerBand * b + r}")): _*)).as("bkey"))
     }
-    // self-joined: cache + EAGER count() — the two join sides build
-    // their shuffle maps concurrently, and a cold cache would let both
-    // race through the full shingle+minhash pipeline before either
-    // populates it. cache() (not localCheckpoint) keeps the plan
-    // canonical, so the OTHER dd_* queries' identical sub-plans hit
-    // the CacheManager instead of recomputing.
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .cache()
     bands.count()
-    val kept = Skew.dropOversizeGroups(bands, Seq("band", "bkey"), g.maxBucketSize)
-    val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    Skew.dropOversizeGroups(bands, Seq("band", "bkey"), g.maxBucketSize)
+  }
+
+  /** Exact-Jaccard verify tail over any `cand(doc_a, doc_b)` relation —
+    * the Spark twin of [[pairVerifyTailSql]]. */
+  private def verifiedNeardupPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"), col("n_sh").as("n_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"), col("n_sh").as("n_b"))
     val pairs = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -200,7 +230,41 @@ object Dedup {
     pairs
   }
 
-  val specs: Seq[QuerySpec] = Seq(
+  private[ops] def neardupPairs(s: SparkSession, dir: String,
+      g: LshGeometry = DefaultGeometry): DataFrame = {
+    val sh = shArr(s, dir).cache() // band side + both verify sides
+    val kept = keptBands(sh, g)
+    val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifiedNeardupPairs(sh, cand)
+  }
+
+  /** Incremental (daily-crawl) variant: only the DELTA batch's band
+    * keys (doc_id ≥ 80% of max — the "new docs" predicate) probe the
+    * full band-key index; old-vs-old pairs are never re-derived. At
+    * 100 TB this is the primitive that turns corpus dedup from a full
+    * recompute into a join proportional to the batch: the `kept` index
+    * is what a production pipeline persists between crawls, and the
+    * probe side carries batch×bands rows only. Verify tail unchanged. */
+  private[ops] def incrementalNeardupPairs(s: SparkSession, dir: String,
+      g: LshGeometry = DefaultGeometry): DataFrame = {
+    val sh = shArr(s, dir).cache()
+    val kept = keptBands(sh, g)
+    val thr = t(s, dir, "documents")
+      .agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
+    val batch = kept.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
+    val a = batch.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+    val b = kept.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+      .distinct()
+    verifiedNeardupPairs(sh, cand)
+  }
+
+  private val headSpecs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: canonical id per content hash (one shuffle) ----
     sql("dd_exact_canonical",
@@ -248,6 +312,60 @@ object Dedup {
          |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
          |SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""") { (s, dir) =>
+      clusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- dedup APPLY stage: the kept corpus. Each near-dup cluster
+    // keeps its minimum doc_id (= the converged min-label), every other
+    // clustered doc is removable; unclustered docs are kept by
+    // definition. This is the output a curation pipeline actually
+    // writes — the per-doc keep/drop verdict — via one left join of the
+    // corpus against the (clustered-docs-only) label table. ----
+    sql("dd_kept_corpus",
+      s"""WITH RECURSIVE $neardupCtesSql,
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |             FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+         |       CAST(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      val clusters = clusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cid"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cid"), col("doc_id")).cast("long").as("cluster_id"),
+          when(col("cid").isNull || col("cid") === col("doc_id"), 1L)
+            .otherwise(0L).cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- incremental (delta-batch) near-dup detection: band keys of
+    // the new batch only, probed against the full persisted band-key
+    // index — the daily-crawl primitive that avoids re-deriving
+    // old-vs-old pairs. Same exact-Jaccard verify as the full run. ----
+    sql("dd_incremental_neardups",
+      s"""WITH ${incrementalNeardupCtesSqlFor(DefaultGeometry)}
+         |SELECT doc_a, doc_b, n_common, n_union
+         |FROM pairs ORDER BY doc_a, doc_b""") { (s, dir) =>
+      incrementalNeardupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+
+  /** Connected components over the near-dup pair graph via iterative
+    * fused-superstep min-label propagation — shared by dd_dup_clusters
+    * and the dd_kept_corpus apply stage. Returns (node, label) for
+    * every doc that appears in at least one verified pair. */
+  private[ops] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
       def dbg(msg: String): Unit =
         if (sys.env.contains("GRAFT_DEBUG_CC"))
           println(s"[cc] $msg t=${System.nanoTime() / 1e9}")
@@ -305,9 +423,9 @@ object Dedup {
           println(s"[cc] superstep done t=${System.nanoTime() / 1e9}")
       }
       labels
-        .select(col("node").as("doc_id"), col("label").cast("long").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  private val tailSpecs: Seq[QuerySpec] = Seq(
 
     // ---- shingle statistics through the graft_shingles GENERATOR
     // (custom Catalyst Generator = the UDTF surface): shingles stream
@@ -411,6 +529,8 @@ object Dedup {
         .select(col("doc_id"), expr("graft_simhash16(text)").as("simhash"))
         .orderBy(col("doc_id"))
     })
+
+  val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs
 
   /** DuckDB oracle for both simhash variants. */
   private lazy val simhashOracleSql: String = {
