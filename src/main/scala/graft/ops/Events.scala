@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Tables._
-import QuerySpec.{rowsOnly, sql}
+import QuerySpec.sql
 
 /** Event-stream analytics over the `events` table — the batch
   * expressions of the streaming shapes (tumbling windows,
@@ -571,22 +571,78 @@ object Events {
         .orderBy(col("day"))
     },
 
-    // ---- HLL sketch surface: approximate distinct users per type.
-    // Sketch internals are engine-specific, so no DuckDB oracle
-    // (rows-only driver check); the accuracy bound vs the exact count
-    // is asserted in SketchSpec. At 100 TB this is THE cardinality
-    // shape: constant-size (rsd-bounded) state per group, map-side
-    // combinable, one shuffle of sketches — where exact COUNT(DISTINCT)
-    // shuffles every distinct value. ----
-    rowsOnly("ev_approx_users",
-      contract = "rows-only BY DESIGN: HLL sketch counts are " +
-        "engine-specific (no DuckDB twin can hash-match). Exact twin: " +
-        "ev_dau_wau / the countDistinct in SketchSpec, which bounds " +
-        "this sketch within 3x the 2% configured rsd per event_type.") { (s, dir) =>
-      base(s, dir)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          lsum(lit(1)).as("n_events"))
+    // ---- HLL sketch surface: approximate distinct users per type,
+    // as a PORTABLE deterministic HyperLogLog so the estimate itself
+    // is oracle-EXACT (engine-native sketches like
+    // approx_count_distinct can never hash-match an oracle; SketchSpec
+    // cross-checks the native sketch against this one). m=64 md5
+    // buckets, rho = trailing-zero rank of a second 32-bit md5 slice,
+    // estimate = alpha_64 * m^2 / sum(2^-rho) computed entirely in
+    // scaled integers (2^33 numerator, floor division) — bit-equal in
+    // any engine with md5. At 100 TB this is THE cardinality shape:
+    // constant-size register state (64 maxima) per group, map-side
+    // combinable, one shuffle of registers — where exact
+    // COUNT(DISTINCT) shuffles every distinct value. ----
+    sql("ev_approx_users", {
+      val hx1 = Hll.hexValSql("hx", 1)
+      val hx9 = Hll.hexValSql("hx", 9)
+      s"""WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         |v AS (SELECT event_type, $hx1 % ${Hll.M} AS bucket, $hx9 AS w FROM h),
+         |r AS (SELECT event_type, bucket, MAX(${Hll.rhoLadderSql}) AS mrho,
+         |             COUNT(*) AS bn
+         |      FROM v GROUP BY event_type, bucket),
+         |s AS (SELECT event_type,
+         |             CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+         |             COUNT(*) AS np,
+         |             CAST(SUM(bn) AS BIGINT) AS n_events
+         |      FROM r GROUP BY event_type)
+         |SELECT event_type,
+         |       CAST(${Hll.ScaledAlphaM2} // (1000 * (sp + (${Hll.M} - np) * 8589934592)) AS BIGINT)
+         |         AS approx_users,
+         |       n_events
+         |FROM s ORDER BY event_type"""
+    }) { (s, dir) =>
+      val v = base(s, dir)
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("hx"))
+        .select(col("event_type"),
+          (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
+          conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      val regs = v.groupBy(col("event_type"), col("bucket"))
+        .agg(max(expr(Hll.rhoLadderSql)).as("mrho"), count(lit(1)).as("bn"))
+      regs.groupBy(col("event_type"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"),
+          sum(col("bn")).cast("long").as("n_events"))
+        .select(col("event_type"),
+          expr(s"CAST(${Hll.ScaledAlphaM2}L div (1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
+            .as("approx_users"),
+          col("n_events"))
         .orderBy(col("event_type"))
     })
+}
+
+/** Shared constants of the portable deterministic HyperLogLog (see
+  * ev_approx_users): the SQL fragments below are generated once and
+  * embedded in BOTH engines' queries, so the estimator cannot drift.
+  */
+private[ops] object Hll {
+  /** Register count (2^6 buckets). */
+  val M = 64
+  /** alpha_64 = 0.709 as the scaled-integer numerator
+    * alpha_num * m^2 * 2^33 with alpha denominator 1000 applied at the
+    * divide: 709 * 64^2 * 2^33. */
+  val ScaledAlphaM2: Long = 709L * (M.toLong * M) * 8589934592L
+  /** rho(w) = index of the lowest set bit + 1 (geometric under a
+    * uniform 32-bit hash, the HLL register update), 33 for w = 0 —
+    * pure integer CASE ladder, identical text in Spark and DuckDB. */
+  val rhoLadderSql: String =
+    (1 to 32).map { k =>
+      s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k"
+    }.mkString("CASE ", " ", " ELSE 33 END")
+  /** DuckDB-side hex→int of an 8-char md5 slice starting at `start`
+    * (1-based); the Spark side uses conv() for the same value. */
+  def hexValSql(col: String, start: Int): String =
+    (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substr($col, ${start + i}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
 }

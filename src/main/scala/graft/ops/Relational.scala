@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Tables._
-import QuerySpec.{rowsOnly, sql}
+import QuerySpec.sql
 
 /** Core relational operator surface over the TPC-H-ish tables.
   *
@@ -564,29 +564,55 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
-    // ---- quantile sketch surface: approx_percentile (a mergeable
-    // quantile digest). Sketch internals are engine-specific, so no
-    // DuckDB oracle (rows-only driver check); the error bound vs the
-    // exact rank-based quantile is asserted in SketchSpec. The exact
-    // variant is ev_type_quantiles; this is what replaces it at 100 TB
-    // when a full per-group sort is too expensive. ----
-    // Output is SCALAR columns (p50/p90 split out): the driver's
-    // harness pandas-sorts every column and crashes on ARRAY cells
-    // (unhashable ndarray), so sketch outputs must stay flat.
-    rowsOnly("q21_approx_quantiles",
-      contract = "rows-only BY DESIGN: approx_percentile's KLL-style " +
-        "sketch is engine-specific (no DuckDB twin can hash-match). " +
-        "Exact twin: ev_type_quantiles (oracle-EXACT); SketchSpec " +
-        "bounds p50/p90 within 2% rank error of the exact quantiles.") { (s, dir) =>
-      t(s, dir, "orders")
+    // ---- approximate quantile surface, as a DETERMINISTIC estimator
+    // so the estimate itself is oracle-EXACT: p50/p90 are the exact
+    // order statistics of a deterministic md5 half-sample (first hex
+    // digit of md5(o_orderkey) < '8'). Engine-native sketches
+    // (approx_percentile's KLL digest) can never hash-match an oracle;
+    // SketchSpec cross-checks the native sketch against this one and
+    // bounds both within 2% rank error of the exact quantiles. At
+    // 100 TB the sample fraction is the accuracy/cost knob: the
+    // per-group sort runs over the sample, not the corpus, and the
+    // sample predicate pushes to the scan. ----
+    sql("q21_approx_quantiles",
+      """WITH cents AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |sampled AS (
+        |  SELECT * FROM cents
+        |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'),
+        |rk AS (SELECT o_orderstatus, c,
+        |              ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                                 ORDER BY c, o_orderkey) AS rk
+        |       FROM sampled),
+        |ns AS (SELECT o_orderstatus, COUNT(*) AS ns FROM sampled GROUP BY 1),
+        |q AS (SELECT r.o_orderstatus,
+        |             MAX(CASE WHEN r.rk = (ns.ns - 1) // 2 + 1 THEN r.c END) AS p50_cents,
+        |             MAX(CASE WHEN r.rk = ((ns.ns - 1) * 9) // 10 + 1 THEN r.c END) AS p90_cents
+        |      FROM rk r JOIN ns ON ns.o_orderstatus = r.o_orderstatus
+        |      GROUP BY r.o_orderstatus),
+        |n AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY 1)
+        |SELECT q.o_orderstatus, q.p50_cents, q.p90_cents, n.n_orders
+        |FROM q JOIN n ON n.o_orderstatus = q.o_orderstatus
+        |ORDER BY q.o_orderstatus""") { (s, dir) =>
+      val cents = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val sampled = cents
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) < "8")
+      val withRk = sampled.withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_orderstatus")).orderBy(col("c"), col("o_orderkey"))))
+      val ns = sampled.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("ns"))
+      val q = withRk.join(ns, Seq("o_orderstatus"))
         .groupBy(col("o_orderstatus"))
-        .agg(expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT)," +
-          " array(0.5D, 0.9D), 10000)").as("pq"),
-          lsum(lit(1)).as("n_orders"))
-        .select(col("o_orderstatus"),
-          col("pq").getItem(0).cast("long").as("p50_cents"),
-          col("pq").getItem(1).cast("long").as("p90_cents"),
-          col("n_orders"))
+        .agg(max(when(col("rk") === expr("(ns - 1) div 2 + 1"), col("c"))).as("p50_cents"),
+          max(when(col("rk") === expr("((ns - 1) * 9) div 10 + 1"), col("c"))).as("p90_cents"))
+      val n = t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      q.join(n, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("p50_cents"), col("p90_cents"), col("n_orders"))
         .orderBy(col("o_orderstatus"))
     },
 

@@ -5,34 +5,45 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, SparkTestSession}
 
-/** Accuracy evidence for the sketch operators (which have no DuckDB
-  * oracle — sketch internals are engine-specific, so the driver runs a
-  * rows-only check): each approximation must sit within its configured
-  * bound of the exact answer computed by the corresponding exact
-  * operator shape.
+/** Accuracy evidence for the sketch operators. Since round 4 both
+  * registered sketch queries are DETERMINISTIC portable estimators
+  * (md5-based HLL; md5 half-sample order statistics) and therefore
+  * oracle-EXACT in the driver — this spec asserts they are also GOOD
+  * estimators (within bounds of the exact answers), and cross-checks
+  * the engine-native sketches (approx_count_distinct,
+  * approx_percentile) against the same exact baselines so the native
+  * sketch surface stays exercised.
   */
 class SketchSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
 
-  test("ev_approx_users: HLL within 3x the 2% rsd of exact distinct counts") {
+  test("ev_approx_users: portable HLL and native HLL within bounds of exact") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val approx = SparkEntry.queries("ev_approx_users")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = spark.read.parquet(s"$dir/events.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val exact = events
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val native = events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n) <= math.max(3, 0.06 * n),
-        s"$k: approx=$a exact=$n")
+      // m=64 registers: rsd = 1.04/sqrt(64) = 13%; allow 2 sigma
+      assert(math.abs(approx(k) - n) <= math.max(3, 0.26 * n),
+        s"$k: portable=$approx($k) exact=$n")
+      // native sketch at 2% rsd: allow 3 sigma
+      assert(math.abs(native(k) - n) <= math.max(3, 0.06 * n),
+        s"$k: native=${native(k)} exact=$n")
     }
   }
 
-  test("q21_approx_quantiles: within 1% rank error of the exact quantiles") {
+  test("q21_approx_quantiles: sample quantiles and native sketch within rank bounds") {
     val rows = SparkEntry.queries("q21_approx_quantiles")(spark, dir).collect()
     rows.foreach { r =>
       val status = r.getString(0)
@@ -41,12 +52,17 @@ class SketchSpec extends AnyFunSuite {
         .filter(col("o_orderstatus") === status)
         .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
         .orderBy(col("c")).collect().map(_.getLong(0))
-      def rankOf(v: Long): Double = {
-        val below = cents.count(_ <= v).toDouble
-        below / cents.length
-      }
+      def rankOf(v: Long): Double = cents.count(_ <= v).toDouble / cents.length
       assert(math.abs(rankOf(p50) - 0.5) <= 0.02, s"$status p50=$p50 rank=${rankOf(p50)}")
       assert(math.abs(rankOf(p90) - 0.9) <= 0.02, s"$status p90=$p90 rank=${rankOf(p90)}")
+      // the engine-native quantile digest agrees with the same baseline
+      val nat = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === status)
+        .selectExpr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT)," +
+          " array(0.5D, 0.9D), 10000) AS pq")
+        .collect().head.getSeq[Long](0)
+      assert(math.abs(rankOf(nat(0)) - 0.5) <= 0.02, s"$status native p50")
+      assert(math.abs(rankOf(nat(1)) - 0.9) <= 0.02, s"$status native p90")
     }
     assert(rows.nonEmpty)
   }
