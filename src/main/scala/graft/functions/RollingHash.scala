@@ -12,9 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantically `aggregate(transform(split(text, ''), c -> ascii(c)),
   * ...)`, but that materializes a per-CHARACTER string array and runs
   * two interpreted lambdas per character; this is one codegen'd loop
-  * over the chars, zero allocation. Matches the lambda/oracle
-  * formulation for all BMP text (the fixture is ASCII); supplementary
-  * characters would hash as surrogate pairs rather than code points.
+  * over the CODE POINTS, zero allocation. Code-point (not UTF-16 unit)
+  * iteration matches DuckDB's ascii()/Spark's ascii() for all text
+  * including supplementary (astral) characters — proven by the UTF-8
+  * fixture gate (tools/make_utf8_fixture.py), which caught the
+  * earlier surrogate-pair formulation diverging on emoji.
   */
 final case class RollingHash(child: Expression) extends UnaryExpression {
 
@@ -44,8 +46,9 @@ object RollingHash {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }

@@ -20,11 +20,12 @@ final case class AssetFeature(asset_id: Long, bucket: Int, cnt: Long)
   * environment; see [[RealCodecs]]).
   *
   * The fixture: `documents.text` encoded as UTF-8 bytes stands in for
-  * the media payload (it is pure ASCII, so the DuckDB oracle can check
-  * the byte-level results through varchar functions — DuckDB lacks
-  * BLOB substring/md5). A real deployment swaps the payload source for
-  * the binary column of an image/audio table; nothing downstream
-  * changes.
+  * the media payload. DuckDB lacks BLOB substring/md5, so the oracles
+  * check byte-level results through the payload's hex dump (byte i ==
+  * hex chars 2i-1..2i) — exact for ANY text, multibyte included
+  * (enforced by the UTF-8 fixture gate, tools/make_utf8_fixture.py).
+  * A real deployment swaps the payload source for the binary column of
+  * an image/audio table; nothing downstream changes.
   *
   * Scale design: assets stay in their scan partitions end-to-end —
   * decode is `mapPartitions` (no shuffle, codec init amortized per
@@ -181,14 +182,19 @@ object Multimodal {
     // ---- corpus-level histogram via the typed UDAF: one partial
     // aggregation per partition, constant-size merge state ----
     sql("mm_modality_histogram",
-      """WITH chars AS (
-        |  SELECT doc_id, ascii(substring(text, i, 1)) AS code
-        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i))
+      // byte-faithful oracle: DuckDB can't slice BLOBs, but byte i's
+      // high nibble is hex digit 2i-1 of hex(encode(text)) — exact for
+      // ANY text, not just ASCII (proven by the UTF-8 fixture gate)
+      """WITH h AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
+        |nibs AS (
+        |  SELECT doc_id,
+        |         strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1 AS bucket
+        |  FROM h, UNNEST(range(1, length(hx) // 2 + 1)) AS t(i))
         |SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |       CAST(code // 16 AS INT) AS bucket,
+        |       CAST(bucket AS INT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM chars GROUP BY 1, 2
+        |FROM nibs GROUP BY 1, 2
         |ORDER BY modality, bucket""") { (s, dir) =>
       val hist = udaf(NibbleHistogramAgg, org.apache.spark.sql.Encoders.BINARY)
       assets(s, dir).toDF()
@@ -218,10 +224,13 @@ object Multimodal {
 
     // ---- frame-sampling shape: an 8-byte probe every 64 bytes ----
     sql("mm_chunk_sample",
-      """WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      // byte offsets, not character offsets: the 8-byte probe at byte
+      // pos i is hex chars [2i-1, 2i+14] of the payload's hex dump
+      """WITH a AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n
         |           FROM documents WHERE octet_length(encode(text)) >= 8),
         |probes AS (SELECT doc_id, CAST(i AS INT) AS pos,
-        |                  upper(hex(encode(substring(text, i, 8)))) AS chunk_hex
+        |                  substring(hx, 2 * i - 1, 16) AS chunk_hex
         |           FROM a, UNNEST(range(1, n - 6, 64)) AS t(i))
         |SELECT doc_id AS asset_id, pos, chunk_hex
         |FROM probes ORDER BY asset_id, pos""") { (s, dir) =>
@@ -234,19 +243,24 @@ object Multimodal {
         .orderBy(col("asset_id"), col("pos"))
     },
 
-    // ---- duplicate assets by leading-chunk digest: md5 of the first
-    // 80 payload bytes — the header/magic-bytes heuristic that catches
-    // re-encoded or truncated copies of the same asset (a whole-payload
-    // digest finds only bit-exact dups). One hash aggregation; bytes
-    // never shuffle, only the 16-byte digest. ----
+    // ---- duplicate assets by leading-chunk digest: md5 keyed on the
+    // first 80 payload bytes — the header/magic-bytes heuristic that
+    // catches re-encoded or truncated copies of the same asset (a
+    // whole-payload digest finds only bit-exact dups). One hash
+    // aggregation; bytes never shuffle, only the digest. ----
     sql("mm_dup_assets",
-      """SELECT md5(substr(text, 1, 80)) AS chunk_md5,
+      // digest := md5 of the UPPERCASE HEX of the first 80 payload
+      // bytes (not md5 of the raw bytes): DuckDB's md5 only accepts
+      // VARCHAR and an 80-byte prefix can split a multibyte char, so
+      // both engines hash the same ASCII hex dump instead — still
+      // keyed on exactly the first 80 bytes of content
+      """SELECT md5(upper(substring(hex(encode(text)), 1, 160))) AS chunk_md5,
         |       CAST(COUNT(*) AS BIGINT) AS n_assets,
         |       CAST(MIN(doc_id) AS BIGINT) AS canonical_asset
         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         |ORDER BY chunk_md5""") { (s, dir) =>
       assets(s, dir).toDF()
-        .groupBy(md5(expr("substring(bytes, 1, 80)")).as("chunk_md5"))
+        .groupBy(md5(upper(hex(expr("substring(bytes, 1, 80)")))).as("chunk_md5"))
         .agg(count(lit(1)).cast("long").as("n_assets"),
           min(col("asset_id")).cast("long").as("canonical_asset"))
         .filter(col("n_assets") > 1)
@@ -328,12 +342,15 @@ object Multimodal {
 
     // ---- the typed decode pipeline end-to-end (mapPartitions stub) ----
     sql("mm_feature_histogram",
-      """WITH chars AS (
-        |  SELECT doc_id, ascii(substring(text, i, 1)) AS code
-        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i))
-        |SELECT doc_id AS asset_id, CAST(code // 16 AS INT) AS bucket,
+      // same hex-digit-per-byte trick as mm_modality_histogram
+      """WITH h AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
+        |nibs AS (
+        |  SELECT doc_id,
+        |         strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1 AS bucket
+        |  FROM h, UNNEST(range(1, length(hx) // 2 + 1)) AS t(i))
+        |SELECT doc_id AS asset_id, CAST(bucket AS INT) AS bucket,
         |       CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM chars GROUP BY doc_id, code // 16
+        |FROM nibs GROUP BY doc_id, bucket
         |ORDER BY asset_id, bucket""") { (s, dir) =>
       nibbleHistogram(assets(s, dir)).toDF()
         .orderBy(col("asset_id"), col("bucket"))

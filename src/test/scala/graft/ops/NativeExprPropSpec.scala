@@ -19,10 +19,22 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
   private val text: Gen[String] = Gen.choose(0, 30)
     .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
-  property("graft_rolling_hash equals the per-char polynomial model") =
-    Prop.forAll(text) { t =>
+  // multibyte generator: BMP 2/3-byte chars plus astral (surrogate-pair)
+  // code points — the input class where a UTF-16-unit loop diverges
+  // from the code-point model (the round-4 UTF-8 fixture bug)
+  private val anyCp: Gen[Int] = Gen.frequency(
+    6 -> Gen.choose(0x20, 0x7e),
+    2 -> Gen.oneOf(0xe9, 0xdf, 0x4e2d, 0x2211, 0x301),
+    2 -> Gen.oneOf(0x1f680, 0x1d4b3, 0x10348))
+  private val utf8Text: Gen[String] = Gen.choose(0, 40)
+    .flatMap(n => Gen.listOfN(n, anyCp).map(
+      _.flatMap(Character.toChars(_).toSeq).mkString))
+
+  property("graft_rolling_hash equals the per-CODE-POINT polynomial model") =
+    Prop.forAll(Gen.oneOf(text, utf8Text)) { t =>
       val got = RollingHash(Literal(t)).eval(null).asInstanceOf[Long]
-      val expected = t.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+      val expected = t.codePoints().toArray
+        .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
       got == expected
     }
 
