@@ -50,7 +50,10 @@ object Bench {
     val failed = results.collect { case (n, _, true) => n }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total counts succeeding queries only: a fail-fast (or
+    // slow-fail) elapsed time must not skew round-over-round totals —
+    // the failure itself is flagged in "failed"
+    val total = results.collect { case (_, t, false) => t }.sum
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")

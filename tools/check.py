@@ -66,8 +66,11 @@ def frame_rows(df):
 
 
 def has_arrays(df):
+    # whole column, not a head() sample: a nullable array column whose
+    # first rows are all NULL must still trip the gate (result sets
+    # here are small, so the full scan is cheap)
     return [c for c in df.columns
-            if any(isinstance(v, (list, np.ndarray)) for v in df[c].head(50))]
+            if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()]
 
 
 def main():
