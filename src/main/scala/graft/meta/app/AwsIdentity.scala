@@ -22,8 +22,8 @@ import scala.util.Try
   */
 final class AwsIdentity(
     env: String => Option[String] = k => sys.env.get(k).filter(_.nonEmpty),
-    sdkRegion: () => Option[String] = AwsIdentity.sdkSessionRegion,
-    stsAccount: () => Option[String] = AwsIdentity.sdkStsAccount,
+    sdkRegion: () => Option[String] = () => AwsIdentity.sdkSessionRegion(),
+    stsAccount: () => Option[String] = () => AwsIdentity.sdkStsAccount(),
     imdsDocument: () => Option[String] = AwsIdentity.fetchImdsDocument) {
 
   private lazy val doc: Option[String] = imdsDocument()
@@ -70,20 +70,21 @@ object AwsIdentity {
   }.toOption.filter(_.nonEmpty)
 
   /** The SDK session's configured region (profile/config file), via
-    * reflection — absent SDK jars ⇒ None. */
-  def sdkSessionRegion(): Option[String] = Try {
-    val chain = Class
-      .forName("software.amazon.awssdk.regions.providers.DefaultAwsRegionProviderChain")
+    * reflection — absent SDK jars ⇒ None. `load` is a seam so
+    * AwsSdkShapeSpec can pin the method names/arity against stand-in
+    * classes with the SDK's documented shape. */
+  def sdkSessionRegion(load: String => Class[_] = Class.forName): Option[String] = Try {
+    val chain = load(
+      "software.amazon.awssdk.regions.providers.DefaultAwsRegionProviderChain")
       .getMethod("builder").invoke(null)
     val built = chain.getClass.getMethod("build").invoke(chain)
     built.getClass.getMethod("getRegion").invoke(built).toString
   }.toOption.filter(_.nonEmpty)
 
   /** STS GetCallerIdentity().account, via reflection — absent SDK jars
-    * or no credentials ⇒ None. */
-  def sdkStsAccount(): Option[String] = Try {
-    val client = Class
-      .forName("software.amazon.awssdk.services.sts.StsClient")
+    * or no credentials ⇒ None. `load` seam as in [[sdkSessionRegion]]. */
+  def sdkStsAccount(load: String => Class[_] = Class.forName): Option[String] = Try {
+    val client = load("software.amazon.awssdk.services.sts.StsClient")
       .getMethod("create").invoke(null)
     val resp = client.getClass.getMethod("getCallerIdentity").invoke(client)
     resp.getClass.getMethod("account").invoke(resp).toString

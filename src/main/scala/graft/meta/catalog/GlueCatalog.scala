@@ -134,10 +134,14 @@ final class GlueCatalog(
 
   /** K1 — whole-column-list replacement (glue_utils.py:35-87): columns
     * := (existing ++ add) minus drop, where deletion matches whole
-    * (name, type) records like the reference's dict-equality filter,
-    * and the echoed TableInput is the fetched table minus read-only
-    * keys (structurally guaranteed here: [[GlueTableInput]] has no
-    * place for them). */
+    * (name, type) records EXACTLY (case-sensitive) like the
+    * reference's dict-equality filter (glue_utils.py:70) — a drop
+    * spec whose case differs from the catalog record is a no-op, not
+    * a delete. (In practice both sides are already lowercased: Glue
+    * folds column names and our DDL parser case-folds types, so this
+    * only matters for hand-built specs.) The echoed TableInput is the
+    * fetched table minus read-only keys (structurally guaranteed
+    * here: [[GlueTableInput]] has no place for them). */
   override def updateSchema(db: String, table: String,
       add: Seq[PartitionKey], drop: Seq[PartitionKey]): Either[String, Unit] =
     api.getTable(db, table) match {
@@ -145,10 +149,10 @@ final class GlueCatalog(
       case Right(t) =>
         val existing = t.input.storageDescriptor.columns
         val merged = existing ++ add.map(c => GlueColumn(c.name, c.dataType))
-        val dropSet = drop.map(c => (c.name.toLowerCase, c.dataType.toLowerCase)).toSet
+        val dropSet = drop.map(c => (c.name, c.dataType)).toSet
         val updated =
           if (drop.isEmpty) merged
-          else merged.filterNot(c => dropSet((c.name.toLowerCase, c.dataType.toLowerCase)))
+          else merged.filterNot(c => dropSet((c.name, c.dataType)))
         val input = t.input.copy(
           storageDescriptor = t.input.storageDescriptor.copy(columns = updated))
         api.updateTable(db, input) match {
@@ -178,21 +182,21 @@ object GlueCatalog {
   * it requires `software.amazon.awssdk:glue` (+ auth/regions) on the
   * classpath and fails fast with a clear message otherwise.
   *
-  * UNTESTED against the real service by necessity (zero-egress build
-  * env) — the call shapes mirror glue_utils.py:13-114 one-to-one and
-  * all the semantics above it are covered by fake-API unit tests
-  * (GlueCatalogSpec).
+  * Untestable against the real service by necessity (zero-egress build
+  * env) — the call shapes mirror glue_utils.py:13-114 one-to-one, the
+  * semantics above it are covered by fake-API unit tests
+  * (GlueCatalogSpec), and the reflection bindings themselves are
+  * pinned by AwsSdkShapeSpec: `resolve` is a seam, and the spec runs
+  * every call path against stand-in classes that reproduce the SDK
+  * v2's documented fluent-builder shapes (method names, arities,
+  * builder protocol), so a misspelled or re-aritied binding fails a
+  * unit test instead of failing at the first real AWS call.
   */
-final class AwsSdkGlueApi(region: String) extends GlueApi {
+final class AwsSdkGlueApi(region: String,
+    resolve: String => Class[_] = AwsSdkGlueApi.forName) extends GlueApi {
   import scala.jdk.CollectionConverters._
 
-  private def cls(n: String): Class[_] =
-    try Class.forName(n)
-    catch {
-      case _: ClassNotFoundException => throw new IllegalStateException(
-        s"AWS SDK v2 class $n not on classpath — add software.amazon.awssdk:glue " +
-          "to run against the real Glue service, or use GlueCatalog with a custom GlueApi")
-    }
+  private def cls(n: String): Class[_] = resolve(n)
 
   /** Invokes the public method named `m` whose parameters ACCEPT the
     * given arguments (runtime-instance compatibility, not exact-class
@@ -322,4 +326,15 @@ final class AwsSdkGlueApi(region: String) extends GlueApi {
       val http = call(call(resp, "sdkHttpResponse"), "statusCode")
       Right(http.asInstanceOf[Int])
     } catch { case e: Throwable => glueError(e) }
+}
+
+object AwsSdkGlueApi {
+  /** Default class resolver: the real SDK from the runtime classpath. */
+  def forName(n: String): Class[_] =
+    try Class.forName(n)
+    catch {
+      case _: ClassNotFoundException => throw new IllegalStateException(
+        s"AWS SDK v2 class $n not on classpath — add software.amazon.awssdk:glue " +
+          "to run against the real Glue service, or use GlueCatalog with a custom GlueApi")
+    }
 }

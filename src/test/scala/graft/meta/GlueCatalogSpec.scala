@@ -96,6 +96,19 @@ class GlueCatalogSpec extends AnyFunSuite {
     assert(sent.storageDescriptor.columns.exists(_.name == "name"))
   }
 
+  test("drop equality is case-sensitive like the reference's dict filter " +
+      "(glue_utils.py:70) — a case-mismatched drop is a no-op") {
+    val (api, cat) = fixture()
+    // catalog record is ("ID", "BIGINT"); spec in lowercase must NOT delete it
+    cat.updateSchema("db1", "t1", add = Nil, drop = Seq(PartitionKey("id", "bigint")))
+    val (_, sent) = api.updates.last
+    assert(sent.storageDescriptor.columns.exists(_.name == "ID"))
+    // exact-case spec does delete
+    cat.updateSchema("db1", "t1", add = Nil, drop = Seq(PartitionKey("ID", "BIGINT")))
+    val (_, sent2) = api.updates.last
+    assert(!sent2.storageDescriptor.columns.exists(_.name == "ID"))
+  }
+
   test("updateSchema round-trips the serde (Glue replaces the WHOLE StorageDescriptor)") {
     val (api, cat) = fixture()
     cat.updateSchema("db1", "t1", add = Seq(PartitionKey("x", "int")), drop = Nil)
