@@ -80,7 +80,7 @@ object Similarity {
     * through the native [[graft.functions.DotProduct]] expression —
     * constant-size codegen'd loop; see its scaladoc for why both a
     * lambda formulation and an unrolled expression tree lose. */
-  private def varr(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def varr(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -229,7 +229,7 @@ object Similarity {
     * limit and silently falls back to interpreted eval. */
   /** Hot-bucket-capped (vec_id, band, bucket) assignments — the shared
     * upstream of the plain and multi-probe candidate joins. */
-  private def keptBuckets(v: DataFrame, g: SignLshGeometry): DataFrame = {
+  private[ops] def keptBuckets(v: DataFrame, g: SignLshGeometry): DataFrame = {
     val withBuckets = v
       .select(col("vec_id") +:
         (0 until g.bands).map(b => bucketCol(b, g).as(s"b$b")): _*)
@@ -258,15 +258,36 @@ object Similarity {
     * probe set is expanded to the bucket itself plus its
     * `planesPerBand` one-bit-flip neighbors, then equi-joined against
     * the other side's actual buckets — recall of ≤1-bit-apart pairs at
-    * (planesPerBand+1)× one side's exchange volume, no non-equi join. */
+    * (planesPerBand+1)× one side's exchange volume, no non-equi join.
+    *
+    * At production geometries (8-12 planes/band, 2^planes ≫ occupied
+    * cells) the expanded probe set is first semi-joined (broadcast)
+    * against the OCCUPIED (band, bucket) cells, whose key set is
+    * bounded by bands × 2^planesPerBand — geometry, not corpus size —
+    * so probes into empty cells (the dominant share there) are dropped
+    * map-side instead of paying the candidate-join exchange. Results
+    * are identical by construction: an empty-cell probe can never
+    * produce a candidate (asserted by SimilaritySpec at a large-domain
+    * geometry). The prefilter is gated on the bucket-domain size
+    * because it costs one distinct + broadcast: at tiny domains every
+    * cell is occupied and the semi-join is pure overhead — measured
+    * +0.9 s at the 2×4-plane bench geometry, where it can drop
+    * nothing. */
   private[ops] def lshMultiprobeCandidates(v: DataFrame,
-      g: SignLshGeometry = DefaultGeometry): DataFrame = {
+      g: SignLshGeometry = DefaultGeometry,
+      prefilter: Option[Boolean] = None): DataFrame = {
     val kept = keptBuckets(v, g)
     val probes = kept.select(col("vec_id"), col("band"), col("bucket").as("probe"))
       .union(kept.select(col("vec_id"), col("band"),
         explode(array((0 until g.planesPerBand).map(j =>
           col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("probe")))
-    val a = probes.select(col("vec_id").as("vec_a"), col("band"), col("probe").as("bucket"))
+    val a0 = probes.select(col("vec_id").as("vec_a"), col("band"), col("probe").as("bucket"))
+    val a =
+      if (!prefilter.getOrElse((1L << g.planesPerBand) > 1024)) a0
+      else {
+        val occupied = kept.select(col("band"), col("bucket")).distinct()
+        a0.join(broadcast(occupied), Seq("band", "bucket"), "leftsemi")
+      }
     val b = kept.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b")).distinct()

@@ -24,4 +24,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi.size > plain.size,
       s"multiprobe recalled nothing beyond plain (${multi.size} pairs)")
   }
+
+  test("occupied-cell probe prefilter drops nothing at a large bucket domain") {
+    // 11 planes/band → 2048-cell domain, far sparser than the ~500-doc
+    // sf0.01 corpus can fill: most one-bit-flip probes target empty
+    // cells, which is exactly the regime the prefilter exists for. The
+    // candidate set must be IDENTICAL with and without it.
+    val g = SignLshGeometry(bands = 2, planesPerBand = 11, dims = 64)
+    val v = Similarity.varr(spark, dir)
+    def pairSet(pf: Boolean): Set[(Long, Long)] =
+      Similarity.lshMultiprobeCandidates(v, g, prefilter = Some(pf))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = pairSet(false)
+    val filtered = pairSet(true)
+    assert(filtered == unfiltered,
+      s"prefilter changed candidates: lost=${unfiltered.diff(filtered).take(5)} " +
+        s"gained=${filtered.diff(unfiltered).take(5)}")
+    // auto mode at this domain must engage the prefilter (same result)
+    assert(Similarity.lshMultiprobeCandidates(v, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == unfiltered)
+  }
 }
