@@ -303,6 +303,12 @@ object Similarity {
   private val KmeansK = 8
   private val KmeansRounds = 2
 
+  /** Product-quantization geometry for ss_pq_adc: `PqM` subspaces of
+    * `PqSub` dims each (PqM × PqSub == DefaultGeometry.dims), each
+    * with its own `KmeansK`-entry codebook. */
+  private val PqM = 4
+  private val PqSub = 16
+
   /** Map-side nearest-centroid assignment: argmin over the k learned
     * centroids of ||v − c||², expanded to n2c − 2·dot(v, c) (the n2_v
     * term is constant per vector and drops out of the argmin). The
@@ -310,13 +316,46 @@ object Similarity {
     * state, the Spark MLlib KMeans shape — so assignment is one
     * codegen'd expression with zero shuffle and zero extra scan.
     * Ties break on cell id via the lexicographic (score, cid) min. */
-  private def assignCell(cents: Seq[(Long, Array[Long])]): Column = {
+  private def assignCellOn(vecCol: String, cents: Seq[(Long, Array[Long])]): Column = {
     val elems = cents.map { case (cid, ce) =>
       val n2c = ce.map(x => x * x).sum
       val arr = ce.mkString("array(", "L, ", "L)")
-      s"named_struct('s', ${n2c}L - 2L * graft_dot(qe, $arr), 'c', ${cid}L)"
+      s"named_struct('s', ${n2c}L - 2L * graft_dot($vecCol, $arr), 'c', ${cid}L)"
     }.mkString(", ")
     expr(s"array_min(array($elems)).c")
+  }
+  private def assignCell(cents: Seq[(Long, Array[Long])]): Column =
+    assignCellOn("qe", cents)
+
+  /** Deterministic k-means over `v`'s array column `vecCol`: first-k
+    * init by vec_id, `KmeansRounds` Lloyd updates, floor-division
+    * means — the trainer behind [[trainedCells]] (full vectors) and
+    * ss_pq_adc (per-subspace codebooks). Driver-side state per round
+    * is the k·dims aggregated model, never corpus rows. */
+  private def kmeansModel(v: DataFrame, vecCol: String, dims: Int)
+      : Seq[(Long, Array[Long])] = {
+    var cents: Seq[(Long, Array[Long])] = v
+      .filter(col("vec_id") < KmeansK)
+      .select(col("vec_id"), col(vecCol))
+      .collect() // k rows: the deterministic init, model-sized
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .toSeq.sortBy(_._1)
+    for (_ <- 1 to KmeansRounds) {
+      val assigned = v.select(assignCellOn(vecCol, cents).as("cid"), col(vecCol))
+      cents = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // k·dims aggregated rows: model state, not data
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Long](dims)
+          rows.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          (cid, arr)
+        }
+        .toSeq.sortBy(_._1)
+    }
+    cents
   }
 
   /** One trained-k-means pass over [[varr]]'s output: deterministic
@@ -331,54 +370,59 @@ object Similarity {
     * Centroid means use floor division (Math.floorDiv ≡ the oracle's
     * `(S - ((S % N + N) % N)) // N`) so the learned model is bit-equal
     * in both engines even for negative coordinate sums. */
-  private def trainedCells(v: DataFrame): DataFrame = {
-    var cents: Seq[(Long, Array[Long])] = v
-      .filter(col("vec_id") < KmeansK)
-      .select(col("vec_id"), col("qe"))
-      .collect() // k rows: the deterministic init, model-sized
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .toSeq.sortBy(_._1)
-    for (_ <- 1 to KmeansRounds) {
-      val assigned = v.select(assignCell(cents).as("cid"), col("qe"))
-      cents = assigned
-        .select(col("cid"), posexplode(col("qe")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .collect() // k·dims aggregated rows: model state, not data
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          val arr = new Array[Long](DefaultGeometry.dims)
-          rows.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
-          (cid, arr)
-        }
-        .toSeq.sortBy(_._1)
-    }
-    v.withColumn("cell", assignCell(cents))
-  }
+  private def trainedCells(v: DataFrame): DataFrame =
+    v.withColumn("cell", assignCell(kmeansModel(v, "qe", DefaultGeometry.dims)))
 
   /** Oracle replay of one assignment round against centroid CTE
-    * `c$idx`, producing `a$idx(vec_id, cid)`. */
-  private def kmeansAssignSql(idx: Int): String =
-    s"""s$idx AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c FROM c$idx GROUP BY cid),
-       |d$idx AS (SELECT v.vec_id, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
-       |          FROM qv v JOIN c$idx c ON c.dim = v.dim
+    * `${pfx}c$idx` over source CTE `$src(vec_id, dim, qe)`, producing
+    * `${pfx}a$idx(vec_id, cid)`. */
+  private def kmeansAssignSqlFor(pfx: String, src: String, idx: Int): String =
+    s"""${pfx}s$idx AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
+       |          FROM ${pfx}c$idx GROUP BY cid),
+       |${pfx}d$idx AS (SELECT v.vec_id, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
+       |          FROM $src v JOIN ${pfx}c$idx c ON c.dim = v.dim
        |          GROUP BY v.vec_id, c.cid),
-       |a$idx AS (SELECT vec_id, cid FROM (
+       |${pfx}a$idx AS (SELECT vec_id, cid FROM (
        |            SELECT d.vec_id, d.cid,
        |                   ROW_NUMBER() OVER (PARTITION BY d.vec_id
        |                     ORDER BY s.n2c - 2 * d.dot, d.cid) AS rk
-       |            FROM d$idx d JOIN s$idx s ON s.cid = d.cid) t
+       |            FROM ${pfx}d$idx d JOIN ${pfx}s$idx s ON s.cid = d.cid) t
        |          WHERE rk = 1)""".stripMargin
 
-  /** Oracle replay of one centroid update from assignment `a$idx`:
-    * elementwise floor-division mean, exact in integers. */
-  private def kmeansUpdateSql(idx: Int): String =
-    s"""c${idx + 1} AS (
+  private def kmeansAssignSql(idx: Int): String = kmeansAssignSqlFor("", "qv", idx)
+
+  /** Oracle replay of one centroid update from assignment
+    * `${pfx}a$idx`: elementwise floor-division mean, exact in
+    * integers. */
+  private def kmeansUpdateSqlFor(pfx: String, src: String, idx: Int): String =
+    s"""${pfx}c${idx + 1} AS (
        |  SELECT a.cid, v.dim,
        |         CAST((SUM(v.qe) - ((SUM(v.qe) % COUNT(*) + COUNT(*)) % COUNT(*))) // COUNT(*)
        |              AS BIGINT) AS ce
-       |  FROM a$idx a JOIN qv v ON v.vec_id = a.vec_id
+       |  FROM ${pfx}a$idx a JOIN $src v ON v.vec_id = a.vec_id
        |  GROUP BY a.cid, v.dim)""".stripMargin
+
+  private def kmeansUpdateSql(idx: Int): String = kmeansUpdateSqlFor("", "qv", idx)
+
+  /** Full k-means replay for one PQ subspace `m`: sub-vector slice CTE
+    * + init + rounds + final assignment, ending in `codes$m(vec_id,
+    * cid)` and the trained centroid CTE `p${m}c$KmeansRounds`. */
+  private def pqSubspaceSql(m: Int, subDims: Int): String = {
+    val lo = m * subDims
+    val iters = (0 until KmeansRounds)
+      .map(i => s"${kmeansAssignSqlFor(s"p$m", s"sv$m", i)},\n${kmeansUpdateSqlFor(s"p$m", s"sv$m", i)}")
+      .mkString(",\n")
+    s"""sv$m AS (SELECT vec_id, dim - $lo AS dim, qe FROM qv
+       |          WHERE dim >= $lo AND dim < ${lo + subDims}),
+       |p${m}c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM sv$m WHERE vec_id < $KmeansK),
+       |$iters,
+       |${kmeansAssignSqlFor(s"p$m", s"sv$m", KmeansRounds)},
+       |codes$m AS (SELECT vec_id, cid FROM p${m}a$KmeansRounds),
+       |lut$m AS (SELECT q.vec_id AS qid, c.cid,
+       |                 CAST(SUM((q.qe - c.ce) * (q.qe - c.ce)) AS BIGINT) AS t
+       |          FROM sv$m q JOIN p${m}c$KmeansRounds c ON c.dim = q.dim
+       |          WHERE q.vec_id < 10 GROUP BY q.vec_id, c.cid)""".stripMargin
+  }
 
   /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
   private def bruteScored(v: DataFrame): DataFrame = {
@@ -556,6 +600,83 @@ object Similarity {
         .filter(col("rk") <= 3)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("cell"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- product quantization + ADC (Jégou, Douze, Schmid 2011,
+    // "Product Quantization for Nearest Neighbor Search"): the corpus
+    // is compressed to PqM codebook codes per vector (4 longs here vs
+    // 64 — at 100 TB this is THE memory lever: the ADC scan touches
+    // codes only, never raw vectors), each subspace's codebook trained
+    // by the same deterministic k-means as ss_ivf_trained. Queries
+    // precompute per-(subspace, code) squared-distance lookup tables —
+    // 10×4×8 longs of model-sized state, broadcast — so scoring a
+    // corpus vector is PqM array lookups instead of a dims-wide dot.
+    // Everything is exact integer arithmetic; the oracle replays the 4
+    // trainings, the coding, the LUTs, and the ranking verbatim. ----
+    sql("ss_pq_adc", {
+      val subs = (0 until PqM).map(m => pqSubspaceSql(m, PqSub)).mkString(",\n")
+      val codeJoins = (1 until PqM)
+        .map(m => s"  JOIN codes$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n")
+      val lutJoins = (0 until PqM).map(m =>
+        if (m == 0) "  JOIN lut0 l0 ON l0.cid = c0.cid"
+        else s"  JOIN lut$m l$m ON l$m.cid = c$m.cid AND l$m.qid = l0.qid")
+        .mkString("\n")
+      val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
+      s"""WITH qv AS ($qvSql),
+         |$subs,
+         |adcw AS (
+         |  SELECT l0.qid, c0.vec_id, $adcSum AS adc
+         |  FROM codes0 c0
+         |$codeJoins
+         |$lutJoins
+         |  WHERE c0.vec_id <> l0.qid),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY adc, vec_id) AS rk FROM adcw)
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id, adc
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
+    }) { (s, dir) =>
+      val v = varr(s, dir)
+        .select(col("vec_id") +: (0 until PqM).map(m =>
+          expr(s"slice(qe, ${m * PqSub + 1}, $PqSub)").as(s"sub$m")): _*)
+        .cache()
+      v.count() // one materialization shared by 4 trainings + coding + LUTs
+      val models = (0 until PqM).map(m => kmeansModel(v, s"sub$m", PqSub))
+      // encode: map-side argmin per subspace against literal codebooks
+      val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
+        df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
+        .select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
+      // ADC lookup tables for the bounded query set: exact integer
+      // ||q_m − c||² per (query, subspace, code), indexed by cid (a
+      // dropped empty cell leaves a 0 slot no code can reference)
+      val luts = v.filter(expr(QuerySetSql))
+        .select(col("vec_id") +: (0 until PqM).map(m => col(s"sub$m")): _*)
+        .collect() // ≤10 query rows: bounded like the brute-force set
+        .map { r =>
+          val tables = (0 until PqM).map { m =>
+            val q = r.getSeq[Long](m + 1).toArray
+            val t = new Array[Long](KmeansK)
+            models(m).foreach { case (cid, ce) =>
+              var s2 = 0L
+              var d = 0
+              while (d < PqSub) { val x = q(d) - ce(d); s2 += x * x; d += 1 }
+              t(cid.toInt) = s2
+            }
+            t.toSeq
+          }
+          (r.getLong(0), tables(0), tables(1), tables(2), tables(3))
+        }.toSeq
+      import s.implicits._
+      val lutDf = luts.toDF("qid", "lut0", "lut1", "lut2", "lut3")
+      val adcCol = (0 until PqM).map(m =>
+        expr(s"element_at(lut$m, CAST(code$m AS INT) + 1)")).reduce(_ + _)
+      coded.join(broadcast(lutDf), col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("adc"))
         .orderBy(col("query_id"), col("rk"))
     },
 
