@@ -13,7 +13,8 @@ object SparkEntry {
 
   private[graft] def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ MetaOps.specs ++ Dedup.specs ++
-      Events.specs ++ Text.specs ++ Similarity.specs ++ Multimodal.specs
+      Events.specs ++ Text.specs ++ Similarity.specs ++ Multimodal.specs ++
+      Pipeline.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -182,7 +182,7 @@ object Dedup {
        |  WHERE a.doc_id <> b.doc_id),
        |$pairVerifyTailSql""".stripMargin
 
-  private val neardupCtesSql: String = neardupCtesSqlFor(DefaultGeometry)
+  private[ops] val neardupCtesSql: String = neardupCtesSqlFor(DefaultGeometry)
 
   /** Spark twin of [[neardupCtesSql]]'s `pairs`: shingle → minhash →
     * banded LSH bucket-join → exact-Jaccard verify (≥ 0.5). Signatures

@@ -42,6 +42,53 @@ object Text {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Gopher signal CTE chain ending in `gq(doc_id, n_words,
+    * word_chars, alpha_words, stop_hits, quality_pass)` — shared by
+    * tx_gopher_rules and the composed Pipeline query. */
+  private[ops] val gopherSigSql: String =
+    """gt AS (
+      |  SELECT doc_id, string_split(coalesce(text, '') , ' ') AS ws FROM documents),
+      |gsig AS (
+      |  SELECT doc_id,
+      |         CAST(len(ws) AS BIGINT) AS n_words,
+      |         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS word_chars,
+      |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+      |           AS alpha_words,
+      |         CAST(len(list_intersect(list_distinct(ws),
+      |                                 ['the','a','of','and','to','in','is','for']))
+      |              AS BIGINT) AS stop_hits
+      |  FROM gt),
+      |gq AS (
+      |  SELECT doc_id, n_words, word_chars, alpha_words, stop_hits,
+      |         CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+      |                    AND 3 * n_words <= word_chars
+      |                    AND word_chars <= 10 * n_words
+      |                    AND 5 * alpha_words >= 4 * n_words
+      |                    AND stop_hits >= 2
+      |                   THEN 1 ELSE 0 END AS INT) AS quality_pass
+      |  FROM gsig)""".stripMargin
+
+  /** Spark twin of [[gopherSigSql]]: every signal a map-side array
+    * expression over the token list — zero shuffle, zero explode. */
+  private[ops] def gopherSignals(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      expr("split(coalesce(text, ''), ' ')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(length(w) AS BIGINT))")
+          .as("word_chars"),
+        expr("CAST(size(filter(ws, w -> w rlike '[A-Za-z]')) AS BIGINT)")
+          .as("alpha_words"),
+        expr("""CAST(size(array_intersect(array_distinct(ws),
+                 array('the','a','of','and','to','in','is','for'))) AS BIGINT)""")
+          .as("stop_hits"))
+      .withColumn("quality_pass",
+        (col("n_words").between(10, 100000) &&
+          lit(3) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10) * col("n_words") &&
+          lit(5) * col("alpha_words") >= lit(4) * col("n_words") &&
+          col("stop_hits") >= 2).cast("int"))
+
   /** DuckDB oracle shared by both rolling-hash variants. */
   private val rollingHashOracleSql =
     """SELECT doc_id,
@@ -64,45 +111,10 @@ object Text {
     // The word-count band is scaled to the fixture's short docs
     // (Gopher's own band is 50..100k words). ----
     sql("tx_gopher_rules",
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(coalesce(text, '') , ' ') AS ws FROM documents),
-         |sig AS (
-         |  SELECT doc_id,
-         |         CAST(len(ws) AS BIGINT) AS n_words,
-         |         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS word_chars,
-         |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-         |           AS alpha_words,
-         |         CAST(len(list_intersect(list_distinct(ws),
-         |                                 ['the','a','of','and','to','in','is','for']))
-         |              AS BIGINT) AS stop_hits
-         |  FROM t)
-         |SELECT doc_id, n_words, word_chars, alpha_words, stop_hits,
-         |       CAST(CASE WHEN n_words BETWEEN 10 AND 100000
-         |                  AND 3 * n_words <= word_chars
-         |                  AND word_chars <= 10 * n_words
-         |                  AND 5 * alpha_words >= 4 * n_words
-         |                  AND stop_hits >= 2
-         |                 THEN 1 ELSE 0 END AS INT) AS quality_pass
-         |FROM sig ORDER BY doc_id""") { (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          expr("split(coalesce(text, ''), ' ')").as("ws"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_words"),
-          expr("aggregate(ws, 0L, (acc, w) -> acc + CAST(length(w) AS BIGINT))")
-            .as("word_chars"),
-          expr("CAST(size(filter(ws, w -> w rlike '[A-Za-z]')) AS BIGINT)")
-            .as("alpha_words"),
-          expr("""CAST(size(array_intersect(array_distinct(ws),
-                   array('the','a','of','and','to','in','is','for'))) AS BIGINT)""")
-            .as("stop_hits"))
-        .withColumn("quality_pass",
-          (col("n_words").between(10, 100000) &&
-            lit(3) * col("n_words") <= col("word_chars") &&
-            col("word_chars") <= lit(10) * col("n_words") &&
-            lit(5) * col("alpha_words") >= lit(4) * col("n_words") &&
-            col("stop_hits") >= 2).cast("int"))
-        .orderBy(col("doc_id"))
+      s"""WITH $gopherSigSql
+         |SELECT doc_id, n_words, word_chars, alpha_words, stop_hits, quality_pass
+         |FROM gq ORDER BY doc_id""") { (s, dir) =>
+      gopherSignals(docs(s, dir)).orderBy(col("doc_id"))
     },
 
     // ---- per-source corpus profile: the curation dashboard row a

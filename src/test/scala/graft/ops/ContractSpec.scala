@@ -16,7 +16,7 @@ class ContractSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
     names.foreach { n =>
       assert(n.matches("[a-z0-9_]+"), s"bad name: $n")
-      assert(n.matches("(q\\d+|md|dd|ev|tx|ss|mm)_.*"), s"unknown family: $n")
+      assert(n.matches("(q\\d+|md|dd|ev|tx|ss|mm|pipe)_.*"), s"unknown family: $n")
     }
   }
 
