@@ -404,6 +404,54 @@ object Similarity {
 
   private def kmeansUpdateSql(idx: Int): String = kmeansUpdateSqlFor("", "qv", idx)
 
+  /** Adds the PqM sub-vector slice columns sub0..sub{PqM-1} to
+    * [[varr]]'s output (keeping qe for consumers that also need the
+    * full vector, e.g. the IVFADC coarse quantizer). */
+  private def withSubs(v: DataFrame): DataFrame =
+    v.select(col("vec_id") +: col("qe") +: (0 until PqM).map(m =>
+      expr(s"slice(qe, ${m * PqSub + 1}, $PqSub)").as(s"sub$m")): _*)
+
+  /** Trains the PqM per-subspace codebooks on `v` (must carry the
+    * [[withSubs]] slice columns), returning
+    *  - the coded corpus (vec_id, code0..code{PqM-1}) — the encode is
+    *    a map-side argmin against literal codebooks, and the result is
+    *    PqM longs per vector: the PQ compression;
+    *  - the ADC lookup-table DF for the bounded query set (qid,
+    *    lut0..lut{PqM-1}) — exact integer ‖q_m − c‖² per (query,
+    *    subspace, code), indexed by cid (a dropped empty cell leaves a
+    *    0 slot no code can reference); 10×PqM×KmeansK longs of
+    *    model-sized state, meant to be broadcast. */
+  private def pqCodesAndLuts(s: SparkSession, v: DataFrame): (DataFrame, DataFrame) = {
+    val models = (0 until PqM).map(m => kmeansModel(v, s"sub$m", PqSub))
+    val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
+      df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
+      .select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
+    val luts = v.filter(expr(QuerySetSql))
+      .select(col("vec_id") +: (0 until PqM).map(m => col(s"sub$m")): _*)
+      .collect() // ≤10 query rows: bounded like the brute-force set
+      .map { r =>
+        val tables = (0 until PqM).map { m =>
+          val q = r.getSeq[Long](m + 1).toArray
+          val t = new Array[Long](KmeansK)
+          models(m).foreach { case (cid, ce) =>
+            var s2 = 0L
+            var d = 0
+            while (d < PqSub) { val x = q(d) - ce(d); s2 += x * x; d += 1 }
+            t(cid.toInt) = s2
+          }
+          t.toSeq
+        }
+        (r.getLong(0), tables(0), tables(1), tables(2), tables(3))
+      }.toSeq
+    import s.implicits._
+    (coded, luts.toDF("qid", "lut0", "lut1", "lut2", "lut3"))
+  }
+
+  /** Σ_m lut_m[code_m] — the ADC score of a coded vector against a
+    * query row carrying the lut columns. */
+  private def adcCol: Column = (0 until PqM).map(m =>
+    expr(s"element_at(lut$m, CAST(code$m AS INT) + 1)")).reduce(_ + _)
+
   /** Full k-means replay for one PQ subspace `m`: sub-vector slice CTE
     * + init + rounds + final assignment, ending in `codes$m(vec_id,
     * cid)` and the trained centroid CTE `p${m}c$KmeansRounds`. */
@@ -636,40 +684,9 @@ object Similarity {
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id, adc
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
     }) { (s, dir) =>
-      val v = varr(s, dir)
-        .select(col("vec_id") +: (0 until PqM).map(m =>
-          expr(s"slice(qe, ${m * PqSub + 1}, $PqSub)").as(s"sub$m")): _*)
-        .cache()
+      val v = withSubs(varr(s, dir)).cache()
       v.count() // one materialization shared by 4 trainings + coding + LUTs
-      val models = (0 until PqM).map(m => kmeansModel(v, s"sub$m", PqSub))
-      // encode: map-side argmin per subspace against literal codebooks
-      val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
-        df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
-        .select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
-      // ADC lookup tables for the bounded query set: exact integer
-      // ||q_m − c||² per (query, subspace, code), indexed by cid (a
-      // dropped empty cell leaves a 0 slot no code can reference)
-      val luts = v.filter(expr(QuerySetSql))
-        .select(col("vec_id") +: (0 until PqM).map(m => col(s"sub$m")): _*)
-        .collect() // ≤10 query rows: bounded like the brute-force set
-        .map { r =>
-          val tables = (0 until PqM).map { m =>
-            val q = r.getSeq[Long](m + 1).toArray
-            val t = new Array[Long](KmeansK)
-            models(m).foreach { case (cid, ce) =>
-              var s2 = 0L
-              var d = 0
-              while (d < PqSub) { val x = q(d) - ce(d); s2 += x * x; d += 1 }
-              t(cid.toInt) = s2
-            }
-            t.toSeq
-          }
-          (r.getLong(0), tables(0), tables(1), tables(2), tables(3))
-        }.toSeq
-      import s.implicits._
-      val lutDf = luts.toDF("qid", "lut0", "lut1", "lut2", "lut3")
-      val adcCol = (0 until PqM).map(m =>
-        expr(s"element_at(lut$m, CAST(code$m AS INT) + 1)")).reduce(_ + _)
+      val (coded, lutDf) = pqCodesAndLuts(s, v)
       coded.join(broadcast(lutDf), col("vec_id") =!= col("qid"))
         .withColumn("adc", adcCol)
         .withColumn("rk", row_number().over(
@@ -677,6 +694,64 @@ object Similarity {
         .filter(col("rk") <= 3)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("adc"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- IVFADC: the production ANN composition (FAISS IndexIVFPQ
+    // with by_residual=false) — the trained coarse quantizer restricts
+    // the scan to the query's cell (ss_ivf_trained's cell-probe
+    // equi-join), and ADC ranks the survivors from PQ codes + the
+    // broadcast lookup tables (ss_pq_adc's scoring). At 100 TB this is
+    // the shape that actually ships: 1/N_cells of the corpus touched,
+    // 4 bytes of codes per touched vector, zero raw-vector reads after
+    // the one-off encode. ----
+    sql("ss_ivfadc_topk", {
+      val ivfIters = (0 until KmeansRounds)
+        .map(i => s"${kmeansAssignSql(i)},\n${kmeansUpdateSql(i)}")
+        .mkString(",\n")
+      val pqSubs = (0 until PqM).map(m => pqSubspaceSql(m, PqSub)).mkString(",\n")
+      val codeJoins = (0 until PqM)
+        .map(m => s"  JOIN codes$m k$m ON k$m.vec_id = cp.vec_id").mkString("\n")
+      val lutJoins = (0 until PqM)
+        .map(m => s"  JOIN lut$m l$m ON l$m.qid = cp.qid AND l$m.cid = k$m.cid")
+        .mkString("\n")
+      val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
+      s"""WITH qv AS ($qvSql),
+         |c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $KmeansK),
+         |$ivfIters,
+         |${kmeansAssignSql(KmeansRounds)},
+         |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds),
+         |$pqSubs,
+         |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
+         |cp AS (SELECT q.qid, c.vec_id, c.cell FROM qq q
+         |       JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid),
+         |adcw AS (
+         |  SELECT cp.qid, cp.vec_id, cp.cell, $adcSum AS adc
+         |  FROM cp
+         |$codeJoins
+         |$lutJoins),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY adc, vec_id) AS rk FROM adcw)
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id,
+         |       cell, adc
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
+    }) { (s, dir) =>
+      val v = withSubs(varr(s, dir)).cache()
+      v.count() // shared by the coarse training + 4 PQ trainings + encode
+      val cells = trainedCells(v).select(col("vec_id"), col("cell"))
+      val (coded, lutDf) = pqCodesAndLuts(s, v)
+      val corpus = coded.join(cells, Seq("vec_id"))
+      val qcells = cells.filter(expr(QuerySetSql)).select(col("vec_id").as("qid"), col("cell"))
+      // ≤10 queries with their cell + LUTs: broadcast, cell-probe is an
+      // EQUI-join on cell — only the query's cell is ever scanned
+      corpus.join(broadcast(lutDf.join(qcells, Seq("qid"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("cell"), col("adc"))
         .orderBy(col("query_id"), col("rk"))
     },
 
