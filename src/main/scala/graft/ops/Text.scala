@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -70,7 +70,7 @@ object Text {
 
   /** Spark twin of [[gopherSigSql]]: every signal a map-side array
     * expression over the token list — zero shuffle, zero explode. */
-  private[ops] def gopherSignals(d: DataFrame): DataFrame =
+  private[graft] def gopherSignals(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       expr("split(coalesce(text, ''), ' ')").as("ws"))
       .select(col("doc_id"),
@@ -88,6 +88,23 @@ object Text {
           col("word_chars") <= lit(10) * col("n_words") &&
           lit(5) * col("alpha_words") >= lit(4) * col("n_words") &&
           col("stop_hits") >= 2).cast("int"))
+
+  /** The Gopher pass gate as ONE column expression over a text column
+    * — streaming-friendly (no join, no intermediate frame), used by
+    * [[graft.streaming.StreamOps.curateDocs]]. Must stay equivalent to
+    * [[gopherSignals]]'s quality_pass; StreamOpsSpec asserts the two
+    * formulations agree on the documents fixture. */
+  private[graft] def gopherPass(text: Column): Column = {
+    val ws = split(coalesce(text, lit("")), " ")
+    val nWords = size(ws).cast("long")
+    val wordChars = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val alphaWords = size(filter(ws, (w: Column) => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(stopwords.map(lit): _*))).cast("long")
+    nWords.between(10, 100000) &&
+      lit(3) * nWords <= wordChars && wordChars <= lit(10) * nWords &&
+      lit(5) * alphaWords >= lit(4) * nWords && stopHits >= 2
+  }
 
   /** DuckDB oracle shared by both rolling-hash variants. */
   private val rollingHashOracleSql =

@@ -15,6 +15,11 @@ final case class Event(
 final case class UserSession(
     user_id: Long, start_sec: Long, end_sec: Long, n_events: Long, total_cents: Long)
 
+/** A document arriving on an ingest stream (batch twin: the
+  * `documents` table plus an ingest timestamp). */
+final case class Doc(
+    doc_id: Long, ts: Timestamp, text: String, lang: String, source: String)
+
 private final case class SessionState(
     start_sec: Long, last_sec: Long, n_events: Long, total_cents: Long)
 
@@ -126,6 +131,24 @@ object StreamOps {
   def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming ingest curation — the filter stage a crawl ingest runs
+    * before anything lands in the corpus: the Gopher quality gate
+    * evaluated map-side on each arriving doc (the SAME column
+    * expression as the batch tx_gopher_rules gate — parity asserted in
+    * StreamOpsSpec, so batch and streaming curation cannot drift),
+    * then exact-dup drop by content digest. State is keyed on the
+    * 16-byte digest, never the text, and
+    * `dropDuplicatesWithinWatermark` evicts each key once the
+    * watermark passes it — O(watermark-window) state on an unbounded
+    * stream. */
+  def curateDocs(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .filter(graft.ops.Text.gopherPass(col("text")))
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
 
   private def sessionFn(gapSeconds: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState])

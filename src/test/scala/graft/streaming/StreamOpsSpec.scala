@@ -347,6 +347,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateDocs gates on quality and drops content re-deliveries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the quick brown fox jumps over a lazy dog of sorts and more words here"
+    val good2 = "a data pipeline is made of many stages and the tokens flow through them"
+    val input = MemoryStream[Doc]
+    val q = StreamOps.curateDocs(input.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, ts(0), good1, "en", "web"),
+        Doc(2, ts(1), good1, "en", "mirror"), // same-batch content dup
+        Doc(3, ts(2), "x y z", "en", "web")) // fails the quality gate
+      q.processAllAvailable()
+      input.addData(
+        Doc(4, ts(10), good1, "en", "web"), // cross-batch content dup
+        Doc(5, ts(11), good2, "en", "web"))
+      q.processAllAvailable()
+      val got = spark.table("curated").select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      // doc 1 xor 2 survives (same micro-batch, same digest — one wins);
+      // 3 fails quality, 4 is a cross-batch dup, 5 is new content
+      assert(got.size == 2 && got.last == 5L && (got.head == 1L || got.head == 2L), got)
+    } finally q.stop()
+  }
+
+  test("curateDocs quality gate agrees with the batch tx_gopher_rules gate") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val streamGate = d.select($"doc_id",
+      graft.ops.Text.gopherPass($"text").cast("int").as("p"))
+    val batchGate = graft.ops.Text.gopherSignals(d)
+      .select($"doc_id", $"quality_pass".as("b"))
+    val disagree = streamGate.join(batchGate, Seq("doc_id"))
+      .filter($"p" =!= $"b").count()
+    assert(disagree == 0L)
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
