@@ -421,8 +421,50 @@ object Similarity {
     *    subspace, code), indexed by cid (a dropped empty cell leaves a
     *    0 slot no code can reference); 10×PqM×KmeansK longs of
     *    model-sized state, meant to be broadcast. */
+  /** Trains all PqM codebooks JOINTLY — one Spark job per Lloyd round
+    * for the whole product quantizer, not one per subspace: the M
+    * per-subspace assign+update aggregations fuse into a single
+    * explode + groupBy(m, cid, dim) pass (the subspace id rides in the
+    * key). Same math as [[kmeansModel]] per subspace — deterministic
+    * init, floor-division means — so the per-subspace oracle replay
+    * is unchanged; only the job count drops from 3M to 3. */
+  private def pqModels(v: DataFrame): Seq[Seq[(Long, Array[Long])]] = {
+    var cents: Seq[Seq[(Long, Array[Long])]] = {
+      val init = v.filter(col("vec_id") < KmeansK)
+        .select(col("vec_id") +: (0 until PqM).map(m => col(s"sub$m")): _*)
+        .collect() // k rows: the deterministic init, model-sized
+        .sortBy(_.getLong(0))
+      (0 until PqM).map(m =>
+        init.map(r => (r.getLong(0), r.getSeq[Long](m + 1).toArray)).toSeq)
+    }
+    for (_ <- 1 to KmeansRounds) {
+      val assigned = v.select(
+        (0 until PqM).map(m => assignCellOn(s"sub$m", cents(m)).as(s"cid$m")) ++
+          (0 until PqM).map(m => col(s"sub$m")): _*)
+      val sums = assigned
+        .select(explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), col(s"cid$m").as("cid"), col(s"sub$m").as("v"))): _*))
+          .as("e"))
+        .select(col("e.m"), col("e.cid"), posexplode(col("e.v")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("cid"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // M·k·subDims aggregated rows: model state, not data
+      cents = (0 until PqM).map { m =>
+        sums.filter(_.getInt(0) == m)
+          .groupBy(_.getLong(1))
+          .map { case (cid, rows) =>
+            val arr = new Array[Long](PqSub)
+            rows.foreach(r => arr(r.getInt(2)) = Math.floorDiv(r.getLong(3), r.getLong(4)))
+            (cid, arr)
+          }
+          .toSeq.sortBy(_._1)
+      }
+    }
+    cents
+  }
+
   private def pqCodesAndLuts(s: SparkSession, v: DataFrame): (DataFrame, DataFrame) = {
-    val models = (0 until PqM).map(m => kmeansModel(v, s"sub$m", PqSub))
+    val models = pqModels(v)
     val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
       df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
       .select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
