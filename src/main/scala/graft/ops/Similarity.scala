@@ -408,7 +408,7 @@ object Similarity {
     * [[varr]]'s output (keeping qe for consumers that also need the
     * full vector, e.g. the IVFADC coarse quantizer). */
   private def withSubs(v: DataFrame): DataFrame =
-    v.select(col("vec_id") +: col("qe") +: (0 until PqM).map(m =>
+    v.select(col("vec_id") +: col("qe") +: col("n2") +: (0 until PqM).map(m =>
       expr(s"slice(qe, ${m * PqSub + 1}, $PqSub)").as(s"sub$m")): _*)
 
   /** Trains the PqM per-subspace codebooks on `v` (must carry the
@@ -493,6 +493,27 @@ object Similarity {
     * query row carrying the lut columns. */
   private def adcCol: Column = (0 until PqM).map(m =>
     expr(s"element_at(lut$m, CAST(code$m AS INT) + 1)")).reduce(_ + _)
+
+  /** The full PQ oracle chain — PqM subspace trainings + codes + LUTs
+    * — ending in `adcw(qid, vec_id, adc)`: the query-set × corpus ADC
+    * scores, self excluded. Shared by ss_pq_adc and ss_pq_recall. */
+  private lazy val pqAdcCtesSql: String = {
+    val subs = (0 until PqM).map(m => pqSubspaceSql(m, PqSub)).mkString(",\n")
+    val codeJoins = (1 until PqM)
+      .map(m => s"  JOIN codes$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n")
+    val lutJoins = (0 until PqM).map(m =>
+      if (m == 0) "  JOIN lut0 l0 ON l0.cid = c0.cid"
+      else s"  JOIN lut$m l$m ON l$m.cid = c$m.cid AND l$m.qid = l0.qid")
+      .mkString("\n")
+    val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
+    s"""$subs,
+       |adcw AS (
+       |  SELECT l0.qid, c0.vec_id, $adcSum AS adc
+       |  FROM codes0 c0
+       |$codeJoins
+       |$lutJoins
+       |  WHERE c0.vec_id <> l0.qid)""".stripMargin
+  }
 
   /** Full k-means replay for one PQ subspace `m`: sub-vector slice CTE
     * + init + rounds + final assignment, ending in `codes$m(vec_id,
@@ -704,28 +725,13 @@ object Similarity {
     // corpus vector is PqM array lookups instead of a dims-wide dot.
     // Everything is exact integer arithmetic; the oracle replays the 4
     // trainings, the coding, the LUTs, and the ranking verbatim. ----
-    sql("ss_pq_adc", {
-      val subs = (0 until PqM).map(m => pqSubspaceSql(m, PqSub)).mkString(",\n")
-      val codeJoins = (1 until PqM)
-        .map(m => s"  JOIN codes$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n")
-      val lutJoins = (0 until PqM).map(m =>
-        if (m == 0) "  JOIN lut0 l0 ON l0.cid = c0.cid"
-        else s"  JOIN lut$m l$m ON l$m.cid = c$m.cid AND l$m.qid = l0.qid")
-        .mkString("\n")
-      val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
+    sql("ss_pq_adc",
       s"""WITH qv AS ($qvSql),
-         |$subs,
-         |adcw AS (
-         |  SELECT l0.qid, c0.vec_id, $adcSum AS adc
-         |  FROM codes0 c0
-         |$codeJoins
-         |$lutJoins
-         |  WHERE c0.vec_id <> l0.qid),
+         |$pqAdcCtesSql,
          |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |             ORDER BY adc, vec_id) AS rk FROM adcw)
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id, adc
-         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
-    }) { (s, dir) =>
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
       val v = withSubs(varr(s, dir)).cache()
       v.count() // one materialization shared by 4 trainings + coding + LUTs
       val (coded, lutDf) = pqCodesAndLuts(s, v)
@@ -795,6 +801,59 @@ object Similarity {
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("cell"), col("adc"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- PQ quality eval: recall@3 of the ADC ranking against exact
+    // integer-L2 ground truth — the compression-loss measurement any
+    // PQ deployment runs to size M × k (more subspaces/codes = less
+    // quantization error = higher recall). Truth is bounded (query set
+    // × corpus, broadcast queries), all-integer, so the oracle is
+    // exact. ----
+    sql("ss_pq_recall",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$pqAdcCtesSql,
+         |adctop AS (SELECT qid, vec_id FROM (
+         |             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY adc, vec_id) AS rk FROM adcw) t WHERE rk <= 3),
+         |qq AS (SELECT vec_id AS qid, dim, qe AS qqe FROM qv WHERE $QuerySetSql),
+         |dots AS (SELECT q.qid, v.vec_id, CAST(SUM(q.qqe * v.qe) AS BIGINT) AS dot
+         |         FROM qq q JOIN qv v ON v.dim = q.dim GROUP BY q.qid, v.vec_id),
+         |l2s AS (SELECT d.qid, d.vec_id, nq.n2 - 2 * d.dot + nv.n2 AS l2
+         |        FROM dots d
+         |        JOIN norms nq ON nq.vec_id = d.qid
+         |        JOIN norms nv ON nv.vec_id = d.vec_id
+         |        WHERE d.vec_id <> d.qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |              ORDER BY l2, vec_id) AS rk FROM l2s) t WHERE rk <= 3)
+         |SELECT t.qid AS query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(a.vec_id) AS BIGINT) AS n_recalled
+         |FROM truth t LEFT JOIN adctop a ON a.qid = t.qid AND a.vec_id = t.vec_id
+         |GROUP BY t.qid ORDER BY query_id""") { (s, dir) =>
+      val v = withSubs(varr(s, dir)).cache()
+      v.count() // shared by training, coding, LUTs, and the truth scan
+      val (coded, lutDf) = pqCodesAndLuts(s, v)
+      val adcTop = coded.join(broadcast(lutDf), col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+      val truth = v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("l2", col("n2_q") - lit(2) * dot("qqe", "qe") + col("n2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      truth.join(adcTop.withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("n_truth"),
+          count(col("hit")).cast("long").as("n_recalled"))
+        .orderBy(col("query_id"))
     },
 
     // ---- ANN quality eval: recall@5 of the LSH candidate set against
