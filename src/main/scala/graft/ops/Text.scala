@@ -134,6 +134,56 @@ object Text {
       gopherSignals(docs(s, dir)).orderBy(col("doc_id"))
     },
 
+    // ---- PII scrub: detect + redact email/IPv4 patterns — the
+    // compliance primitive every curation pipeline runs before
+    // training. The fixture prose contains no natural PII, so the
+    // query deterministically INJECTS synthetic markers keyed on
+    // doc_id first (documented, identical on both engines) — the
+    // detection and redaction machinery is then tested non-vacuously.
+    // Patterns are conservative char-class regexes that behave
+    // identically in Java regex (Spark) and RE2 (DuckDB); output is
+    // counts + the digest of the scrubbed text, never the text. All
+    // map-side. ----
+    sql("tx_pii_scrub", {
+      // single-line arms: QuerySpec.sql stripMargins the assembled
+      // oracle, so a continuation line starting with || would lose a bar
+      val inject =
+        "CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' contact user' || " +
+          "CAST(doc_id AS VARCHAR) || '@example.com now' " +
+          "WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' from 10.0.' || " +
+          "CAST(doc_id % 256 AS VARCHAR) || '.1 today' " +
+          "ELSE coalesce(text, '') END"
+      s"""WITH inj AS (SELECT doc_id, $inject AS t FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS INT)
+         |         AS n_emails,
+         |       CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS INT)
+         |         AS n_ips,
+         |       md5(regexp_replace(t,
+         |           '[a-z0-9]+@[a-z0-9]+\\.[a-z]+|[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+',
+         |           '<PII>', 'g')) AS clean_md5
+         |FROM inj ORDER BY doc_id"""
+    }) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("t", expr(
+          """CASE WHEN doc_id % 5 = 0
+            |       THEN concat(coalesce(text, ''), ' contact user',
+            |                   CAST(doc_id AS STRING), '@example.com now')
+            |     WHEN doc_id % 7 = 0
+            |       THEN concat(coalesce(text, ''), ' from 10.0.',
+            |                   CAST(doc_id % 256 AS STRING), '.1 today')
+            |     ELSE coalesce(text, '') END""".stripMargin))
+        .select(col("doc_id"),
+          expr("CAST(size(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\\\\.[a-z]+', 0)) AS INT)")
+            .as("n_emails"),
+          expr("CAST(size(regexp_extract_all(t, '[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+', 0)) AS INT)")
+            .as("n_ips"),
+          md5(regexp_replace(col("t"),
+            "[a-z0-9]+@[a-z0-9]+\\.[a-z]+|[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+",
+            "<PII>")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- per-source corpus profile: the curation dashboard row a
     // pipeline keeps per upstream source — volume, language spread,
     // exact-dup rate (distinct content hashes vs docs). One hash
