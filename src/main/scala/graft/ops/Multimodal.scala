@@ -40,10 +40,13 @@ object Multimodal {
   /** Real codecs, JDK-only: `javax.imageio` decodes PNG/BMP/GIF/JPEG
     * and `javax.sound.sampled` decodes WAV PCM without any external
     * library, so the image and audio paths are REAL here (exercised by
-    * mm_image_dims and MultimodalCodecSpec). Video remains a documented
-    * stub: no JDK video codec exists, and this environment can't add
-    * one — [[nibbleHistogram]] is its deterministic stand-in with the
-    * same shape (bytes in, fixed-width features out). */
+    * mm_image_dims and MultimodalCodecSpec). Video: no JDK H.264/VP9
+    * codec exists and this environment can't add one, so the container
+    * is ours ([[RealCodecs.encodeFrameContainer]], length-prefixed PNG
+    * frames) — but the frame-sampling pipeline is real end-to-end
+    * (container parse, seek past skipped frames, per-frame ImageIO
+    * decode; mm_frame_sample + MultimodalCodecSpec). A real demuxer
+    * swaps in at the header-arithmetic layer only. */
   object RealCodecs {
     /** Image decode → (width, height, color components). */
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
@@ -112,11 +115,39 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** e.g. every k-th video frame re-encoded as JPEG — STUB: the JDK
-      * has no video codec and this offline build can't add one. The
-      * plumbing that would host it is [[nibbleHistogram]]'s
-      * mapPartitions shape. */
-    def sampleFrames(bytes: Array[Byte], everyK: Int): Iterator[Array[Byte]] = ???
+    /** Container for the frame-sampling path: a length-prefixed
+      * sequence of PNG frames (`[n_frames: int32][len_i: int32,
+      * png_i bytes]*`, big-endian). The JDK has no H.264/VP9 codec and
+      * this offline build can't add one, so a REAL video container
+      * stays out of reach — but everything around it is real here:
+      * container parse, per-frame ImageIO decode, every-k-th frame
+      * selection. Swapping in a real demuxer changes only the header
+      * arithmetic. */
+    def encodeFrameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.writeInt(frames.length)
+      frames.foreach { f => dos.writeInt(f.length); dos.write(f) }
+      out.toByteArray
+    }
+
+    /** Every k-th frame of a [[encodeFrameContainer]] payload, DECODED
+      * with the real ImageIO codec — (frame index, width, height).
+      * Frames the sampler skips are never decoded (the point of
+      * sampling: seek past them by the length prefix). */
+    def sampleFrames(bytes: Array[Byte], everyK: Int): Iterator[(Int, Int, Int)] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      (0 until n).iterator.map { i =>
+        val len = in.readInt()
+        if (i % everyK == 0) {
+          val frame = new Array[Byte](len)
+          in.readFully(frame)
+          val (w, h, _) = decodeImage(frame)
+          Some((i, w, h))
+        } else { in.skipNBytes(len.toLong); None }
+      }.flatten
+    }
   }
 
   /** documents → typed assets: payload bytes + synthetic modality. */
@@ -338,6 +369,44 @@ object Multimodal {
         }
         .toDF("asset_id", "n_samples", "peak", "trough")
         .orderBy(col("asset_id"))
+    },
+
+    // ---- REAL frame-sampling end-to-end: synthesize a length-prefixed
+    // container of PNG frames per sampled asset (frame count and dims
+    // are deterministic functions of doc_id), then sample every 2nd
+    // frame via the REAL container-parse + ImageIO decode path —
+    // skipped frames are seeked past, never decoded. The oracle
+    // recomputes the sampled (frame_idx, dims) arithmetically, so a
+    // sampler that decoded the wrong frames (or none) breaks the hash.
+    // The container format is ours (no JDK video codec exists); a real
+    // demuxer swaps in at the header-arithmetic layer only. ----
+    sql("mm_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_idx
+        |  FROM documents, UNNEST(range(0, 2 + doc_id % 4, 2)) AS t(i)
+        |  WHERE doc_id % 37 = 0)
+        |SELECT doc_id AS asset_id, frame_idx,
+        |       CAST(8 + (doc_id + frame_idx) % 8 AS INT) AS width,
+        |       CAST(4 + (doc_id + frame_idx) % 4 AS INT) AS height
+        |FROM f ORDER BY asset_id, frame_idx""") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { docs =>
+          docs.flatMap { case (id, payload) =>
+            val frames = (0 until (2 + id % 4).toInt).map { j =>
+              RealCodecs.encodePng(
+                (8 + (id + j) % 8).toInt, (4 + (id + j) % 4).toInt, payload)
+            }
+            RealCodecs.sampleFrames(RealCodecs.encodeFrameContainer(frames), 2)
+              .map { case (idx, w, h) => (id, idx, w, h) }
+          }
+        }
+        .toDF("asset_id", "frame_idx", "width", "height")
+        .orderBy(col("asset_id"), col("frame_idx"))
     },
 
     // ---- the typed decode pipeline end-to-end (mapPartitions stub) ----

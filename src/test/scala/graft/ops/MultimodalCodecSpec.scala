@@ -58,9 +58,22 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(RealCodecs.decodeAudio(wav).toSeq == samples.toSeq)
   }
 
-  test("sampleFrames remains an explicit stub (no JDK video codec)") {
-    intercept[NotImplementedError] {
-      RealCodecs.sampleFrames(Array[Byte](1, 2, 3), 2)
+  test("sampleFrames decodes exactly every k-th container frame") {
+    val frames = (0 until 5).map(j =>
+      RealCodecs.encodePng(10 + j, 6 + j, Array[Byte](1, 2, 3)))
+    val container = RealCodecs.encodeFrameContainer(frames)
+    val got = RealCodecs.sampleFrames(container, 2).toSeq
+    assert(got == Seq((0, 10, 6), (2, 12, 8), (4, 14, 10)))
+    // k=1 decodes everything; a bigger k than frames yields frame 0 only
+    assert(RealCodecs.sampleFrames(container, 1).size == 5)
+    assert(RealCodecs.sampleFrames(container, 99).toSeq == Seq((0, 10, 6)))
+  }
+
+  test("sampleFrames rejects a truncated container (fails fast, not garbage)") {
+    val container = RealCodecs.encodeFrameContainer(
+      Seq(RealCodecs.encodePng(8, 4, Array[Byte](9))))
+    intercept[java.io.EOFException] {
+      RealCodecs.sampleFrames(container.dropRight(10), 1).toSeq
     }
   }
 }
