@@ -856,6 +856,32 @@ object Similarity {
         .orderBy(col("query_id"))
     },
 
+    // ---- embedding-health profile: per-dimension min/max/sum and
+    // zero count over the quantized corpus — the monitoring row that
+    // catches dead dimensions (all-zero), saturated ones, and
+    // distribution drift between embedding-model versions. One
+    // posexplode + hash aggregation on dim (64 groups): word-count
+    // shape, map-side combined, linear in corpus size. ----
+    sql("ss_embed_stats",
+      s"""WITH qv AS ($qvSql)
+         |SELECT CAST(dim AS INT) AS dim,
+         |       CAST(MIN(qe) AS BIGINT) AS min_q,
+         |       CAST(MAX(qe) AS BIGINT) AS max_q,
+         |       CAST(SUM(qe) AS BIGINT) AS sum_q,
+         |       CAST(SUM(CASE WHEN qe = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |FROM qv GROUP BY dim ORDER BY dim""") { (s, dir) =>
+      varr(s, dir)
+        .select(posexplode(col("qe")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("min_q"),
+          max(col("x")).as("max_q"),
+          sum(col("x")).as("sum_q"),
+          sum(when(col("x") === 0, 1L).otherwise(0L)).cast("long").as("n_zero"))
+        .select(col("dim").cast("int"), col("min_q"), col("max_q"),
+          col("sum_q"), col("n_zero"))
+        .orderBy(col("dim"))
+    },
+
     // ---- ANN quality eval: recall@5 of the LSH candidate set against
     // brute-force ground truth, per query — the measurement loop any
     // production ANN deployment runs to tune bands×planes. Ground truth
