@@ -134,6 +134,44 @@ object Text {
       gopherSignals(docs(s, dir)).orderBy(col("doc_id"))
     },
 
+    // ---- repetition gate (the other half of Gopher's quality
+    // filters, Rae et al. 2021 App. A1.2): fraction of DUPLICATE
+    // word-2-grams per doc — boilerplate and crawler-loop pages repeat
+    // phrases, prose doesn't. dup fraction ≤ 0.2 expressed as the
+    // integer cross-multiplication 5·distinct ≥ 4·total; the empty
+    // case (< 2 words) passes explicitly on BOTH engines (Spark's
+    // sequence() DESCENDS on start > stop — the tx_trigram_langid
+    // lesson). Map-side array expressions, zero shuffle. ----
+    sql("tx_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(len(grams) AS BIGINT) AS n_grams,
+        |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |       CAST(CASE WHEN len(grams) = 0
+        |                  OR 5 * len(list_distinct(grams)) >= 4 * len(grams)
+        |                 THEN 1 ELSE 0 END AS INT) AS repetition_pass
+        |FROM g ORDER BY doc_id""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), expr("split(coalesce(text, ''), ' ')").as("ws"))
+        .withColumn("grams", expr(
+          """CASE WHEN size(ws) >= 2
+            |     THEN transform(sequence(1, size(ws) - 1),
+            |                    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+            |     ELSE array() END""".stripMargin))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        .withColumn("repetition_pass",
+          (col("n_grams") === 0 ||
+            lit(5) * col("n_distinct") >= lit(4) * col("n_grams")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- PII scrub: detect + redact email/IPv4 patterns — the
     // compliance primitive every curation pipeline runs before
     // training. The fixture prose contains no natural PII, so the
