@@ -468,7 +468,7 @@ object Similarity {
     val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
       df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
       .select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
-    val luts = v.filter(expr(QuerySetSql))
+    val lutRows = v.filter(expr(QuerySetSql))
       .select(col("vec_id") +: (0 until PqM).map(m => col(s"sub$m")): _*)
       .collect() // ≤10 query rows: bounded like the brute-force set
       .map { r =>
@@ -483,10 +483,19 @@ object Similarity {
           }
           t.toSeq
         }
-        (r.getLong(0), tables(0), tables(1), tables(2), tables(3))
-      }.toSeq
-    import s.implicits._
-    (coded, luts.toDF("qid", "lut0", "lut1", "lut2", "lut3"))
+        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: tables)
+      }
+    // schema built from PqM like every other PQ component, so the
+    // M×k accuracy knob stays turnable without touching this code
+    val lutSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until PqM).map(m => org.apache.spark.sql.types.StructField(s"lut$m",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+    (coded, s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(lutRows: _*)), lutSchema))
   }
 
   /** Σ_m lut_m[code_m] — the ADC score of a coded vector against a

@@ -36,7 +36,7 @@ class SketchSpec extends AnyFunSuite {
     exact.foreach { case (k, n) =>
       // m=64 registers: rsd = 1.04/sqrt(64) = 13%; allow 2 sigma
       assert(math.abs(approx(k) - n) <= math.max(3, 0.26 * n),
-        s"$k: portable=$approx($k) exact=$n")
+        s"$k: portable=${approx(k)} exact=$n")
       // native sketch at 2% rsd: allow 3 sigma
       assert(math.abs(native(k) - n) <= math.max(3, 0.06 * n),
         s"$k: native=${native(k)} exact=$n")
