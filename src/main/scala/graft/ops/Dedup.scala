@@ -528,6 +528,38 @@ object Dedup {
       t(s, dir, "documents")
         .select(col("doc_id"), expr("graft_simhash16(text)").as("simhash"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- embedding-cosine near-dups AS a dedup operator: the
+    // semantic-dup detector digest/shingle dedup can't be — a
+    // paraphrase or re-render shares no n-grams but sits next to its
+    // twin in embedding space. Reuses the sign-LSH bucketed pair
+    // pipeline (Similarity.cosinePairs — never all-pairs), then joins
+    // back to documents for the curation-relevant columns; the
+    // cross_source flag marks semantic dups that ALSO leak across
+    // corpus splits. Join keys are ids; text never moves. ----
+    sql("dd_semantic_neardups",
+      s"""WITH ${Similarity.cosinePairsCtesSql}
+         |SELECT p.vec_a AS doc_a, p.vec_b AS doc_b,
+         |       da.source AS source_a, db.source AS source_b,
+         |       CAST(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END AS INT)
+         |         AS cross_source
+         |FROM vpairs p
+         |JOIN documents da ON da.doc_id = p.vec_a
+         |JOIN documents db ON db.doc_id = p.vec_b
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Similarity.cosinePairs(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .join(d.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
+          Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
+          Seq("doc_b"))
+        .withColumn("cross_source",
+          (col("source_a") =!= col("source_b")).cast("int"))
+        .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"),
+          col("cross_source"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs

@@ -559,6 +559,32 @@ object Similarity {
     * cos ≥ 0.35 cross-multiplication (400·dot² ≥ 49·n2a·n2b), as SQL
     * over a CTE chain ending in `cand` — ONE definition so the plain
     * and multi-probe variants can never drift apart. */
+  /** Verified cosine near-dup pairs as a CTE chain ending in
+    * `vpairs(vec_a, vec_b)` — the embedding-space dedup primitive,
+    * shared with the dedup-pillar view dd_semantic_neardups. */
+  private[ops] lazy val cosinePairsCtesSql: String =
+    s"""qv AS ($qvSql),
+       |norms AS ($normsSql),
+       |$lshCandCtesSql,
+       |pairdot AS (
+       |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN qv va ON va.vec_id = c.vec_a
+       |  JOIN qv vb ON vb.vec_id = c.vec_b AND vb.dim = va.dim
+       |  GROUP BY c.vec_a, c.vec_b),
+       |vpairs AS (
+       |  SELECT p.vec_a, p.vec_b
+       |  FROM pairdot p
+       |  JOIN norms na ON na.vec_id = p.vec_a
+       |  JOIN norms nb ON nb.vec_id = p.vec_b
+       |  WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2)""".stripMargin
+
+  /** Spark twin of [[cosinePairsCtesSql]]'s `vpairs`. */
+  private[ops] def cosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val v = varr(s, dir).cache()
+    verifiedPairs(v, lshCandidates(v)).select(col("vec_a"), col("vec_b"))
+  }
+
   private def neardupVerifySqlFor(candCtes: String) =
     s"""WITH qv AS ($qvSql),
        |norms AS ($normsSql),
