@@ -560,6 +560,47 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("source_a"), col("source_b"),
           col("cross_source"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- corpus-level duplicate-n-gram coverage (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better"): for
+    // each doc, the fraction of its distinct word 5-grams that occur in
+    // ≥2 documents — the substring-duplication signal that exact-doc
+    // dedup misses. Two word-count-shaped aggregations on the n-gram
+    // key (distinct per doc → doc-frequency), then the df table joins
+    // back hash-partitioned on the SAME key it was aggregated on — the
+    // exchange is reused, and nothing corpus-wide is broadcast. ----
+    sql("dd_ngram_coverage",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ng AS (SELECT DISTINCT doc_id,
+        |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                   || ' ' || w[i+4] AS g
+        |       FROM ws, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |df AS (SELECT g, COUNT(*) AS nd FROM ng GROUP BY g)
+        |SELECT n.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+        |       CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |            AS BIGINT) AS coverage_ppm
+        |FROM ng n JOIN df d ON n.g = d.g
+        |GROUP BY n.doc_id ORDER BY n.doc_id""") { (s, dir) =>
+      val ng = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 5
+            |  THEN transform(sequence(0, size(w) - 5),
+            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+            |  ELSE array()
+            |END""".stripMargin)).as("g"))
+        .distinct()
+      val df = ng.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      ng.join(df, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_ngrams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("dup_ngrams"),
+          expr("CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
+            .as("coverage_ppm"))
+        .orderBy(col("doc_id"))
     })
 
   val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs

@@ -615,6 +615,69 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SQ8 scalar quantizer (FAISS ScalarQuantizer QT_8bit shape):
+    * trained parameters are the per-dimension (min, max) of the
+    * quantized corpus — dims pairs of longs, model-sized driver state
+    * exactly like the k-means centroids. */
+  private def sq8Params(v: DataFrame): (Array[Long], Array[Long]) = {
+    val dims = DefaultGeometry.dims
+    val mn = new Array[Long](dims)
+    val mx = new Array[Long](dims)
+    v.select(posexplode(col("qe")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect() // dims aggregated rows: the quantizer model, not data
+      .foreach { r =>
+        mn(r.getInt(0)) = r.getLong(1); mx(r.getInt(0)) = r.getLong(2)
+      }
+    (mn, mx)
+  }
+
+  /** Map-side SQ8 encode+decode in one step: each coordinate snapped
+    * to the floor of its 255-step per-dimension lattice cell, in a
+    * ×255 integer scale so everything stays exact:
+    * r_d = 255·mn_d + ((x − mn_d)·255 div (mx_d − mn_d))·(mx_d − mn_d).
+    * (x − mn_d) ≥ 0 by construction, so Spark's truncating `div` and
+    * DuckDB's floor `//` agree. The per-dim constants ride along as
+    * literal arrays (3·dims longs), like the LSH sign planes; in a
+    * stored deployment the 1-byte codes would be written once and this
+    * decode would run over codes, never raw vectors. */
+  private def sq8ReconCol(mn: Array[Long], mx: Array[Long]): Column = {
+    val aA = mn.map(m => s"${255 * m}L").mkString("array(", ", ", ")")
+    val mnA = mn.mkString("array(", "L, ", "L)")
+    val sA = mn.indices.map(i => s"${mx(i) - mn(i)}L").mkString("array(", ", ", ")")
+    expr(
+      s"""transform(qe, (x, i) -> CASE WHEN element_at($sA, i + 1) > 0
+         |  THEN element_at($aA, i + 1)
+         |       + ((x - element_at($mnA, i + 1)) * 255 div element_at($sA, i + 1))
+         |         * element_at($sA, i + 1)
+         |  ELSE element_at($aA, i + 1) END)""".stripMargin)
+  }
+
+  /** Oracle replay of the SQ8 pipeline: train (per-dim min/max),
+    * decode, asymmetric inner-product scoring, ranking — CTE chain
+    * ending in `sq_ranked(qid, vec_id, score, rk)`. */
+  private val sq8CtesSql =
+    s"""qv AS ($qvSql),
+       |sq_st AS (SELECT dim, CAST(MIN(qe) AS BIGINT) AS mn, CAST(MAX(qe) AS BIGINT) AS mx
+       |          FROM qv GROUP BY dim),
+       |sq_rec AS (
+       |  SELECT v.vec_id, v.dim,
+       |         CASE WHEN st.mx > st.mn
+       |              THEN 255 * st.mn
+       |                   + ((v.qe - st.mn) * 255 // (st.mx - st.mn)) * (st.mx - st.mn)
+       |              ELSE 255 * st.mn END AS r
+       |  FROM qv v JOIN sq_st st USING (dim)),
+       |sqq AS (SELECT vec_id AS qid, dim, qe FROM qv WHERE $QuerySetSql),
+       |sq_sc AS (
+       |  SELECT q.qid, r.vec_id, CAST(SUM(q.qe * r.r) AS BIGINT) AS score
+       |  FROM sqq q JOIN sq_rec r ON r.dim = q.dim AND r.vec_id <> q.qid
+       |  GROUP BY q.qid, r.vec_id),
+       |sq_ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY score DESC, vec_id) AS rk
+       |  FROM sq_sc)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact brute-force top-5 for a bounded query set: broadcast
@@ -945,6 +1008,82 @@ object Similarity {
         .groupBy(col("query_id"))
         .agg(count(lit(1)).cast("long").as("n_top5"),
           count(col("hit")).cast("long").as("n_recalled"))
+        .orderBy(col("query_id"))
+    },
+
+    // ---- SQ8 scalar-quantized top-3 (FAISS SQ8 / MIPS): the corpus
+    // compressed to 1 byte per dimension (8× vs floats — the memory
+    // lever between raw vectors and PQ's 16×), scored asymmetrically:
+    // exact query ints against the lattice-floor reconstruction, all
+    // integer, ranked by inner product. Train + decode + scan are each
+    // one linear pass; the query set broadcasts. ----
+    sql("ss_sq8_topk",
+      s"""WITH $sq8CtesSql
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+         |       vec_id AS neighbor_id, score
+         |FROM sq_ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = varr(s, dir).cache() // params scan + recon scan + query set
+      v.count() // eager, so the training collect doesn't recompute
+      val (mn, mx) = sq8Params(v)
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"))
+      v.withColumn("r", sq8ReconCol(mn, mx))
+        .join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("score", dot("qqe", "r"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("score"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- SQ8 recall eval: quantized top-3 vs exact inner-product
+    // top-3 — the accuracy row that prices the 8× compression, same
+    // measurement loop as ss_pq_recall prices PQ's 16×. ----
+    sql("ss_sq8_recall",
+      s"""WITH $sq8CtesSql,
+         |ip_gt AS (
+         |  SELECT q.qid, v.vec_id, CAST(SUM(q.qe * v.qe) AS BIGINT) AS dot
+         |  FROM sqq q JOIN qv v ON v.dim = q.dim AND v.vec_id <> q.qid
+         |  GROUP BY q.qid, v.vec_id),
+         |ip_ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY dot DESC, vec_id) AS rk
+         |  FROM ip_gt)
+         |SELECT g.qid AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_top3,
+         |       CAST(COUNT(s.vec_id) AS BIGINT) AS n_recalled
+         |FROM ip_ranked g LEFT JOIN sq_ranked s
+         |  ON s.qid = g.qid AND s.vec_id = g.vec_id AND s.rk <= 3
+         |WHERE g.rk <= 3
+         |GROUP BY g.qid ORDER BY query_id""") { (s, dir) =>
+      val v = varr(s, dir).cache() // shared by params, gt, and sq8 scans
+      v.count()
+      val (mn, mx) = sq8Params(v)
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"))
+      val sq3 = v.withColumn("r", sq8ReconCol(mn, mx))
+        .join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("score", dot("qqe", "r"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("dotv", dot("qqe", "qe"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dotv").desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"))
+        .join(sq3, Seq("qid", "vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as("n_top3"),
+          count(col("hit")).cast("long").as("n_recalled"))
+        .select(col("qid").as("query_id"), col("n_top3"), col("n_recalled"))
         .orderBy(col("query_id"))
     })
 }

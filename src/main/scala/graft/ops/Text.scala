@@ -607,5 +607,119 @@ object Text {
         .select(col("doc_id"), col("rk"), col("word"),
           col("tf").cast("long").as("tf"), col("df").cast("long").as("df"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // ---- benchmark decontamination (word 5-gram overlap, the
+    // GPT-3/PaLM eval-leak check): docs whose id ≡ 0 (mod 10) stand in
+    // for the held-out benchmark; every OTHER doc is scored by how many
+    // of its distinct 5-grams appear anywhere in the benchmark split.
+    // Scale shape: the benchmark n-gram set is benchmark-sized (tiny
+    // vs the corpus) → broadcast inner join against the corpus n-gram
+    // stream; the corpus side is one explode + per-doc re-aggregation,
+    // never shuffled on the n-gram. ----
+    sql("tx_decontaminate",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ng AS (SELECT DISTINCT doc_id,
+        |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |                   || ' ' || w[i+4] AS g
+        |       FROM ws, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 0),
+        |hits AS (SELECT n.doc_id, COUNT(*) AS shared
+        |         FROM ng n JOIN bench b USING (g)
+        |         WHERE n.doc_id % 10 != 0 GROUP BY n.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.shared, 0) AS BIGINT) AS shared_ngrams,
+        |       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 != 0
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val ng = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 5
+            |  THEN transform(sequence(0, size(w) - 5),
+            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+            |  ELSE array()
+            |END""".stripMargin)).as("g"))
+        .distinct()
+      val bench = ng.filter(col("doc_id") % 10 === 0).select(col("g")).distinct()
+      val hits = ng.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+      docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .join(hits.withColumnRenamed("doc_id", "hid"),
+          col("doc_id") === col("hid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared"), lit(0L)).cast("long").as("shared_ngrams"),
+          when(col("hid").isNull, 0).otherwise(1).cast("int").as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- data-mixing weights: per-(lang, source) token mass and the
+    // integer-ppm up/down-sampling weight that would equalize the
+    // mixture across domains (weight_ppm = total/(n_domains·domain) in
+    // parts-per-million, floor division — the domain-reweighting step
+    // of any pretraining mix). One aggregation + a broadcast scalar;
+    // no second pass over the corpus. ----
+    sql("tx_mix_weights",
+      """WITH d AS (SELECT lang, source,
+        |                  len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |g AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |             SUM(n_tokens) AS toks
+        |      FROM d GROUP BY lang, source),
+        |tot AS (SELECT SUM(toks) AS all_toks, COUNT(*) AS n_domains FROM g)
+        |SELECT lang, source,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(toks AS BIGINT) AS domain_tokens,
+        |       CAST(toks * 1000000 // all_toks AS BIGINT) AS share_ppm,
+        |       CAST(all_toks * 1000000 // (n_domains * toks) AS BIGINT) AS weight_ppm
+        |FROM g, tot ORDER BY lang, source""") { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .groupBy(col("lang"), col("source"))
+        .agg(lsum(lit(1)).as("n_docs"), lsum(col("n_tokens")).as("toks"))
+      val tot = g.agg(lsum(col("toks")).as("all_toks"),
+        lsum(lit(1)).as("n_domains"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("toks").as("domain_tokens"),
+          expr("CAST(toks * 1000000 div all_toks AS BIGINT)").as("share_ppm"),
+          expr("CAST(all_toks * 1000000 div (n_domains * toks) AS BIGINT)")
+            .as("weight_ppm"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // ---- corpus-bigram LM fluency proxy: train bigram counts on the
+    // corpus itself (one word-count-shaped aggregation), then score
+    // each doc by the floor-mean corpus frequency of its bigrams — the
+    // KenLM-style "how typical is this text" filter, all-integer so it
+    // hash-matches cross-engine. Scale shape: counts table is
+    // vocab²-bounded (≪ corpus), joined hash-partitioned on the bigram
+    // (the same key it was aggregated on — one exchange, reused). ----
+    sql("tx_bigram_lm",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |       FROM ws, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+        |cnt AS (SELECT g, COUNT(*) AS n FROM bi GROUP BY g)
+        |SELECT b.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(c.n) * 1000 // COUNT(*) AS BIGINT) AS mean_freq_x1000
+        |FROM bi b JOIN cnt c ON b.g = c.g
+        |GROUP BY b.doc_id ORDER BY b.doc_id""") { (s, dir) =>
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 2
+            |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
+            |  ELSE array()
+            |END""".stripMargin)).as("g"))
+      val cnt = bi.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      bi.join(cnt, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(lsum(lit(1)).as("n_bigrams"),
+          expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("mean_freq_x1000"))
+        .orderBy(col("doc_id"))
     })
 }
