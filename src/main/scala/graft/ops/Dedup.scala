@@ -601,6 +601,24 @@ object Dedup {
           expr("CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
             .as("coverage_ppm"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup with the
+    // pairwise-cosine check confined to learned k-means clusters —
+    // the paper's scale trick (k grows with N, so each cell's exact
+    // O(n_c²) stays bounded, and the pair join is an equi-join on
+    // cell). Every doc gets its cluster, duplicate degree, and the
+    // deterministic keep-min-id removal flag — the apply-stage output
+    // a curation pipeline writes. Training + assignment replayed
+    // bit-exactly by the oracle (same Lloyd chain as ss_ivf_trained).
+    sql("dd_semdedup",
+      s"""WITH ${Similarity.semdedupCtesSql}
+         |SELECT vec_id AS doc_id, cell, n_dups, removed
+         |FROM sdflag ORDER BY doc_id""") { (s, dir) =>
+      Similarity.semdedupFrame(s, dir)
+        .select(col("vec_id").as("doc_id"), col("cell"),
+          col("n_dups"), col("removed"))
+        .orderBy(col("doc_id"))
     })
 
   val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs

@@ -316,14 +316,18 @@ object Similarity {
     * state, the Spark MLlib KMeans shape — so assignment is one
     * codegen'd expression with zero shuffle and zero extra scan.
     * Ties break on cell id via the lexicographic (score, cid) min. */
-  private def assignCellOn(vecCol: String, cents: Seq[(Long, Array[Long])]): Column = {
-    val elems = cents.map { case (cid, ce) =>
+  private def assignElems(vecCol: String, cents: Seq[(Long, Array[Long])]): String =
+    cents.map { case (cid, ce) =>
       val n2c = ce.map(x => x * x).sum
       val arr = ce.mkString("array(", "L, ", "L)")
       s"named_struct('s', ${n2c}L - 2L * graft_dot($vecCol, $arr), 'c', ${cid}L)"
     }.mkString(", ")
-    expr(s"array_min(array($elems)).c")
-  }
+  private def assignCellOn(vecCol: String, cents: Seq[(Long, Array[Long])]): Column =
+    expr(s"array_min(array(${assignElems(vecCol, cents)})).c")
+  /** Winning (score, cid) struct — for consumers that also need the
+    * distance to the assigned centroid (||v−c||² = s + n2_v). */
+  private def assignStructOn(vecCol: String, cents: Seq[(Long, Array[Long])]): Column =
+    expr(s"array_min(array(${assignElems(vecCol, cents)}))")
   private def assignCell(cents: Seq[(Long, Array[Long])]): Column =
     assignCellOn("qe", cents)
 
@@ -403,6 +407,21 @@ object Similarity {
        |  GROUP BY a.cid, v.dim)""".stripMargin
 
   private def kmeansUpdateSql(idx: Int): String = kmeansUpdateSqlFor("", "qv", idx)
+
+  /** The whole training replay as a CTE chain over `qv`, ending in
+    * `cells(vec_id, cell)` — plus the final round's `d$KmeansRounds`
+    * (per-(vec, cid) dots) and `s$KmeansRounds` (per-cid ‖c‖²) CTEs,
+    * which profile consumers reuse to recover each vector's distance
+    * to its assigned centroid without recomputing. */
+  private lazy val kmeansCellsCtesSql: String = {
+    val iters = (0 until KmeansRounds)
+      .map(i => s"${kmeansAssignSql(i)},\n${kmeansUpdateSql(i)}")
+      .mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $KmeansK),
+       |$iters,
+       |${kmeansAssignSql(KmeansRounds)},
+       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds)""".stripMargin
+  }
 
   /** Adds the PqM sub-vector slice columns sub0..sub{PqM-1} to
     * [[varr]]'s output (keeping qe for consumers that also need the
@@ -585,6 +604,84 @@ object Similarity {
     verifiedPairs(v, lshCandidates(v)).select(col("vec_a"), col("vec_b"))
   }
 
+  // ---------------------------------------------------------------
+  // SemDeDup: semantic dedup scoped to trained k-means clusters
+  // (Abbas et al. 2023, arXiv:2303.09540)
+  // ---------------------------------------------------------------
+
+  /** Within-cluster cosine threshold for SemDeDup: cos ≥ 0.4, as the
+    * cross-multiplied integer predicate 25·dot² ≥ 4·n2a·n2b (dot>0). */
+  private val SemThreshSql = "d.dot > 0 AND 25 * d.dot * d.dot >= 4 * na.n2 * nb.n2"
+
+  /** SemDeDup replay as a CTE chain (qv → norms → trained cells →
+    * within-cell pairs → removal flags), ending in
+    * `sdflag(vec_id, cell, n_dups, removed)`. Exact-pairwise is
+    * confined to a cluster — the paper's own scale argument: k grows
+    * with the corpus so |cell| stays bounded, and the pair join is an
+    * equi-join on the learned cell, never a corpus cross join. */
+  private[ops] lazy val semdedupCtesSql: String =
+    s"""qv AS ($qvSql),
+       |norms AS ($normsSql),
+       |$kmeansCellsCtesSql,
+       |sdpairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
+       |  FROM cells a JOIN cells b ON b.cell = a.cell AND b.vec_id > a.vec_id),
+       |sddot AS (
+       |  SELECT p.vec_a, p.vec_b, p.cell, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
+       |  FROM sdpairs p
+       |  JOIN qv va ON va.vec_id = p.vec_a
+       |  JOIN qv vb ON vb.vec_id = p.vec_b AND vb.dim = va.dim
+       |  GROUP BY p.vec_a, p.vec_b, p.cell),
+       |sdup AS (
+       |  SELECT d.vec_a, d.vec_b, d.cell
+       |  FROM sddot d
+       |  JOIN norms na ON na.vec_id = d.vec_a
+       |  JOIN norms nb ON nb.vec_id = d.vec_b
+       |  WHERE $SemThreshSql),
+       |sdcnt AS (SELECT vec_id, COUNT(*) AS n_dups FROM (
+       |            SELECT vec_a AS vec_id FROM sdup
+       |            UNION ALL SELECT vec_b FROM sdup) GROUP BY vec_id),
+       |sdrm AS (SELECT DISTINCT vec_b AS vec_id FROM sdup),
+       |sdflag AS (
+       |  SELECT c.vec_id, c.cell,
+       |         CAST(coalesce(n.n_dups, 0) AS BIGINT) AS n_dups,
+       |         CAST(CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS removed
+       |  FROM cells c
+       |  LEFT JOIN sdcnt n ON n.vec_id = c.vec_id
+       |  LEFT JOIN sdrm r ON r.vec_id = c.vec_id)""".stripMargin
+
+  /** Spark twin of [[semdedupCtesSql]]'s `sdflag`: per vector, its
+    * learned cluster, its duplicate degree, and the keep-min-id
+    * removal decision (the paper keeps one representative per
+    * duplicate pair; min-id is the deterministic choice, matching
+    * dd_kept_corpus). */
+  private[ops] def semdedupFrame(s: SparkSession, dir: String): DataFrame = {
+    val v = varr(s, dir).cache()
+    v.count() // shared by training rounds and the pair scan
+    val cells = trainedCells(v)
+    val a = cells.select(col("vec_id").as("vec_a"), col("cell"),
+      col("qe").as("qe_a"), col("n2").as("n2_a"))
+    val b = cells.select(col("vec_id").as("vec_b"), col("cell"),
+      col("qe").as("qe_b"), col("n2").as("n2_b"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("vec_b") > col("vec_a"))
+      .withColumn("dot", dot("qe_a", "qe_b"))
+      .filter(col("dot") > 0 &&
+        lit(25) * col("dot") * col("dot") >= lit(4) * col("n2_a") * col("n2_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val deg = dup.select(col("vec_a").as("vec_id"))
+      .unionAll(dup.select(col("vec_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).cast("long").as("n_dups"))
+    val rm = dup.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("rmf", lit(1))
+    cells.select(col("vec_id"), col("cell"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(rm, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("rmf"), lit(0)).cast("int").as("removed"))
+  }
+
   private def neardupVerifySqlFor(candCtes: String) =
     s"""WITH qv AS ($qvSql),
        |norms AS ($normsSql),
@@ -761,16 +858,10 @@ object Similarity {
     // the oracle), instead of the given `label` column. The cell-probe
     // join itself is identical to ss_ivf_topk's: a query only scans
     // its own learned cell. ----
-    sql("ss_ivf_trained", {
-      val iters = (0 until KmeansRounds)
-        .map(i => s"${kmeansAssignSql(i)},\n${kmeansUpdateSql(i)}")
-        .mkString(",\n")
+    sql("ss_ivf_trained",
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $KmeansK),
-         |$iters,
-         |${kmeansAssignSql(KmeansRounds)},
-         |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds),
+         |$kmeansCellsCtesSql,
          |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
          |cp AS (
          |  SELECT q.qid, c.vec_id, c.cell
@@ -792,8 +883,7 @@ object Similarity {
          |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
          |  FROM scored)
          |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, cell, dot
-         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
-    }) { (s, dir) =>
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
       val v = varr(s, dir).cache() // init + per-round assign/update + final
       v.count() // eager, so training rounds reuse one materialization
       val cells = trainedCells(v)
@@ -1085,5 +1175,47 @@ object Similarity {
           count(col("hit")).cast("long").as("n_recalled"))
         .select(col("qid").as("query_id"), col("n_top3"), col("n_recalled"))
         .orderBy(col("query_id"))
+    },
+
+    // ---- per-cluster profile of the trained k-means model: size,
+    // label diversity, and inertia (Σ ||v − c||², the k-means
+    // objective) — the corpus-organization readout behind SemDeDup /
+    // cluster-balanced sampling, and the health check that tells you
+    // whether the ANN index's cells are usable. Scale shape: the
+    // assignment is the map-side literal-argmin; the profile is ONE
+    // k-group aggregation; distances reuse the argmin's own score
+    // (||v−c||² = s + ‖v‖²), so no second pass touches vectors. ----
+    sql("ss_cluster_profile",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$kmeansCellsCtesSql,
+         |best AS (
+         |  SELECT a.vec_id, a.cid, s.n2c - 2 * d.dot + n.n2 AS dist
+         |  FROM a$KmeansRounds a
+         |  JOIN d$KmeansRounds d ON d.vec_id = a.vec_id AND d.cid = a.cid
+         |  JOIN s$KmeansRounds s ON s.cid = a.cid
+         |  JOIN norms n ON n.vec_id = a.vec_id)
+         |SELECT CAST(b.cid AS BIGINT) AS cell,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(COUNT(DISTINCT e.label) AS BIGINT) AS n_labels,
+         |       CAST(SUM(b.dist) AS BIGINT) AS inertia,
+         |       CAST(MIN(b.vec_id) AS BIGINT) AS min_vec,
+         |       CAST(MAX(b.vec_id) AS BIGINT) AS max_vec
+         |FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+         |GROUP BY b.cid ORDER BY cell""") { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count() // shared by the training rounds and the profile scan
+      val cents = kmeansModel(v, "qe", DefaultGeometry.dims)
+      v.withColumn("asg", assignStructOn("qe", cents))
+        .select(col("vec_id"), col("label"),
+          col("asg").getField("c").as("cell"),
+          (col("asg").getField("s") + col("n2")).as("dist"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          countDistinct(col("label")).cast("long").as("n_labels"),
+          sum(col("dist")).cast("long").as("inertia"),
+          min(col("vec_id")).cast("long").as("min_vec"),
+          max(col("vec_id")).cast("long").as("max_vec"))
+        .orderBy(col("cell"))
     })
 }
