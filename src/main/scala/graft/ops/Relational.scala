@@ -640,5 +640,35 @@ object Relational {
         .filter(col("rk") <= 3)
         .select(col("n_name"), col("rk"), col("s_suppkey"), col("s_name"), col("acctbal_c"))
         .orderBy(col("n_name"), col("rk"))
+    },
+
+    // ---- pivot / crosstab (segment × order-year revenue matrix):
+    // Spark's relational pivot with an explicit value list — with the
+    // values pinned, Catalyst compiles it to ONE aggregation of CASE
+    // projections (no distinct-scan to discover columns, no second
+    // shuffle), exactly the oracle's formulation. Fixed 7-column
+    // output regardless of which years a scale factor contains. ----
+    sql("q26_pivot", {
+      val years = (1995 to 2001)
+      val cols = years.map(y =>
+        s"""CAST(SUM(CASE WHEN year(o_orderdate) = $y
+           |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+           |  AS BIGINT) AS y${y}_c""".stripMargin).mkString(",\n")
+      s"""SELECT c_mktsegment,
+         |$cols
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    }) { (s, dir) =>
+      val years = (1995 to 2001)
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          cents(col("o_totalprice")).as("c"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("yr", years)
+        .agg(sum(col("c")).cast("long"))
+        .select(col("c_mktsegment") +: years.map(y => col(y.toString).as(s"y${y}_c")): _*)
+        .orderBy(col("c_mktsegment"))
     })
 }

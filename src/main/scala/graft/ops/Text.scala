@@ -721,5 +721,128 @@ object Text {
         .agg(lsum(lit(1)).as("n_bigrams"),
           expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("mean_freq_x1000"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- overlapping token-window chunking (the RAG-index /
+    // long-doc-pretraining splitter): 32-token windows, stride 24
+    // (8-token overlap), each chunk addressed (doc_id, chunk_idx,
+    // start_tok) and content-fingerprinted. Pure map-side explode —
+    // zero shuffle, chunks stay in their doc's scan partition. ----
+    sql("tx_chunk_windows",
+      """WITH ws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |            FROM documents),
+        |st AS (SELECT doc_id, w, i AS start
+        |       FROM ws, UNNEST(range(0, greatest(len(w), 1), 24)) AS t(i)),
+        |ck AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |              CAST(start AS BIGINT) AS start_tok,
+        |              w[start + 1 : start + 32] AS cw
+        |       FROM st)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |       CAST(len(cw) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(cw, ' ')) AS digest
+        |FROM ck ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          split(coalesce(col("text"), lit("")), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, greatest(size(w) - 1, 0), 24)")).as("start"))
+        .select(col("doc_id"),
+          expr("CAST(start div 24 AS INT)").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          expr("slice(w, start + 1, 32)").as("cw"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("cw")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("cw"))).as("digest"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- concat-and-chunk sequence packing (the GPT-style batch
+    // builder): within each (lang, source) stream, docs concatenate in
+    // doc_id order and split every 256 tokens; a doc's bin is its
+    // start offset ÷ 256. The running offset is a windowed prefix sum
+    // PARTITIONED BY the stream — each stream packs independently, so
+    // the window never degenerates to a single global partition (the
+    // 100 TB failure mode of orderBy-the-world cumsums). ----
+    sql("tx_pack_manifest",
+      """WITH d AS (SELECT doc_id, lang, source,
+        |                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |                    AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT *,
+        |             CAST(coalesce(SUM(n_tokens) OVER (
+        |               PARTITION BY lang, source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |               AS start_tok
+        |      FROM d)
+        |SELECT doc_id, lang, source, n_tokens, start_tok,
+        |       CAST(start_tok // 256 AS BIGINT) AS bin
+        |FROM p ORDER BY doc_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("start_tok"),
+          expr("CAST(start_tok div 256 AS BIGINT)").as("bin"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for LMs via Importance Resampling"): hashed unigram
+    // features (md5 → 256 buckets, identical in both engines), bucket
+    // distributions of a target split (doc_id ≡ 0 mod 10 stands in
+    // for the high-quality target) vs the raw pool, and each raw
+    // doc's mean likelihood ratio ×1000 with add-one smoothing — the
+    // resampling key. Integerized: the true DSIR log-ratio sum is
+    // monotone-equivalent per bucket; floor arithmetic makes it
+    // hash-stable cross-engine (at petabyte counts the ratio would be
+    // computed per-bucket in ppm first to keep products in i64). Scale
+    // shape: the 256-row bucket table broadcasts; the word stream
+    // aggregates per doc, hash-partitioned on doc_id. ----
+    sql("tx_dsir_weights",
+      """WITH ws AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+        |            FROM documents),
+        |fb AS (SELECT doc_id,
+        |              (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+        |       FROM ws),
+        |bs AS (SELECT b,
+        |              COUNT(*) FILTER (doc_id % 10 = 0) AS tc,
+        |              COUNT(*) FILTER (doc_id % 10 != 0) AS rc
+        |       FROM fb GROUP BY b),
+        |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM bs),
+        |r AS (SELECT b, CAST((tc + 1) * (rt + 256) * 1000
+        |                     // ((rc + 1) * (tt + 256)) AS BIGINT) AS ratio_x1000
+        |      FROM bs, tot)
+        |SELECT f.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(r.ratio_x1000) // COUNT(*) AS BIGINT) AS dsir_score_x1000
+        |FROM fb f JOIN r ON r.b = f.b
+        |WHERE f.doc_id % 10 != 0
+        |GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, dir) =>
+      val fb = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+        .select(col("doc_id"), expr(
+          """(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+            | + (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1)""".stripMargin)
+          .as("b"))
+      val bs = fb.groupBy(col("b")).agg(
+        lsum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("tc"),
+        lsum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("rc"))
+      val tot = bs.agg(lsum(col("tc")).as("tt"), lsum(col("rc")).as("rt"))
+      val r = bs.crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("CAST((tc + 1) * (rt + 256) * 1000 div ((rc + 1) * (tt + 256)) AS BIGINT)")
+            .as("ratio_x1000"))
+      fb.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(r), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          expr("CAST(sum(ratio_x1000) div count(1) AS BIGINT)").as("dsir_score_x1000"))
+        .orderBy(col("doc_id"))
     })
 }
