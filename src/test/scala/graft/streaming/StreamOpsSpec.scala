@@ -347,6 +347,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("enrichEvents broadcast-joins the dim per batch and keeps dim-less events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("user_id", "segment")
+    val input = MemoryStream[Event]
+    val q = StreamOps.enrichEvents(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = Seq(
+        Event(1, 1, "view", ts(0), 5000),
+        Event(2, 2, "purchase", ts(1), 60000),
+        Event(3, 7, "view", ts(2), 20000)) // no dim row for user 7
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select("event_id", "segment", "band")
+        .as[(Long, Option[String], String)].collect().toSeq.sortBy(_._1)
+      assert(got == Seq(
+        (1L, Some("BUILDING"), "low"),
+        (2L, Some("MACHINERY"), "high"),
+        (3L, None, "mid")))
+      // parity: the same transformation over a batch frame
+      val batch = StreamOps.enrichEvents(evs.toDF(), dim)
+        .select("event_id", "segment", "band")
+        .as[(Long, Option[String], String)].collect().toSeq.sortBy(_._1)
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("curateDocs gates on quality and drops content re-deliveries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
