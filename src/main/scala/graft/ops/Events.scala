@@ -317,6 +317,40 @@ object Events {
         .orderBy(col("band"))
     },
 
+    // ---- stream-static enrichment, batch twin of
+    // [[graft.streaming.StreamOps.enrichEvents]]: every event picks up
+    // its user's dimension row (customer segment) via a broadcast LEFT
+    // join — facts are never dropped — then rolls up by (segment,
+    // band) with the same thresholds as the streaming op. Scale shape:
+    // the user dim broadcasts when it fits (the streaming plan's only
+    // option); at dim sizes past the broadcast threshold the same code
+    // degrades to a shuffled hash join on user_id — one exchange. ----
+    sql("ev_enriched_segments",
+      s"""WITH e AS ($baseSql),
+         |en AS (SELECT b.*, c.c_mktsegment AS segment
+         |       FROM e b LEFT JOIN customer c ON c.c_custkey = b.user_id)
+         |SELECT segment,
+         |       CASE WHEN cents >= 50000 THEN 'high'
+         |            WHEN cents >= 10000 THEN 'mid'
+         |            ELSE 'low' END AS band,
+         |       CAST(COUNT(*) AS BIGINT) AS n_events,
+         |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM en GROUP BY segment, band ORDER BY segment, band""") { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      base(s, dir)
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .withColumn("band",
+          when(col("cents") >= 50000L, "high")
+            .when(col("cents") >= 10000L, "mid")
+            .otherwise("low"))
+        .groupBy(col("segment"), col("band"))
+        .agg(lsum(lit(1)).as("n_events"), lsum(col("cents")).as("total_cents"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy(col("segment"), col("band"))
+    },
+
     // ---- order statistics by RANK (not interpolation): quantiles as
     // the value at floor(p·(n-1))+1 in (cents, event_id) order —
     // integer-exact in any engine, one partitioned sort ----
