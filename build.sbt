@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 100+ whole-stage-codegen'd plans in one JVM overflow the default
+  // 240 MB code cache; the JIT then disables itself and every later
+  // query runs interpreted (~2-3x across-the-board slowdown in a full
+  // Bench/Verify session). Same remedy as a long-lived Thrift server.
+  "-XX:ReservedCodeCacheSize=1g",
 )
