@@ -584,17 +584,21 @@ object Dedup {
         |            AS BIGINT) AS coverage_ppm
         |FROM ng n JOIN df d ON n.g = d.g
         |GROUP BY n.doc_id ORDER BY n.doc_id""") { (s, dir) =>
+      // per-doc distinct is map-side (array_distinct before the
+      // explode) — equivalent to the oracle's SELECT DISTINCT (doc_id,
+      // g) without shuffling the full n-gram stream to deduplicate
       val ng = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) >= 5
-            |  THEN transform(sequence(0, size(w) - 5),
-            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+            |  THEN array_distinct(transform(sequence(0, size(w) - 5),
+            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
             |  ELSE array()
             |END""".stripMargin)).as("g"))
-        .distinct()
-      val df = ng.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      ng.join(df, Seq("g"))
+      // doc-frequency via a window partitioned on the n-gram: the
+      // stream is exploded ONCE and shuffled once on g (vs the
+      // aggregate-then-join-back formulation's second explode pass)
+      ng.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_ngrams"),
           sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("dup_ngrams"),

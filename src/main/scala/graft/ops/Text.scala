@@ -633,15 +633,16 @@ object Text {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 10 != 0
         |ORDER BY d.doc_id""") { (s, dir) =>
+      // per-doc distinct is map-side (array_distinct before the
+      // explode), matching the oracle's SELECT DISTINCT with no shuffle
       val ng = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) >= 5
-            |  THEN transform(sequence(0, size(w) - 5),
-            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+            |  THEN array_distinct(transform(sequence(0, size(w) - 5),
+            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
             |  ELSE array()
             |END""".stripMargin)).as("g"))
-        .distinct()
       val bench = ng.filter(col("doc_id") % 10 === 0).select(col("g")).distinct()
       val hits = ng.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(bench), Seq("g"))
@@ -715,8 +716,9 @@ object Text {
             |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
             |  ELSE array()
             |END""".stripMargin)).as("g"))
-      val cnt = bi.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      bi.join(cnt, Seq("g"))
+      // corpus frequency via a window partitioned on the bigram — one
+      // explode pass, one shuffle on g (see dd_ngram_coverage)
+      bi.withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
         .groupBy(col("doc_id"))
         .agg(lsum(lit(1)).as("n_bigrams"),
           expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("mean_freq_x1000"))
