@@ -1177,6 +1177,51 @@ object Similarity {
         .orderBy(col("query_id"))
     },
 
+    // ---- k-NN graph construction (the primitive under graph-based
+    // ANN and graph clustering): every vector's top-3 neighbors AMONG
+    // ITS LSH CANDIDATES, ranked by exact cosine. Candidates come from
+    // the banded bucket join (corpus-linear exchange); both pair
+    // orientations are emitted map-side; ranking is a window
+    // partitioned on vec_id — per-node top-k, no global sort, no
+    // all-pairs anything. Nodes whose buckets collide with nothing
+    // have no edges, as in any LSH-built graph. ----
+    sql("ss_knn_graph",
+      s"""WITH $cosinePairsCtesSql,
+         |bi AS (
+         |  SELECT vec_a AS vec_id, vec_b AS nb, dot FROM pairdot
+         |  UNION ALL SELECT vec_b, vec_a, dot FROM pairdot),
+         |sc AS (
+         |  SELECT b.vec_id, b.nb, b.dot, na.n2 AS n2_q, nv.n2 AS n2_v
+         |  FROM bi b
+         |  JOIN norms na ON na.vec_id = b.vec_id
+         |  JOIN norms nv ON nv.vec_id = b.nb),
+         |rnk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |             ORDER BY $cosExprSql DESC, nb) AS rk
+         |  FROM sc)
+         |SELECT vec_id, CAST(rk AS INT) AS rk, nb AS neighbor_id, dot
+         |FROM rnk WHERE rk <= 3 ORDER BY vec_id, rk""") { (s, dir) =>
+      val v = varr(s, dir).cache() // bucket pass + two edge-side lookups
+      val cand = lshCandidates(v)
+      val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+        col("n2").as("n2_a"))
+      val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+        col("n2").as("n2_b"))
+      val pd = cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+        .withColumn("dot", dot("qe_a", "qe_b"))
+        .select(col("vec_a"), col("vec_b"), col("dot"),
+          col("n2_a"), col("n2_b"))
+      val bi = pd.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"),
+          col("dot"), col("n2_a").as("n2_q"), col("n2_b").as("n2_v"))
+        .unionAll(pd.select(col("vec_b").as("vec_id"), col("vec_a").as("nb"),
+          col("dot"), col("n2_b").as("n2_q"), col("n2_a").as("n2_v")))
+      bi.withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(cosCol.desc, col("nb"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nb").as("neighbor_id"), col("dot"))
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
     // ---- per-cluster profile of the trained k-means model: size,
     // label diversity, and inertia (Σ ||v − c||², the k-means
     // objective) — the corpus-organization readout behind SemDeDup /
