@@ -571,11 +571,7 @@ object Dedup {
     // back hash-partitioned on the SAME key it was aggregated on — the
     // exchange is reused, and nothing corpus-wide is broadcast. ----
     sql("dd_ngram_coverage",
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |ng AS (SELECT DISTINCT doc_id,
-        |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |                   || ' ' || w[i+4] AS g
-        |       FROM ws, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+      s"""WITH ${Text.ng5CtesSql},
         |df AS (SELECT g, COUNT(*) AS nd FROM ng GROUP BY g)
         |SELECT n.doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
@@ -584,17 +580,7 @@ object Dedup {
         |            AS BIGINT) AS coverage_ppm
         |FROM ng n JOIN df d ON n.g = d.g
         |GROUP BY n.doc_id ORDER BY n.doc_id""") { (s, dir) =>
-      // per-doc distinct is map-side (array_distinct before the
-      // explode) — equivalent to the oracle's SELECT DISTINCT (doc_id,
-      // g) without shuffling the full n-gram stream to deduplicate
-      val ng = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(w) >= 5
-            |  THEN array_distinct(transform(sequence(0, size(w) - 5),
-            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
-            |  ELSE array()
-            |END""".stripMargin)).as("g"))
+      val ng = Text.ng5(t(s, dir, "documents"))
       // doc-frequency via a window partitioned on the n-gram: the
       // stream is exploded ONCE and shuffled once on g (vs the
       // aggregate-then-join-back formulation's second explode pass)

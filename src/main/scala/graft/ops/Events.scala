@@ -336,7 +336,8 @@ object Events {
          |       CAST(COUNT(*) AS BIGINT) AS n_events,
          |       CAST(SUM(cents) AS BIGINT) AS total_cents,
          |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         |FROM en GROUP BY segment, band ORDER BY segment, band""") { (s, dir) =>
+         |FROM en GROUP BY segment, band
+         |ORDER BY segment NULLS LAST, band""") { (s, dir) =>
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
       base(s, dir)
@@ -348,7 +349,9 @@ object Events {
         .groupBy(col("segment"), col("band"))
         .agg(lsum(lit(1)).as("n_events"), lsum(col("cents")).as("total_cents"),
           countDistinct(col("user_id")).cast("long").as("n_users"))
-        .orderBy(col("segment"), col("band"))
+        // NULLS LAST pinned on both engines: a dim-less event's NULL
+        // segment sorts first by Spark's default but last by DuckDB's
+        .orderBy(col("segment").asc_nulls_last, col("band"))
     },
 
     // ---- order statistics by RANK (not interpolation): quantiles as

@@ -669,6 +669,7 @@ object Similarity {
       .filter(col("dot") > 0 &&
         lit(25) * col("dot") * col("dot") >= lit(4) * col("n2_a") * col("n2_b"))
       .select(col("vec_a"), col("vec_b"))
+      .cache() // pair ids only; consumed by deg (twice) and rm
     val deg = dup.select(col("vec_a").as("vec_id"))
       .unionAll(dup.select(col("vec_b").as("vec_id")))
       .groupBy(col("vec_id")).agg(count(lit(1)).cast("long").as("n_dups"))
@@ -750,6 +751,19 @@ object Similarity {
          |         * element_at($sA, i + 1)
          |  ELSE element_at($aA, i + 1) END)""".stripMargin)
   }
+
+  /** Shared SQ8 ranking plan: reconstruct, broadcast the query set,
+    * asymmetric integer scoring, per-query top-3. ONE definition so
+    * ss_sq8_topk serves exactly the index ss_sq8_recall measures. */
+  private def sq8Top3(v: DataFrame, qq: DataFrame,
+      mn: Array[Long], mx: Array[Long]): DataFrame =
+    v.withColumn("r", sq8ReconCol(mn, mx))
+      .join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("score", dot("qqe", "r"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("vec_id"))).cast("int"))
+      .filter(col("rk") <= 3)
 
   /** Oracle replay of the SQ8 pipeline: train (per-dim min/max),
     * decode, asymmetric inner-product scoring, ranking — CTE chain
@@ -1117,13 +1131,7 @@ object Similarity {
       val (mn, mx) = sq8Params(v)
       val qq = v.filter(expr(QuerySetSql))
         .select(col("vec_id").as("qid"), col("qe").as("qqe"))
-      v.withColumn("r", sq8ReconCol(mn, mx))
-        .join(broadcast(qq), col("vec_id") =!= col("qid"))
-        .withColumn("score", dot("qqe", "r"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("score").desc, col("vec_id"))).cast("int"))
-        .filter(col("rk") <= 3)
+      sq8Top3(v, qq, mn, mx)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("score"))
         .orderBy(col("query_id"), col("rk"))
@@ -1154,13 +1162,7 @@ object Similarity {
       val (mn, mx) = sq8Params(v)
       val qq = v.filter(expr(QuerySetSql))
         .select(col("vec_id").as("qid"), col("qe").as("qqe"))
-      val sq3 = v.withColumn("r", sq8ReconCol(mn, mx))
-        .join(broadcast(qq), col("vec_id") =!= col("qid"))
-        .withColumn("score", dot("qqe", "r"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("score").desc, col("vec_id"))).cast("int"))
-        .filter(col("rk") <= 3)
+      val sq3 = sq8Top3(v, qq, mn, mx)
         .select(col("qid"), col("vec_id"), lit(1).as("hit"))
       v.join(broadcast(qq), col("vec_id") =!= col("qid"))
         .withColumn("dotv", dot("qqe", "qe"))
@@ -1211,6 +1213,7 @@ object Similarity {
         .withColumn("dot", dot("qe_a", "qe_b"))
         .select(col("vec_a"), col("vec_b"), col("dot"),
           col("n2_a"), col("n2_b"))
+        .cache() // scalar edge rows; both orientations read this once each
       val bi = pd.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"),
           col("dot"), col("n2_a").as("n2_q"), col("n2_b").as("n2_v"))
         .unionAll(pd.select(col("vec_b").as("vec_id"), col("vec_a").as("nb"),

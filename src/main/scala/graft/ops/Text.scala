@@ -38,6 +38,32 @@ object Text {
     .map { case (w, l) => s"('$w', '$l')" }
     .mkString("(VALUES ", ", ", ") AS t(word, cand)")
 
+  /** Distinct word-5-gram stream as an oracle CTE chain ending in
+    * `ng(doc_id, g)` — shared by tx_decontaminate (here) and
+    * dd_ngram_coverage (Dedup), ONE definition so the tokenization
+    * can never drift between the two. */
+  // NB: consumers interpolate this into QuerySpec.sql, which applies
+  // stripMargin AGAIN — no line here may start with '|' once stripped
+  // (a leading '||' concat would lose a bar to the second strip)
+  private[ops] val ng5CtesSql: String =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ng AS (SELECT DISTINCT doc_id,
+      |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |              w[i+3] || ' ' || w[i+4] AS g
+      |       FROM ws, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i))""".stripMargin
+
+  /** Spark twin of [[ng5CtesSql]]'s `ng`: per-doc dedup happens
+    * MAP-SIDE (array_distinct before the explode) — equivalent to the
+    * oracle's SELECT DISTINCT without shuffling the n-gram stream. */
+  private[ops] def ng5(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .select(col("doc_id"), explode(expr(
+      """CASE WHEN size(w) >= 5
+        |  THEN array_distinct(transform(sequence(0, size(w) - 5),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |  ELSE array()
+        |END""".stripMargin)).as("g"))
+
   /** English-ish stopwords for the quality score. */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -618,11 +644,7 @@ object Text {
     // stream; the corpus side is one explode + per-doc re-aggregation,
     // never shuffled on the n-gram. ----
     sql("tx_decontaminate",
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |ng AS (SELECT DISTINCT doc_id,
-        |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |                   || ' ' || w[i+4] AS g
-        |       FROM ws, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+      s"""WITH $ng5CtesSql,
         |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 0),
         |hits AS (SELECT n.doc_id, COUNT(*) AS shared
         |         FROM ng n JOIN bench b USING (g)
@@ -633,16 +655,7 @@ object Text {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 10 != 0
         |ORDER BY d.doc_id""") { (s, dir) =>
-      // per-doc distinct is map-side (array_distinct before the
-      // explode), matching the oracle's SELECT DISTINCT with no shuffle
-      val ng = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(w) >= 5
-            |  THEN array_distinct(transform(sequence(0, size(w) - 5),
-            |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
-            |  ELSE array()
-            |END""".stripMargin)).as("g"))
+      val ng = ng5(docs(s, dir))
       val bench = ng.filter(col("doc_id") % 10 === 0).select(col("g")).distinct()
       val hits = ng.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(bench), Seq("g"))

@@ -142,22 +142,6 @@ object StreamOps {
     * `dropDuplicatesWithinWatermark` evicts each key once the
     * watermark passes it — O(watermark-window) state on an unbounded
     * stream. */
-  /** Stream-static enrichment: each event picks up its user's
-    * dimension row (segment) via a BROADCAST left join — in a
-    * streaming plan the static side is re-resolved every micro-batch
-    * (a catalog-backed dim picks up slow changes between batches) and
-    * the stream side never shuffles, so enrichment adds no state and
-    * no exchange. Events without a dim row survive with a NULL
-    * segment (left join — an enrichment must never drop facts). Adds
-    * the same value band as the batch ev_value_bands. */
-  def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
-    events
-      .join(broadcast(userDim), Seq("user_id"), "left")
-      .withColumn("band",
-        when(col("cents") >= 50000L, "high")
-          .when(col("cents") >= 10000L, "mid")
-          .otherwise("low"))
-
   def curateDocs(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
     docs
       .filter(graft.ops.Text.gopherPass(col("text")))
@@ -165,6 +149,23 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")
+
+  /** Stream-static enrichment: each event picks up its user's
+    * dimension row (segment) via a BROADCAST left join — in a
+    * streaming plan the static side is re-resolved every micro-batch
+    * (a catalog-backed dim picks up slow changes between batches) and
+    * the stream side never shuffles, so enrichment adds no state and
+    * no exchange. Events without a dim row survive with a NULL
+    * segment (left join — an enrichment must never drop facts). Adds
+    * the same value band as the batch ev_value_bands /
+    * ev_enriched_segments. */
+  def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .withColumn("band",
+        when(col("cents") >= 50000L, "high")
+          .when(col("cents") >= 10000L, "mid")
+          .otherwise("low"))
 
   private def sessionFn(gapSeconds: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState])
