@@ -354,6 +354,44 @@ object Events {
         .orderBy(col("segment").asc_nulls_last, col("band"))
     },
 
+    // ---- event-type transition matrix (first-order Markov view of
+    // user journeys): per user, consecutive event pairs via LEAD over
+    // the user's time-ordered stream, then global pair counts and
+    // per-source-state probabilities in ppm. One window partitioned on
+    // user_id (the sessionization exchange, reused shape) + one pair
+    // aggregation; the prob window partitions on from_type (event-type
+    // cardinality, tiny). ----
+    sql("ev_markov_transitions",
+      s"""WITH e AS ($baseSql),
+         |seq AS (
+         |  SELECT user_id, event_type,
+         |         LEAD(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY tsec, event_id) AS next_type
+         |  FROM e),
+         |pc AS (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |         CAST(COUNT(*) AS BIGINT) AS n_transitions
+         |  FROM seq WHERE next_type IS NOT NULL
+         |  GROUP BY from_type, to_type)
+         |SELECT from_type, to_type, n_transitions,
+         |       CAST(n_transitions * 1000000 //
+         |            SUM(n_transitions) OVER (PARTITION BY from_type)
+         |         AS BIGINT) AS prob_ppm
+         |FROM pc ORDER BY from_type, to_type""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"), col("event_id"))
+      val pc = base(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(lsum(lit(1)).as("n_transitions"))
+      pc.withColumn("prob_ppm",
+          expr("CAST(n_transitions * 1000000 div " +
+            "sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // ---- order statistics by RANK (not interpolation): quantiles as
     // the value at floor(p·(n-1))+1 in (cents, event_id) order —
     // integer-exact in any engine, one partitioned sort ----

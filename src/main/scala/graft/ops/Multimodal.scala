@@ -333,6 +333,73 @@ object Multimodal {
         .orderBy(col("asset_id"))
     },
 
+    // ---- image RESIZE (the thumbnail/feature-extract step of a
+    // vision-data pipeline): encode → REAL ImageIO decode →
+    // deterministic nearest-neighbor downscale to 8×4 → integer pixel
+    // sum of the thumbnail. The oracle replays the sampling lattice
+    // arithmetically (sample (x,y,c) reads source byte
+    // (3·(⌊y·h0/4⌋·w0 + ⌊x·w0/8⌋) + c) mod n, byte values recovered
+    // from the hex dump — the round-4 BLOB discipline). Per-record
+    // work stays in the scan partition; only (id, dims, sum) rows
+    // move. ----
+    sql("mm_image_resize",
+      """WITH h AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |         CAST(16 + doc_id % 16 AS BIGINT) AS w0,
+        |         CAST(8 + doc_id % 8 AS BIGINT) AS h0,
+        |         coalesce(octet_length(encode(text)), 0) AS n
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |samp AS (
+        |  SELECT doc_id, hx, n,
+        |         (3 * ((y * h0 // 4) * w0 + (x * w0 // 8)) + c)
+        |           % greatest(n, 1) AS idx
+        |  FROM h, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 4)) AS ty(y),
+        |       UNNEST(range(0, 3)) AS tc(c)),
+        |bv AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n > 0 THEN
+        |           (strpos('0123456789ABCDEF',
+        |                   substring(hx, CAST(2 * idx + 1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |                   substring(hx, CAST(2 * idx + 2 AS INT), 1)) - 1)
+        |         ELSE 0 END AS v
+        |  FROM samp)
+        |SELECT doc_id AS asset_id, CAST(8 AS INT) AS width,
+        |       CAST(4 AS INT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS pix_sum
+        |FROM bv GROUP BY doc_id ORDER BY asset_id""") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { docs =>
+          docs.map { case (id, payload) =>
+            val w0 = (16 + id % 16).toInt
+            val h0 = (8 + id % 8).toInt
+            val png = RealCodecs.encodePng(w0, h0, payload)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            var sum = 0L
+            var y = 0
+            while (y < 4) {
+              var x = 0
+              while (x < 8) {
+                // nearest-neighbor: floor-sample the source lattice
+                val rgb = img.getRGB(x * w0 / 8, y * h0 / 4)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            (id, 8, 4, sum)
+          }
+        }
+        .toDF("asset_id", "width", "height", "pix_sum")
+        .orderBy(col("asset_id"))
+    },
+
     // ---- REAL audio decode end-to-end: synthesize 16-bit mono WAV
     // per sampled asset (one sample per Unicode CODE POINT of the
     // text, (code − 64) · 256 wrapped to Short), decode it back with

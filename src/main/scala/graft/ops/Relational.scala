@@ -670,5 +670,30 @@ object Relational {
         .agg(sum(col("c")).cast("long"))
         .select(col("c_mktsegment") +: years.map(y => col(y.toString).as(s"y${y}_c")): _*)
         .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- correlated SCALAR subquery (TPC-H Q2's shape): richest
+    // customer(s) per nation, the per-group-max-as-subquery idiom.
+    // Catalyst de-correlates it to an aggregate + self-join on the
+    // correlation key — one shuffle on c_nationkey, no per-row
+    // re-execution (the RewriteCorrelatedScalarSubquery rule), which
+    // is why the SQL surface is safe at 100 TB. ----
+    sql("q27_scalar_subquery",
+      """SELECT c_custkey, c_name,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c
+        |FROM customer c1
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) = (
+        |  SELECT MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_sc")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_c
+          |FROM customer_sc c1
+          |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) = (
+          |  SELECT MAX(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+          |  FROM customer_sc c2 WHERE c2.c_nationkey = c1.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
     })
 }
