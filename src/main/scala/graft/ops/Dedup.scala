@@ -609,6 +609,59 @@ object Dedup {
         .select(col("vec_id").as("doc_id"), col("cell"),
           col("n_dups"), col("removed"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash-LSH recall eval (the text-side twin of
+    // ss_recall_eval): ground truth = pairs with TRUE Jaccard ≥ 0.5
+    // whose smaller id is in the query sample (doc_id ≡ 0 mod 5),
+    // computed by an exact shingle equi-join of the sampled docs
+    // against the WHOLE corpus (query-sample methodology — sample ×
+    // collisions work, never corpus²); recall = the fraction the
+    // banded-LSH pipeline (unchanged) recovers. The tuning
+    // measurement for the bands×rows geometry. ----
+    sql("dd_lsh_recall",
+      s"""WITH $neardupCtesSql,
+         |gt_counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |gt_common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0
+         |  GROUP BY a.doc_id, b.doc_id),
+         |gt AS (
+         |  SELECT m.doc_a, m.doc_b
+         |  FROM gt_common m
+         |  JOIN gt_counts ca ON ca.doc_id = m.doc_a
+         |  JOIN gt_counts cb ON cb.doc_id = m.doc_b
+         |  WHERE m.n_common * 2 >= ca.n_sh + cb.n_sh - m.n_common)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(p.doc_a) AS BIGINT) AS n_recalled,
+         |       CAST(COUNT(p.doc_a) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
+         |         AS recall_ppm
+         |FROM gt g LEFT JOIN pairs p
+         |  ON p.doc_a = g.doc_a AND p.doc_b = g.doc_b""") { (s, dir) =>
+      val sh = shArr(s, dir).cache() // exploded twice + counts + LSH side
+      val ex = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      val counts = sh.select(col("doc_id"), col("n_sh"))
+      val common = ex.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("doc_a"), col("sh"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val gt = common
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+          Seq("doc_a"))
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+          Seq("doc_b"))
+        .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+        .select(col("doc_a"), col("doc_b"))
+      val found = neardupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+      gt.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).cast("long").as("n_truth"),
+          count(col("hit")).cast("long").as("n_recalled"),
+          expr("CAST(count(hit) * 1000000 div greatest(count(1), 1) AS BIGINT)")
+            .as("recall_ppm"))
     })
 
   val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs
