@@ -23,6 +23,9 @@ final case class Doc(
 private final case class SessionState(
     start_sec: Long, last_sec: Long, n_events: Long, total_cents: Long)
 
+/** Last-seen event per user — the transition-pair operator's state. */
+private final case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
+
 /** Structured Streaming expressions of the event-table shapes in
   * [[graft.ops.Events]] — the same semantics, incremental: tumbling
   * windows with watermarks, and gap-based sessionization with
@@ -166,6 +169,38 @@ object StreamOps {
         when(col("cents") >= 50000L, "high")
           .when(col("cents") >= 10000L, "mid")
           .otherwise("low"))
+
+  /** Streaming twin of the batch ev_markov_transitions pair stage:
+    * per user, each arriving event pairs with the PREVIOUS event
+    * (event-time order, ties on event_id) into a (from_type, to_type)
+    * transition row. State is one (ts, event_id, type) triple per
+    * user — the "last value per key" pattern — so state size is
+    * O(users), independent of stream length; in-batch events are
+    * sorted before folding (state-store batches are unordered), and
+    * the triple carries across micro-batches so cross-batch
+    * transitions are not lost. Downstream aggregation (counts /
+    * probabilities) composes as a normal streaming groupBy. */
+  def transitionPairs(events: Dataset[Event]): Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transitionFn)
+  }
+
+  private def transitionFn(
+      userId: Long, events: Iterator[Event], state: GroupState[LastEvent])
+      : Iterator[(String, String)] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val out = Seq.newBuilder[(String, String)]
+    var last = state.getOption
+    sorted.foreach { e =>
+      last.foreach(l => out += ((l.event_type, e.event_type)))
+      last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
 
   private def sessionFn(gapSeconds: Long)(
       userId: Long, events: Iterator[Event], state: GroupState[SessionState])

@@ -347,6 +347,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitionPairs matches the batch LEAD pairing, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.transitionPairs(input.toDS())
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two users, in-batch transitions (u1 arrives unordered)
+      input.addData(
+        Event(2, 1, "cart", ts(5), 0),
+        Event(1, 1, "view", ts(0), 0),
+        Event(3, 2, "view", ts(1), 0))
+      q.processAllAvailable()
+      // batch 2: cross-batch transitions continue from held state
+      input.addData(
+        Event(4, 1, "purchase", ts(9), 0),
+        Event(5, 2, "view", ts(7), 0))
+      q.processAllAvailable()
+      val got = spark.table("transitions")
+        .as[(String, String)].collect().toSeq.sorted
+      // batch expectation: LEAD over each user's (ts, event_id) order
+      assert(got == Seq(
+        ("cart", "purchase"), ("view", "cart"), ("view", "view")))
+    } finally q.stop()
+  }
+
   test("enrichEvents broadcast-joins the dim per batch and keeps dim-less events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
