@@ -65,5 +65,61 @@ object Pipeline {
           sum(when(col("quality_pass") === 1 && col("kept") === 1L, 1L)
             .otherwise(0L)).cast("long").as("n_curated"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // ---- the FULL training-data manifest: curation (quality gate ∧
+    // near-dup keep) feeding concat-and-chunk sequence packing — the
+    // artifact a pretraining run actually consumes (which doc lands in
+    // which 256-token bin of which (lang, source) stream). One
+    // declarative plan end-to-end: the dedup keep and quality gate
+    // compose as doc_id equi-joins, the packer's prefix sum is
+    // per-stream (never a global window), and token counts reuse the
+    // gate's own n_words — no re-tokenization pass. ----
+    sql("pipe_training_manifest",
+      s"""WITH RECURSIVE ${Dedup.neardupCtesSql},
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |             FROM reach GROUP BY a),
+         |${Text.gopherSigSql},
+         |curated AS (
+         |  SELECT d.doc_id, d.lang, d.source, g.n_words AS n_tokens
+         |  FROM documents d
+         |  JOIN gq g ON g.doc_id = d.doc_id
+         |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |  WHERE g.quality_pass = 1
+         |    AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)),
+         |p AS (
+         |  SELECT *,
+         |         CAST(coalesce(SUM(n_tokens) OVER (
+         |           PARTITION BY lang, source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS start_tok
+         |  FROM curated)
+         |SELECT doc_id, lang, source, n_tokens, start_tok,
+         |       CAST(start_tok // 256 AS BIGINT) AS bin
+         |FROM p ORDER BY doc_id""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val sig = Text.gopherSignals(d)
+        .select(col("doc_id"), col("quality_pass"), col("n_words"))
+      val clusters = Dedup.clusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("lang"), col("source"))
+        .join(sig, Seq("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .filter(col("quality_pass") === 1 &&
+          (col("cid").isNull || col("cid") === col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_words").as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("start_tok"),
+          expr("CAST(start_tok div 256 AS BIGINT)").as("bin"))
+        .orderBy(col("doc_id"))
     })
 }

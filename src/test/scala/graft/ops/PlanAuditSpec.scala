@@ -19,6 +19,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q27's correlated scalar subquery is de-correlated to a join") {
+    val plan = SparkEntry.queries("q27_scalar_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // a surviving per-row ScalarSubquery would re-execute the inner
+    // aggregate per outer row — the shape that does NOT scale
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("selective filters reach the parquet scan as PushedFilters") {
     val plan = SparkEntry.queries("q7_customers_without_pending")(spark, dir)
       .queryExecution.executedPlan.toString
