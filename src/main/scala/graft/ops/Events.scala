@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import Tables._
 import QuerySpec.sql
@@ -20,12 +21,16 @@ import QuerySpec.sql
   * be handled by AQE skew-join settings, not code changes).
   *
   * Cross-engine determinism:
-  *  - the fixture's parquet timestamps are NANOS, which Spark 4 refuses
-  *    to read as TIMESTAMP; `spark.sql.legacy.parquet.nanosAsLong`
-  *    turns the column into BIGINT nanoseconds. DuckDB reads the same
-  *    column as a microsecond timestamp. Every query therefore works at
-  *    SECOND granularity: `ts div 1e9` (Spark) == `floor(epoch(ts))`
-  *    (DuckDB) — truncating twice equals truncating once.
+  *  - the fixture's `ts` physical encoding is NOT ours to choose, and it
+  *    has changed across driver generations (parquet NANOS originally;
+  *    micros TIMESTAMP_NTZ since round 4's regeneration). The loader
+  *    therefore dispatches on the column's RESOLVED Spark type instead
+  *    of assuming an encoding (see [[tsecOf]]): BIGINT ⇒ nanos
+  *    (`ts div 1e9`, the `spark.sql.legacy.parquet.nanosAsLong` path);
+  *    TIMESTAMP/TIMESTAMP_NTZ ⇒ `unix_seconds` under the UTC session.
+  *    DuckDB reads either encoding as a timestamp and the oracle uses
+  *    `floor(epoch(ts))`. Every query works at SECOND granularity, and
+  *    both paths floor — truncating twice equals truncating once.
   *  - `value` doubles are not exact 2-decimal; both engines quantize
   *    with the identical expression `CAST(round(value*100) AS BIGINT)`
   *    (same double bits in, same cents out).
@@ -33,7 +38,10 @@ import QuerySpec.sql
   */
 object Events {
 
-  /** events with ts as BIGINT nanoseconds (see scaladoc).
+  /** events as read from the fixture; `ts` resolves to BIGINT nanos
+    * (legacy-flag path, old fixtures) or TIMESTAMP_NTZ micros (current
+    * fixtures) — callers must go through [[tsecOf]] rather than touch
+    * `ts` directly (see scaladoc).
     *
     * The legacy flag is scoped set-construct-restore: schema inference
     * (the step Spark 4 refuses without the flag) happens eagerly at
@@ -55,12 +63,34 @@ object Events {
     }
   }
 
+  /** `ts` → epoch seconds, dispatching on the fixture's declared type
+    * rather than a hard-coded physical encoding (the round-4 lesson:
+    * the driver regenerated events.parquet from nanos to micros
+    * underneath us). Both arms floor to the second, matching the
+    * oracle's `floor(epoch(ts))`.
+    */
+  private[graft] def tsecOf(e: DataFrame): Column = e.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000") // nanos-as-BIGINT fixture
+    case TimestampType | TimestampNTZType =>
+      // micros fixture. The session is pinned to UTC, so NTZ→TZ cast is
+      // an identity on the wall-clock and unix_seconds == epoch-in-UTC.
+      expr("unix_seconds(CAST(ts AS TIMESTAMP))")
+    case other => throw new IllegalArgumentException(
+      s"unsupported events.ts encoding: $other (expected BIGINT nanos or TIMESTAMP micros)")
+  }
+
+  /** second-truncated `ts` as a proper TimestampType column (streaming
+    * twins window on this; same dispatch as [[tsecOf]]). */
+  private[graft] def tsTimestampOf(e: DataFrame): Column = to_timestamp(tsecOf(e))
+
   /** epoch seconds + integer cents, the engine-portable core columns. */
-  private def base(s: SparkSession, dir: String): DataFrame =
-    events(s, dir).select(
+  private def base(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.select(
       col("event_id"), col("user_id"), col("event_type"), col("props"),
-      expr("ts div 1000000000").as("tsec"),
+      tsecOf(e).as("tsec"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+  }
 
   private val baseSql =
     """SELECT event_id, user_id, event_type, props,

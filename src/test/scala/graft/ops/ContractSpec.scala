@@ -26,7 +26,7 @@ class ContractSpec extends AnyFunSuite {
       assert(qs.contains(name), s"oracle without query: $name")
       // single-row global aggregates are deterministic without one
       val singleRow = Set("q2_forecast_revenue", "ev_funnel", "tx_dedup_rate",
-        "dd_neardup_rate")
+        "dd_neardup_rate", "dd_lsh_recall")
       assert(sql.toUpperCase.contains("ORDER BY") || singleRow(name),
         s"oracle for $name lacks a deterministic ORDER BY")
     }
@@ -64,6 +64,37 @@ class ContractSpec extends AnyFunSuite {
     val n = SparkEntry.queries("ev_hourly_rollup")(spark, "/root/testdata/sf0.001").count()
     assert(n > 0)
     assert(spark.conf.get(key) == baseline)
+  }
+
+  test("the events loader handles BOTH fixture ts encodings (micros TIMESTAMP, BIGINT nanos)") {
+    // The driver regenerated events.parquet between rounds 3 and 4,
+    // silently switching ts from parquet NANOS to micros TIMESTAMP_NTZ
+    // and breaking every ev_* query. This pins the loader's contract:
+    // identical logical events in either physical encoding must produce
+    // identical results — so the NEXT silent regeneration fails here,
+    // in our own gate, not in the driver's.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val secs = Seq(
+      (1L, 1000800L, 1L, "view", 1.25, "{}"),
+      (2L, 1000900L, 1L, "click", 0.50, "{}"),
+      (3L, 1004400L, 2L, "view", 2.00, "{}"))
+    def dirWith(ts: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-ts-enc-").toString
+      secs.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), ts(col("sec")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      d
+    }
+    val micros = dirWith(c => to_timestamp(c).cast("timestamp_ntz"))
+    val nanos = dirWith(c => (c * 1000000000L).cast("long"))
+    def run(d: String) = SparkEntry.queries("ev_hourly_rollup")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val m = run(micros)
+    assert(m.nonEmpty)
+    assert(m == run(nanos),
+      "micros-TIMESTAMP and nanos-BIGINT encodings of the same events diverged")
   }
 
   test("every registered query returns a non-empty, readable schema at sf0.001") {

@@ -13,10 +13,19 @@ class PlanAuditSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("no registered query plans a CartesianProduct") {
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    // per-query isolation: one broken builder must not mask the audit
+    // of the other 130 (a round-4 lesson — the events loader threw and
+    // this sweep reported nothing about anyone else)
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(s"$name plans a CartesianProduct")
+        else None
+      } catch {
+        case e: Exception => Some(s"$name failed to plan: ${e.getMessage.linesIterator.next()}")
+      }
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("q27's correlated scalar subquery is de-correlated to a join") {
@@ -59,11 +68,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("day-partitioned layout prunes partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part-").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("tsec", Events.tsecOf(raw))
       .selectExpr("event_id", "user_id", "event_type",
         "CAST(round(value * 100) AS BIGINT) AS cents",
-        "ts div 86400000000000 AS day")
+        "tsec div 86400 AS day")
       .write.partitionBy("day").mode("overwrite").parquet(tmp)
 
     // partition-column inference reads `day` back as int

@@ -51,7 +51,7 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     def normalized(df: org.apache.spark.sql.DataFrame) = df.select(
-      to_timestamp(expr("ts div 1000000000")).as("ts"), col("event_type"),
+      graft.ops.Events.tsTimestampOf(df).as("ts"), col("event_type"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
 
     val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -87,7 +87,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     def toEvents(df: org.apache.spark.sql.DataFrame) = df.select(
       col("event_id"), col("user_id"), col("event_type"),
-      to_timestamp(expr("ts div 1000000000")).as("ts"),
+      graft.ops.Events.tsTimestampOf(df).as("ts"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as[Event]
 
     // batch expectation from the ev_sessionization shape, keyed the
@@ -95,7 +95,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("tsec", "event_id")
     val batch = raw.select(col("user_id"), col("event_id"),
-        expr("ts div 1000000000").as("tsec"),
+        graft.ops.Events.tsecOf(raw).as("tsec"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .withColumn("new_s", when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
         lag("tsec", 1).over(w).isNull, 1).otherwise(0))
@@ -193,7 +193,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     def normalized(df: org.apache.spark.sql.DataFrame) = df.select(
       col("event_id"), col("user_id"), col("event_type"),
-      to_timestamp(expr("ts div 1000000000")).as("ts"),
+      graft.ops.Events.tsTimestampOf(df).as("ts"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
 
     val batch = {
