@@ -377,6 +377,45 @@ object Similarity {
   private def trainedCells(v: DataFrame): DataFrame =
     v.withColumn("cell", assignCell(kmeansModel(v, "qe", DefaultGeometry.dims)))
 
+  /** Broadcast-join twin of the literal argmin, for LARGE k. The
+    * literal path embeds k·dims longs in the expression tree — the
+    * right call at model scale (k=8 ⇒ 512 longs, zero shuffle), but at
+    * production IVF scale (k ≈ 2¹⁶) the plan itself becomes multi-MB
+    * and is re-analyzed on every use. Here the centroids travel as a
+    * broadcast TABLE instead: vectors explode to (vec_id, dim, x),
+    * BroadcastHashJoin the centroid elements on dim, map-side-combine
+    * the per-(vec, cid) dots, then take the lexicographic (score, cid)
+    * min per vector — the same tie-break as [[assignCell]], so the two
+    * paths are bit-equal (asserted at k=8 by SimilaritySpec and the
+    * ss_cells_broadcast oracle). Cost is the honest exhaustive
+    * assignment (k dots per vector) either way; only the model's
+    * transport changes.
+    */
+  private[ops] def assignCellsBroadcast(v: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val centDf = cents.flatMap { case (cid, ce) =>
+      ce.iterator.zipWithIndex.map { case (x, d) => (cid, d, x) } }
+      .toDF("cid", "dim", "ce")
+    val normDf = cents.map { case (cid, ce) => (cid, ce.map(x => x * x).sum) }
+      .toDF("cid", "n2c")
+    v.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .join(broadcast(centDf), Seq("dim"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum(col("x") * col("ce")).as("dot"))
+      .join(broadcast(normDf), Seq("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((col("n2c") - lit(2L) * col("dot")).as("s"),
+        col("cid").as("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"))
+  }
+
+  /** [[trainedCells]]' large-k twin: identical trained model,
+    * broadcast-join assignment instead of literal-argmin. */
+  private[ops] def trainedCellsBroadcast(v: DataFrame): DataFrame =
+    assignCellsBroadcast(v, "qe", kmeansModel(v, "qe", DefaultGeometry.dims))
+
   /** Oracle replay of one assignment round against centroid CTE
     * `${pfx}c$idx` over source CTE `$src(vec_id, dim, qe)`, producing
     * `${pfx}a$idx(vec_id, cid)`. */
@@ -914,6 +953,20 @@ object Similarity {
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("cell"), col("dot"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- the SAME trained assignment through the large-k transport:
+    // centroids as a broadcast table (BroadcastHashJoin on dim +
+    // map-side dot aggregation) instead of a literal expression tree.
+    // Registered as its own oracle-checked query so the scale path is
+    // driver-verified, not just unit-tested against the literal twin. ----
+    sql("ss_cells_broadcast",
+      s"""WITH qv AS ($qvSql),
+         |$kmeansCellsCtesSql
+         |SELECT vec_id, cell FROM cells ORDER BY vec_id""") { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count() // eager, so training rounds reuse one materialization
+      trainedCellsBroadcast(v).orderBy(col("vec_id"))
     },
 
     // ---- product quantization + ADC (Jégou, Douze, Schmid 2011,

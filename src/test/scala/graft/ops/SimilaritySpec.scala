@@ -44,4 +44,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.lshMultiprobeCandidates(v, g)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == unfiltered)
   }
+
+  test("broadcast-table centroid assignment is bit-equal to the literal argmin") {
+    // the large-k transport (ss_cells_broadcast) must agree with the
+    // literal-expression path (ss_ivf_trained's assignment) on every
+    // vector, ties included
+    val v = Similarity.varr(spark, dir).cache()
+    v.count()
+    val literal = SparkEntry.queries("ss_ivf_trained")(spark, dir)
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = Similarity.trainedCellsBroadcast(v)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bcast.size > literal.size) // broadcast path assigns ALL vectors
+    literal.foreach { case (id, cell) =>
+      assert(bcast(id) == cell, s"vec $id: literal=$cell broadcast=${bcast(id)}")
+    }
+  }
+
+  test("the broadcast assignment plans broadcast joins and no multi-MB literal") {
+    val v = Similarity.varr(spark, dir)
+    val plan = Similarity.trainedCellsBroadcast(v)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // the literal path's signature is a giant array(...L, ...L) in the
+    // plan text; the broadcast path must not embed the model that way
+    assert(plan.length < 200 * 1024, s"plan is ${plan.length} chars — model leaked into the plan")
+  }
 }
