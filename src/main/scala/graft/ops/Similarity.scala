@@ -416,6 +416,150 @@ object Similarity {
   private[ops] def trainedCellsBroadcast(v: DataFrame): DataFrame =
     assignCellsBroadcast(v, "qe", kmeansModel(v, "qe", DefaultGeometry.dims))
 
+  // ---------------------------------------------------------------
+  // k-NN graph + beam search over it (graph ANN, batch-expressed)
+  // ---------------------------------------------------------------
+
+  /** Beam geometry for ss_graph_search: fixed hop count and per-hop
+    * frontier bound, so the walk is a finite deterministic plan the
+    * oracle can replay hop by hop. Recall at this geometry is bounded
+    * by the GRAPH, not the beam (measured: beam 8 × 4 hops recalls only
+    * 2/30 more than 4 × 3 on the fixture) — the degree-3 LSH-candidate
+    * edges are the knob that buys recall, so widening the walk mostly
+    * buys plan depth. ss_graph_recall prices exactly this trade. */
+  private val BeamHops = 3
+  private val BeamWidth = 4
+
+  /** Directed LSH-kNN edges (vec_id, rk, nb, dot): each node's top-3
+    * among its LSH candidates by exact cosine — ss_knn_graph's builder,
+    * shared with [[beamSearch]]. Both pair orientations are emitted
+    * map-side; ranking is a window partitioned on vec_id — per-node
+    * top-k, no global sort, no all-pairs anything. */
+  private def knnGraph(v: DataFrame): DataFrame = {
+    val cand = lshCandidates(v)
+    val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+      col("n2").as("n2_a"))
+    val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+      col("n2").as("n2_b"))
+    val pd = cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+      .withColumn("dot", dot("qe_a", "qe_b"))
+      .select(col("vec_a"), col("vec_b"), col("dot"),
+        col("n2_a"), col("n2_b"))
+      .cache() // scalar edge rows; both orientations read this once each
+    val bi = pd.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"),
+        col("dot"), col("n2_a").as("n2_q"), col("n2_b").as("n2_v"))
+      .unionAll(pd.select(col("vec_b").as("vec_id"), col("vec_a").as("nb"),
+        col("dot"), col("n2_b").as("n2_q"), col("n2_a").as("n2_v")))
+    bi.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(cosCol.desc, col("nb"))).cast("int"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Oracle CTE chain for [[knnGraph]], ending in
+    * `krnk(vec_id, nb, dot, n2_q, n2_v, rk)` (edges = rk <= 3). */
+  private lazy val knnEdgesCtesSql: String =
+    s"""$cosinePairsCtesSql,
+       |bi AS (
+       |  SELECT vec_a AS vec_id, vec_b AS nb, dot FROM pairdot
+       |  UNION ALL SELECT vec_b, vec_a, dot FROM pairdot),
+       |ksc AS (
+       |  SELECT b.vec_id, b.nb, b.dot, na.n2 AS n2_q, nv.n2 AS n2_v
+       |  FROM bi b
+       |  JOIN norms na ON na.vec_id = b.vec_id
+       |  JOIN norms nv ON nv.vec_id = b.nb),
+       |krnk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY $cosExprSql DESC, nb) AS rk
+       |  FROM ksc)""".stripMargin
+
+  /** One oracle hop `i`: frontier → new candidates (gc) → exact dots
+    * (gd) → cosine-scored (gs) → bounded beam (gb). A node is "new" if
+    * no EARLIER hop scored it (and it isn't the query itself) — scored
+    * nodes never re-enter, the classic visited-set contract. */
+  private def beamHopSqlFor(i: Int): String = {
+    val frontier =
+      if (i == 1) "SELECT qid, qid AS node FROM gq"
+      else s"SELECT qid, node FROM gb${i - 1}"
+    val exclusions = (1 until i).map(j =>
+      s"""
+         |    AND NOT EXISTS (SELECT 1 FROM gc$j x
+         |                    WHERE x.qid = f.qid AND x.node = e.dst)""".stripMargin)
+      .mkString
+    s"""gc$i AS (
+       |  SELECT DISTINCT f.qid, e.dst AS node
+       |  FROM ($frontier) f JOIN gedges e ON e.src = f.node
+       |  WHERE e.dst <> f.qid$exclusions),
+       |gd$i AS (
+       |  SELECT c.qid, c.node, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+       |  FROM gc$i c
+       |  JOIN qv a ON a.vec_id = c.qid
+       |  JOIN qv b ON b.vec_id = c.node AND b.dim = a.dim
+       |  GROUP BY c.qid, c.node),
+       |gs$i AS (
+       |  SELECT d.qid, d.node, d.dot, na.n2 AS n2_q, nv.n2 AS n2_v
+       |  FROM gd$i d
+       |  JOIN norms na ON na.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.node),
+       |gb$i AS (
+       |  SELECT qid, node FROM (
+       |    SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY $cosExprSql DESC, node) AS rk
+       |    FROM gs$i) t WHERE rk <= $BeamWidth)""".stripMargin
+  }
+
+  /** The whole beam walk as a CTE chain, ending in
+    * `granked(qid, node, dot, rk)` over every node any hop scored. */
+  private lazy val beamSearchCtesSql: String = {
+    val hops = (1 to BeamHops).map(beamHopSqlFor).mkString(",\n")
+    val pool = (1 to BeamHops).map(i => s"SELECT * FROM gs$i").mkString(" UNION ALL ")
+    s"""$knnEdgesCtesSql,
+       |gedges AS (SELECT vec_id AS src, nb AS dst FROM krnk WHERE rk <= 3),
+       |gq AS (SELECT DISTINCT vec_id AS qid FROM qv WHERE $QuerySetSql),
+       |$hops,
+       |gpool AS ($pool),
+       |granked AS (
+       |  SELECT qid, node, dot, ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY $cosExprSql DESC, node) AS rk
+       |  FROM gpool)""".stripMargin
+  }
+
+  /** Spark twin of [[beamSearchCtesSql]]: returns every scored node
+    * with its rank — (qid, node, dot, n2_q, n2_v, rk), rk <= 3.
+    * The loop unrolls [[BeamHops]] joins into one plan; per hop the
+    * frontier is queries × beam rows, candidates exclude ALL
+    * previously-scored nodes via an anti-join against the accumulated
+    * visited set (itself bounded by queries × beam × degree × hops). */
+  private def beamSearch(v: DataFrame): DataFrame = {
+    val edges = knnGraph(v)
+      .select(col("vec_id").as("src"), col("nb").as("dst")).cache()
+    val qq = v.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("n2").as("n2_q"))
+    val cvec = v.select(col("vec_id").as("node"), col("qe"),
+      col("n2").as("n2_v"))
+    var frontier = qq.select(col("qid"), col("qid").as("node"))
+    var visited = frontier
+    var pool: DataFrame = null
+    for (_ <- 1 to BeamHops) {
+      val cand = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("qid"), col("dst").as("node")).distinct()
+        .join(visited, Seq("qid", "node"), "left_anti")
+      val scored = cand.join(cvec, Seq("node"))
+        .join(broadcast(qq), Seq("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .select(col("qid"), col("node"), col("dot"), col("n2_q"), col("n2_v"))
+      pool = if (pool == null) scored else pool.unionAll(scored)
+      visited = visited.unionAll(cand)
+      frontier = scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("node"))))
+        .filter(col("rk") <= BeamWidth)
+        .select(col("qid"), col("node"))
+    }
+    pool.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("node"))).cast("int"))
+      .filter(col("rk") <= 3)
+  }
+
   /** Oracle replay of one assignment round against centroid CTE
     * `${pfx}c$idx` over source CTE `$src(vec_id, dim, qe)`, producing
     * `${pfx}a$idx(vec_id, cid)`. */
@@ -1241,41 +1385,88 @@ object Similarity {
     // all-pairs anything. Nodes whose buckets collide with nothing
     // have no edges, as in any LSH-built graph. ----
     sql("ss_knn_graph",
-      s"""WITH $cosinePairsCtesSql,
-         |bi AS (
-         |  SELECT vec_a AS vec_id, vec_b AS nb, dot FROM pairdot
-         |  UNION ALL SELECT vec_b, vec_a, dot FROM pairdot),
-         |sc AS (
-         |  SELECT b.vec_id, b.nb, b.dot, na.n2 AS n2_q, nv.n2 AS n2_v
-         |  FROM bi b
-         |  JOIN norms na ON na.vec_id = b.vec_id
-         |  JOIN norms nv ON nv.vec_id = b.nb),
-         |rnk AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |             ORDER BY $cosExprSql DESC, nb) AS rk
-         |  FROM sc)
+      s"""WITH $knnEdgesCtesSql
          |SELECT vec_id, CAST(rk AS INT) AS rk, nb AS neighbor_id, dot
-         |FROM rnk WHERE rk <= 3 ORDER BY vec_id, rk""") { (s, dir) =>
+         |FROM krnk WHERE rk <= 3 ORDER BY vec_id, rk""") { (s, dir) =>
       val v = varr(s, dir).cache() // bucket pass + two edge-side lookups
-      val cand = lshCandidates(v)
-      val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
-        col("n2").as("n2_a"))
-      val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
-        col("n2").as("n2_b"))
-      val pd = cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
-        .withColumn("dot", dot("qe_a", "qe_b"))
-        .select(col("vec_a"), col("vec_b"), col("dot"),
-          col("n2_a"), col("n2_b"))
-        .cache() // scalar edge rows; both orientations read this once each
-      val bi = pd.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"),
-          col("dot"), col("n2_a").as("n2_q"), col("n2_b").as("n2_v"))
-        .unionAll(pd.select(col("vec_b").as("vec_id"), col("vec_a").as("nb"),
-          col("dot"), col("n2_b").as("n2_q"), col("n2_a").as("n2_v")))
-      bi.withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(cosCol.desc, col("nb"))).cast("int"))
-        .filter(col("rk") <= 3)
+      knnGraph(v)
         .select(col("vec_id"), col("rk"), col("nb").as("neighbor_id"), col("dot"))
         .orderBy(col("vec_id"), col("rk"))
+    },
+
+    // ---- beam search OVER the k-NN graph (the NSW/HNSW serving
+    // primitive, batch-expressed): start each query at its own node,
+    // expand frontier → neighbors for a fixed number of hops, score
+    // every reached node by exact cosine, keep a bounded beam per hop,
+    // answer from everything scored. Deterministic by construction
+    // (fixed hops, fixed beam, lexicographic (cos, node) tie-breaks) so
+    // the oracle replays the whole walk as a CTE chain.
+    // Scale shape: per hop ONE join of the (queries × beam)-bounded
+    // frontier against the edge table (hash-partitioned on src; at
+    // 100 TB you'd bucket it on src once and every hop co-locates) plus
+    // a broadcast of the bounded query set — frontier and state never
+    // exceed queries × beam rows, and the scored pool is queries ×
+    // beam × degree × hops, all model-sized. No corpus-wide scan after
+    // graph construction: that is the point of graph ANN. ----
+    sql("ss_graph_search",
+      s"""WITH $beamSearchCtesSql
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+         |       node AS neighbor_id, dot
+         |FROM granked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = varr(s, dir).cache() // graph build + per-hop scoring scans
+      beamSearch(v)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("node").as("neighbor_id"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- graph-search recall@3 vs exact cosine top-3: the accuracy
+    // row that prices the beam (same measurement loop as ss_pq_recall /
+    // ss_sq8_recall price their compressions). ----
+    sql("ss_graph_recall",
+      s"""WITH $beamSearchCtesSql,
+         |ggtd AS (
+         |  SELECT q.qid, b.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM gq q
+         |  JOIN qv a ON a.vec_id = q.qid
+         |  JOIN qv b ON b.dim = a.dim AND b.vec_id <> q.qid
+         |  GROUP BY q.qid, b.vec_id),
+         |ggts AS (
+         |  SELECT d.qid, d.vec_id, d.dot, na.n2 AS n2_q, nv.n2 AS n2_v
+         |  FROM ggtd d
+         |  JOIN norms na ON na.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id),
+         |ggtr AS (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY $cosExprSql DESC, vec_id) AS rk
+         |  FROM ggts)
+         |SELECT g.qid AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_top3,
+         |       CAST(COUNT(s.node) AS BIGINT) AS n_recalled
+         |FROM ggtr g LEFT JOIN granked s
+         |  ON s.qid = g.qid AND s.node = g.vec_id AND s.rk <= 3
+         |WHERE g.rk <= 3
+         |GROUP BY g.qid ORDER BY query_id""") { (s, dir) =>
+      val v = varr(s, dir).cache() // graph + search + brute-force GT
+      v.count()
+      val found = beamSearch(v)
+        .select(col("qid"), col("node"), lit(1).as("hit"))
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+          col("n2").as("n2_q"))
+      v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("node"))
+        .join(found, Seq("qid", "node"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as("n_top3"),
+          count(col("hit")).cast("long").as("n_recalled"))
+        .select(col("qid").as("query_id"), col("n_top3"), col("n_recalled"))
+        .orderBy(col("query_id"))
     },
 
     // ---- per-cluster profile of the trained k-means model: size,

@@ -45,6 +45,28 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == unfiltered)
   }
 
+  test("graph-search results are reachable within the beam's hop budget") {
+    // independent BFS over the materialized edge list: every neighbor
+    // the beam returns must lie within 3 hops of its query in the
+    // directed k-NN graph (the beam can only prune, never teleport)
+    val edges = SparkEntry.queries("ss_knn_graph")(spark, dir)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val results = SparkEntry.queries("ss_graph_search")(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(results.nonEmpty)
+    results.groupBy(_._1).foreach { case (qid, rows) =>
+      var reach = Set(qid)
+      for (_ <- 1 to 3)
+        reach = reach ++ reach.flatMap(n => edges.getOrElse(n, Set.empty[Long]))
+      rows.map(_._2).foreach { nb =>
+        assert(reach.contains(nb), s"query $qid returned unreachable node $nb")
+      }
+    }
+  }
+
   test("broadcast-table centroid assignment is bit-equal to the literal argmin") {
     // the large-k transport (ss_cells_broadcast) must agree with the
     // literal-expression path (ss_ivf_trained's assignment) on every
