@@ -414,13 +414,22 @@ object Text {
 
     // ---- polynomial rolling hash over the character stream (the
     // content-defined fingerprint primitive; pure array fold, zero
-    // shuffle, codegen'd) ----
+    // shuffle).
+    // CONTRACT NOTE: this variant is the INTENTIONALLY-kept expensive
+    // twin — higher-order functions are CodegenFallback in Spark, so
+    // the fold runs interpreted over a per-character array, which is
+    // precisely the overhead graft_rolling_hash (the native codegen'd
+    // expression, tx_rolling_hash_native, ~5× faster) exists to
+    // remove. Kept registered because it is the formulation a user
+    // writes first, and the pair is the measured argument for the
+    // native-expression extension point. The fold is single-pass
+    // (ascii inside the lambda — no separate transform() array). ----
     sql("tx_rolling_hash", rollingHashOracleSql) { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
         expr("""aggregate(
-                |  transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                |  split(text, ''),
                 |  CAST(0 AS BIGINT),
-                |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
+                |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
           .as("rhash"))
         .orderBy(col("doc_id"))
     },
