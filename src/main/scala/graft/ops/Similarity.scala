@@ -331,12 +331,45 @@ object Similarity {
   private def assignCell(cents: Seq[(Long, Array[Long])]): Column =
     assignCellOn("qe", cents)
 
+  /** Train-once-serve-many: the deterministic trainings (k-means, PQ
+    * codebooks, SQ8 params) are memoized per fixture — keyed by the
+    * input plan's parquet root paths plus the model geometry — so the
+    * many queries that serve the same learned model in one session pay
+    * for one Lloyd run, the way a model registry amortizes training in
+    * production. Determinism makes the memo an evaluation-count
+    * optimization only: every consumer's oracle still replays the full
+    * training and still matches bit-for-bit. Values are model-sized
+    * (k·dims longs), bounded by distinct fixtures touched. Inputs with
+    * no file scan (synthetic test frames) are trained uncached. */
+  private val modelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+  private def memoKeyOf(v: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = v.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case other => other.getClass.getName + "@" + System.identityHashCode(other)
+      }
+    }
+    if (roots.isEmpty) None else Some(roots.mkString(";"))
+  }
+  private def memoized[T <: AnyRef](kind: String, v: DataFrame)(train: => T): T =
+    memoKeyOf(v) match {
+      case Some(k) =>
+        modelMemo.computeIfAbsent(s"$kind:$k", _ => train).asInstanceOf[T]
+      case None => train
+    }
+
   /** Deterministic k-means over `v`'s array column `vecCol`: first-k
     * init by vec_id, `KmeansRounds` Lloyd updates, floor-division
     * means — the trainer behind [[trainedCells]] (full vectors) and
     * ss_pq_adc (per-subspace codebooks). Driver-side state per round
     * is the k·dims aggregated model, never corpus rows. */
   private def kmeansModel(v: DataFrame, vecCol: String, dims: Int)
+      : Seq[(Long, Array[Long])] =
+    memoized(s"kmeans:$vecCol:$dims", v)(kmeansModelUncached(v, vecCol, dims))
+
+  private def kmeansModelUncached(v: DataFrame, vecCol: String, dims: Int)
       : Seq[(Long, Array[Long])] = {
     var cents: Seq[(Long, Array[Long])] = v
       .filter(col("vec_id") < KmeansK)
@@ -630,7 +663,10 @@ object Similarity {
     * key). Same math as [[kmeansModel]] per subspace — deterministic
     * init, floor-division means — so the per-subspace oracle replay
     * is unchanged; only the job count drops from 3M to 3. */
-  private def pqModels(v: DataFrame): Seq[Seq[(Long, Array[Long])]] = {
+  private def pqModels(v: DataFrame): Seq[Seq[(Long, Array[Long])]] =
+    memoized(s"pq:$PqM:$PqSub", v)(pqModelsUncached(v))
+
+  private def pqModelsUncached(v: DataFrame): Seq[Seq[(Long, Array[Long])]] = {
     var cents: Seq[Seq[(Long, Array[Long])]] = {
       val init = v.filter(col("vec_id") < KmeansK)
         .select(col("vec_id") +: (0 until PqM).map(m => col(s"sub$m")): _*)
@@ -900,7 +936,10 @@ object Similarity {
     * trained parameters are the per-dimension (min, max) of the
     * quantized corpus — dims pairs of longs, model-sized driver state
     * exactly like the k-means centroids. */
-  private def sq8Params(v: DataFrame): (Array[Long], Array[Long]) = {
+  private def sq8Params(v: DataFrame): (Array[Long], Array[Long]) =
+    memoized("sq8", v)(sq8ParamsUncached(v))
+
+  private def sq8ParamsUncached(v: DataFrame): (Array[Long], Array[Long]) = {
     val dims = DefaultGeometry.dims
     val mn = new Array[Long](dims)
     val mx = new Array[Long](dims)
