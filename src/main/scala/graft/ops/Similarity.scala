@@ -468,7 +468,20 @@ object Similarity {
     * shared with [[beamSearch]]. Both pair orientations are emitted
     * map-side; ranking is a window partitioned on vec_id — per-node
     * top-k, no global sort, no all-pairs anything. */
-  private def knnGraph(v: DataFrame): DataFrame = {
+  /** Like the model memo: the graph is an INDEX — built once per
+    * (session, fixture), served by ss_knn_graph, ss_graph_search and
+    * ss_graph_recall alike. The cached plan is corpus × 3 scalar edge
+    * rows. */
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+  private def knnGraph(v: DataFrame): DataFrame = memoKeyOf(v) match {
+    case Some(k) => indexMemo.computeIfAbsent(
+      s"knngraph:${System.identityHashCode(v.sparkSession)}:$k",
+      _ => knnGraphUncached(v).cache())
+    case None => knnGraphUncached(v)
+  }
+
+  private def knnGraphUncached(v: DataFrame): DataFrame = {
     val cand = lshCandidates(v)
     val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("n2").as("n2_a"))
@@ -564,7 +577,7 @@ object Similarity {
     * visited set (itself bounded by queries × beam × degree × hops). */
   private def beamSearch(v: DataFrame): DataFrame = {
     val edges = knnGraph(v)
-      .select(col("vec_id").as("src"), col("nb").as("dst")).cache()
+      .select(col("vec_id").as("src"), col("nb").as("dst"))
     val qq = v.filter(expr(QuerySetSql))
       .select(col("vec_id").as("qid"), col("qe").as("qqe"),
         col("n2").as("n2_q"))
@@ -577,10 +590,15 @@ object Similarity {
       val cand = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("qid"), col("dst").as("node")).distinct()
         .join(visited, Seq("qid", "node"), "left_anti")
+      // each hop's scored set feeds BOTH the answer pool and the next
+      // frontier — cache it (queries × beam × degree rows, model-sized)
+      // so the unrolled plan stays linear in hops instead of
+      // re-evaluating every prior hop's window per consumer
       val scored = cand.join(cvec, Seq("node"))
         .join(broadcast(qq), Seq("qid"))
         .withColumn("dot", dot("qqe", "qe"))
         .select(col("qid"), col("node"), col("dot"), col("n2_q"), col("n2_v"))
+        .cache()
       pool = if (pool == null) scored else pool.unionAll(scored)
       visited = visited.unionAll(cand)
       frontier = scored.withColumn("rk", row_number().over(
