@@ -331,6 +331,18 @@ object Similarity {
   private def assignCell(cents: Seq[(Long, Array[Long])]): Column =
     assignCellOn("qe", cents)
 
+  /** How many nearest cells a query probes in ss_ivf_nprobe — the
+    * production IVF recall/latency knob (nprobe=1 is ss_ivf_trained's
+    * single-cell probe). */
+  private val IvfNprobe = 2
+
+  /** The `n` nearest (score, cid) structs per vector, in probe order:
+    * array_sort on the (s, c) structs is the same lexicographic
+    * (score, cid) order the single-cell argmin minimizes. */
+  private def probeCellsOn(vecCol: String, cents: Seq[(Long, Array[Long])],
+      n: Int): Column =
+    expr(s"slice(array_sort(array(${assignElems(vecCol, cents)})), 1, $n)")
+
   /** Train-once-serve-many: the deterministic trainings (k-means, PQ
     * codebooks, SQ8 params) are memoized per fixture — keyed by the
     * input plan's parquet root paths plus the model geometry — so the
@@ -656,6 +668,59 @@ object Similarity {
        |${kmeansAssignSql(KmeansRounds)},
        |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds)""".stripMargin
   }
+
+  /** Cell-probe top-3 with a multi-cell probe list: each query scans
+    * only its `nprobe` nearest cells' vectors. The probe list is the
+    * ranked prefix of the same literal argmin score array — map-side,
+    * zero extra model state. */
+  private def ivfProbeTop3(v: DataFrame, nprobe: Int): DataFrame = {
+    val cents = kmeansModel(v, "qe", DefaultGeometry.dims)
+    val cells = v.withColumn("cell", assignCellOn("qe", cents))
+    val qprobe = v.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("n2").as("n2_q"),
+        explode(probeCellsOn("qe", cents, nprobe)).as("probe"))
+      .select(col("qid"), col("qqe"), col("n2_q"), col("probe.c").as("cell"))
+    cells.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot("qqe", "qe"))
+      .withColumnRenamed("n2", "n2_v")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Oracle replay of [[ivfProbeTop3]] under prefix `p`, ending in
+    * `${p}ranked(qid, vec_id, cell, dot, n2_q, n2_v, rk)`. Requires
+    * `qv`, `norms` and [[kmeansCellsCtesSql]]'s final-round
+    * `d$KmeansRounds`/`s$KmeansRounds`/`cells` CTEs in scope. */
+  private def ivfProbeCtesSqlFor(p: String, nprobe: Int): String =
+    s"""${p}qprobe AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT d.vec_id, d.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |             ORDER BY s.n2c - 2 * d.dot, d.cid) AS crk
+       |    FROM d$KmeansRounds d JOIN s$KmeansRounds s ON s.cid = d.cid
+       |    WHERE $QuerySetSql) t
+       |  WHERE crk <= $nprobe),
+       |${p}cp AS (
+       |  SELECT q.qid, c.vec_id, c.cell
+       |  FROM ${p}qprobe q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid),
+       |${p}dots AS (
+       |  SELECT cp.qid, cp.vec_id, cp.cell, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+       |  FROM ${p}cp cp
+       |  JOIN qv a ON a.vec_id = cp.qid
+       |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+       |  GROUP BY cp.qid, cp.vec_id, cp.cell),
+       |${p}ranked AS (
+       |  SELECT d.qid, d.vec_id, d.cell, d.dot, nq.n2 AS n2_q, nv.n2 AS n2_v,
+       |         ROW_NUMBER() OVER (PARTITION BY d.qid
+       |           ORDER BY CAST(d.dot AS DOUBLE) /
+       |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+       |                    DESC, d.vec_id) AS rk
+       |  FROM ${p}dots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.vec_id)""".stripMargin
 
   /** Adds the PqM sub-vector slice columns sub0..sub{PqM-1} to
     * [[varr]]'s output (keeping qe for consumers that also need the
@@ -1154,6 +1219,91 @@ object Similarity {
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("cell"), col("dot"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- multi-cell probing: the production IVF recall/latency knob.
+    // A single-cell probe misses every true neighbor that fell across a
+    // cell boundary; probing each query's `nprobe` nearest cells (the
+    // ranked prefix of the SAME argmin score list — zero extra model
+    // state) recovers them at nprobe× the scan cost. Still map-side
+    // probe-list construction + one broadcast join; the corpus is
+    // never scanned outside the probed cells. ----
+    sql("ss_ivf_nprobe",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$kmeansCellsCtesSql,
+         |${ivfProbeCtesSqlFor("np_", IvfNprobe)}
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+         |       vec_id AS neighbor_id, cell, dot
+         |FROM np_ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count() // eager, so training rounds reuse one materialization
+      ivfProbeTop3(v, IvfNprobe)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("cell"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- the recall curve of that knob: recall@3 vs brute-force
+    // cosine for nprobe = 1 and 2, in one result — the measurement a
+    // deployment reads to set nprobe. ----
+    sql("ss_nprobe_recall",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$kmeansCellsCtesSql,
+         |${ivfProbeCtesSqlFor("np1_", 1)},
+         |${ivfProbeCtesSqlFor("np2_", 2)},
+         |gtd AS (
+         |  SELECT q.vec_id AS qid, b.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM (SELECT DISTINCT vec_id FROM qv WHERE $QuerySetSql) q
+         |  JOIN qv a ON a.vec_id = q.vec_id
+         |  JOIN qv b ON b.dim = a.dim AND b.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, b.vec_id),
+         |gtr AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY d.qid
+         |           ORDER BY CAST(d.dot AS DOUBLE) /
+         |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+         |                    DESC, d.vec_id) AS rk
+         |  FROM gtd d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id)
+         |SELECT CAST(1 AS INT) AS nprobe,
+         |       CAST(COUNT(*) AS BIGINT) AS n_top3,
+         |       CAST(COUNT(h.vec_id) AS BIGINT) AS n_recalled
+         |FROM gtr g LEFT JOIN np1_ranked h
+         |  ON h.qid = g.qid AND h.vec_id = g.vec_id AND h.rk <= 3
+         |WHERE g.rk <= 3
+         |UNION ALL
+         |SELECT CAST(2 AS INT),
+         |       CAST(COUNT(*) AS BIGINT),
+         |       CAST(COUNT(h.vec_id) AS BIGINT)
+         |FROM gtr g LEFT JOIN np2_ranked h
+         |  ON h.qid = g.qid AND h.vec_id = g.vec_id AND h.rk <= 3
+         |WHERE g.rk <= 3
+         |ORDER BY nprobe""") { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count()
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+          col("n2").as("n2_q"))
+      val gt = v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"))
+      def recallRow(n: Int): DataFrame = {
+        val hits = ivfProbeTop3(v, n)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        gt.join(hits, Seq("qid", "vec_id"), "left_outer")
+          .agg(count(lit(1)).cast("long").as("n_top3"),
+            count(col("hit")).cast("long").as("n_recalled"))
+          .select(lit(n).cast("int").as("nprobe"),
+            col("n_top3"), col("n_recalled"))
+      }
+      recallRow(1).unionAll(recallRow(2)).orderBy(col("nprobe"))
     },
 
     // ---- the SAME trained assignment through the large-k transport:
