@@ -780,6 +780,67 @@ object Text {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // ---- content-defined chunking (the rsync/LBFS boundary trick at
+    // word granularity): a chunk ends wherever the rolling hash of the
+    // last 4 words lands in 1/16 of the hash space, so boundaries are
+    // CONTENT-anchored — insert words at the front of a document and
+    // the chunking RE-SYNCHRONIZES after one window, leaving later
+    // chunk digests identical (asserted by TextEdgeSpec), where
+    // tx_chunk_windows' fixed grid shifts every chunk. The digest
+    // stream is the sub-document dedup key for near-identical docs.
+    // Scale shape: posexplode + ONE window partitioned per doc + one
+    // grouped aggregation — word-count-shaped, no per-doc arrays
+    // larger than a chunk, one exchange on doc_id. ----
+    sql("tx_cdc_chunks",
+      s"""WITH ws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+         |            FROM documents),
+         |wd AS (SELECT doc_id, i, w[i] AS word
+         |       FROM ws, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |hw AS (SELECT doc_id, i, word,
+         |              ${graft.ops.Hll.hexValSql("md5(word)", 1)} AS h
+         |       FROM wd),
+         |wh AS (SELECT doc_id, i, word, h,
+         |              LAG(h, 3) OVER dw AS h3, LAG(h, 2) OVER dw AS h2,
+         |              LAG(h, 1) OVER dw AS h1
+         |       FROM hw WINDOW dw AS (PARTITION BY doc_id ORDER BY i)),
+         |bf AS (SELECT doc_id, i, word,
+         |              CASE WHEN i >= 4 AND
+         |                   (h3 * 29791 + h2 * 961 + h1 * 31 + h)
+         |                     % 1000000007 % 16 = 0
+         |                   THEN 1 ELSE 0 END AS b
+         |       FROM wh),
+         |ck AS (SELECT doc_id, i, word,
+         |              COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                AS chunk_idx
+         |       FROM bf)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(MIN(i) AS BIGINT) AS start_word,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       md5(string_agg(word, ' ' ORDER BY i)) AS digest
+         |FROM ck GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("p", "word")))
+        .select(col("doc_id"), (col("p") + 1).as("i"), col("word"))
+        .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+        .withColumn("b", when(col("i") >= 4 &&
+          (lag("h", 3).over(w) * 29791 + lag("h", 2).over(w) * 961 +
+            lag("h", 1).over(w) * 31 + col("h")) % 1000000007L % 16 === 0,
+          1).otherwise(0))
+        .withColumn("chunk_idx", coalesce(
+          sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)).cast("int"))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(min(col("i")).cast("long").as("start_word"),
+          count(lit(1)).cast("long").as("n_words"),
+          expr("md5(array_join(transform(array_sort(collect_list(struct(i, word)))," +
+            " x -> x.word), ' '))").as("digest"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // ---- concat-and-chunk sequence packing (the GPT-style batch
     // builder): within each (lang, source) stream, docs concatenate in
     // doc_id order and split every 256 tokens; a doc's bin is its

@@ -47,4 +47,45 @@ class TextEdgeSpec extends AnyFunSuite {
     // No phantom rows inflate the result cardinality.
     assert(out.size == 6)
   }
+
+  test("tx_cdc_chunks: boundaries re-synchronize after a front insertion") {
+    // the property that distinguishes content-defined chunking from
+    // tx_chunk_windows' fixed grid: prepend words to a document and
+    // every chunk past the first window must keep its digest
+    val words = (0 until 120).map(i => s"w${i * 7 % 53}")
+    val original = words.mkString(" ")
+    val shifted = ("zz yy xx " + original)
+    val dir = corpusDir(Seq(0L -> original, 1L -> shifted))
+    val chunks = SparkEntry.queries("tx_cdc_chunks")(spark, dir)
+      .select("doc_id", "digest").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val d0 = chunks.filter(_._1 == 0L).map(_._2).toSet
+    val d1 = chunks.filter(_._1 == 1L).map(_._2).toSet
+    assert(d0.size > 1, s"fixture too short to chunk: ${d0.size} chunks")
+    val common = d0.intersect(d1)
+    // all but the (shifted) first chunk must survive the insertion
+    assert(common.size >= d0.size - 1,
+      s"CDC failed to re-sync: only ${common.size} of ${d0.size} digests survived")
+  }
+
+  test("tx_cdc_chunks: chunks partition every document exactly") {
+    val dir = corpusDir(Seq(
+      0L -> "the cat sat on the mat near the hat and the rat",
+      1L -> "ab", 2L -> "", 3L -> null))
+    val rows = SparkEntry.queries("tx_cdc_chunks")(spark, dir)
+      .select("doc_id", "chunk_idx", "start_word", "n_words").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // per doc: chunk_idx dense from 0, chunks tile [1, n] with no gaps
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $id gaps")
+      var next = 1L
+      sorted.foreach { case (_, _, start, n) =>
+        assert(start == next, s"doc $id chunk starts at $start, expected $next")
+        next += n
+      }
+    }
+    // empty/NULL text still yields exactly one (degenerate) chunk
+    assert(rows.count(_._1 == 2L) == 1 && rows.count(_._1 == 3L) == 1)
+  }
 }
