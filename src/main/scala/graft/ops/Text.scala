@@ -26,6 +26,64 @@ object Text {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
+  /** Content-defined chunk stream (doc_id, chunk_idx, start_word,
+    * n_words, digest), shared by tx_cdc_chunks and dd_shared_chunks:
+    * posexplode words, one doc-partitioned window computing the 4-word
+    * rolling hash + boundary prefix-count, one grouped aggregation
+    * building ordered chunk digests. */
+  private def cdcChunkFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("p", "word")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("word"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .withColumn("b", when(col("i") >= 4 &&
+        (lag("h", 3).over(w) * 29791 + lag("h", 2).over(w) * 961 +
+          lag("h", 1).over(w) * 31 + col("h")) % 1000000007L % 16 === 0,
+        1).otherwise(0))
+      .withColumn("chunk_idx", coalesce(
+        sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)).cast("int"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("i")).cast("long").as("start_word"),
+        count(lit(1)).cast("long").as("n_words"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(i, word)))," +
+          " x -> x.word), ' '))").as("digest"))
+  }
+
+  /** Oracle replay of [[cdcChunkFrame]], ending in
+    * `chunks(doc_id, chunk_idx, start_word, n_words, digest)`. */
+  private lazy val cdcChunksCtesSql: String =
+    s"""cdc_ws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+       |           FROM documents),
+       |cdc_wd AS (SELECT doc_id, i, w[i] AS word
+       |           FROM cdc_ws, UNNEST(range(1, len(w) + 1)) AS t(i)),
+       |cdc_hw AS (SELECT doc_id, i, word,
+       |                  ${graft.ops.Hll.hexValSql("md5(word)", 1)} AS h
+       |           FROM cdc_wd),
+       |cdc_wh AS (SELECT doc_id, i, word, h,
+       |                  LAG(h, 3) OVER dw AS h3, LAG(h, 2) OVER dw AS h2,
+       |                  LAG(h, 1) OVER dw AS h1
+       |           FROM cdc_hw WINDOW dw AS (PARTITION BY doc_id ORDER BY i)),
+       |cdc_bf AS (SELECT doc_id, i, word,
+       |                  CASE WHEN i >= 4 AND
+       |                       (h3 * 29791 + h2 * 961 + h1 * 31 + h)
+       |                         % 1000000007 % 16 = 0
+       |                       THEN 1 ELSE 0 END AS b
+       |           FROM cdc_wh),
+       |cdc_ck AS (SELECT doc_id, i, word,
+       |                  COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                    AS chunk_idx
+       |           FROM cdc_bf),
+       |chunks AS (
+       |  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |         CAST(MIN(i) AS BIGINT) AS start_word,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         md5(string_agg(word, ' ' ORDER BY i)) AS digest
+       |  FROM cdc_ck GROUP BY doc_id, chunk_idx)""".stripMargin
+
   /** Small multilingual stopword dictionary for the language-ID
     * heuristic (word → language it votes for). */
   private val langDict: Seq[(String, String)] = Seq(
@@ -792,53 +850,34 @@ object Text {
     // grouped aggregation — word-count-shaped, no per-doc arrays
     // larger than a chunk, one exchange on doc_id. ----
     sql("tx_cdc_chunks",
-      s"""WITH ws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
-         |            FROM documents),
-         |wd AS (SELECT doc_id, i, w[i] AS word
-         |       FROM ws, UNNEST(range(1, len(w) + 1)) AS t(i)),
-         |hw AS (SELECT doc_id, i, word,
-         |              ${graft.ops.Hll.hexValSql("md5(word)", 1)} AS h
-         |       FROM wd),
-         |wh AS (SELECT doc_id, i, word, h,
-         |              LAG(h, 3) OVER dw AS h3, LAG(h, 2) OVER dw AS h2,
-         |              LAG(h, 1) OVER dw AS h1
-         |       FROM hw WINDOW dw AS (PARTITION BY doc_id ORDER BY i)),
-         |bf AS (SELECT doc_id, i, word,
-         |              CASE WHEN i >= 4 AND
-         |                   (h3 * 29791 + h2 * 961 + h1 * 31 + h)
-         |                     % 1000000007 % 16 = 0
-         |                   THEN 1 ELSE 0 END AS b
-         |       FROM wh),
-         |ck AS (SELECT doc_id, i, word,
-         |              COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |                AS chunk_idx
-         |       FROM bf)
-         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-         |       CAST(MIN(i) AS BIGINT) AS start_word,
-         |       CAST(COUNT(*) AS BIGINT) AS n_words,
-         |       md5(string_agg(word, ' ' ORDER BY i)) AS digest
-         |FROM ck GROUP BY doc_id, chunk_idx
-         |ORDER BY doc_id, chunk_idx""") { (s, dir) =>
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      docs(s, dir)
-        .select(col("doc_id"),
-          posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("p", "word")))
-        .select(col("doc_id"), (col("p") + 1).as("i"), col("word"))
-        .withColumn("h", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
-        .withColumn("b", when(col("i") >= 4 &&
-          (lag("h", 3).over(w) * 29791 + lag("h", 2).over(w) * 961 +
-            lag("h", 1).over(w) * 31 + col("h")) % 1000000007L % 16 === 0,
-          1).otherwise(0))
-        .withColumn("chunk_idx", coalesce(
-          sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0)).cast("int"))
-        .groupBy(col("doc_id"), col("chunk_idx"))
-        .agg(min(col("i")).cast("long").as("start_word"),
-          count(lit(1)).cast("long").as("n_words"),
-          expr("md5(array_join(transform(array_sort(collect_list(struct(i, word)))," +
-            " x -> x.word), ' '))").as("digest"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
+      s"""WITH $cdcChunksCtesSql
+         |SELECT doc_id, chunk_idx, start_word, n_words, digest
+         |FROM chunks ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      cdcChunkFrame(s, dir).orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- the CDC payoff: sub-document dedup. Chunk digests shared by
+    // two or more documents are the passages a byte-identical or
+    // shifted near-dup carries — groupBy digest over the chunk stream,
+    // one aggregation, corpus-linear. ----
+    sql("dd_shared_chunks",
+      s"""WITH $cdcChunksCtesSql
+         |SELECT digest,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+         |       CAST(MIN(n_words) AS BIGINT) AS n_words
+         |FROM chunks GROUP BY digest
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY digest""") { (s, dir) =>
+      cdcChunkFrame(s, dir)
+        .groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_chunks"),
+          min(col("doc_id")).cast("long").as("first_doc"),
+          min(col("n_words")).cast("long").as("n_words"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("digest"))
     },
 
     // ---- concat-and-chunk sequence packing (the GPT-style batch
