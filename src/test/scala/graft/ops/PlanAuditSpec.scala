@@ -28,6 +28,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no registered query plans an unpartitioned window over data rows") {
+    // a Window with an empty partitionSpec funnels the whole relation
+    // through ONE task — the canonical 100 TB failure mode. Verified
+    // empty-allowlist: every global ranking in the library goes through
+    // TakeOrderedAndProject + a broadcast rank join instead.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val hasGlobal = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobal) Some(name) else None
+      } catch { case e: Exception => Some(s"$name (failed to plan: ${e.getMessage.take(80)})") }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over possibly-unbounded input: ${offenders.mkString(", ")}")
+  }
+
   test("q27's correlated scalar subquery is de-correlated to a join") {
     val plan = SparkEntry.queries("q27_scalar_subquery")(spark, dir)
       .queryExecution.executedPlan.toString
