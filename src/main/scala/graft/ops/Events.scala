@@ -730,7 +730,7 @@ object Events {
   * ev_approx_users): the SQL fragments below are generated once and
   * embedded in BOTH engines' queries, so the estimator cannot drift.
   */
-private[ops] object Hll {
+private[graft] object Hll {
   /** Register count (2^6 buckets). */
   val M = 64
   /** alpha_64 = 0.709 as the scaled-integer numerator

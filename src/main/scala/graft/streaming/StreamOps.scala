@@ -26,6 +26,20 @@ private final case class SessionState(
 /** Last-seen event per user — the transition-pair operator's state. */
 private final case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
 
+/** A bucketed/rho'd event entering the streaming HLL (`ts` stays: the
+  * watermark rides on it into the stateful operator). */
+private final case class HllEvent(
+    ts: Timestamp, event_type: String, bucket: Int, rho: Int)
+
+/** One open (hour, event_type) group's HLL sketch: 64 max-rho
+  * registers + the event count. O(registers) regardless of distinct
+  * users — the entire point of HLL state at scale. */
+private final case class HllState(regs: Array[Int], n_events: Long)
+
+/** A finalized approximate-distinct-users window. */
+final case class HourlyUsers(
+    window_start: Timestamp, event_type: String, approx_users: Long, n_events: Long)
+
 /** Structured Streaming expressions of the event-table shapes in
   * [[graft.ops.Events]] — the same semantics, incremental: tumbling
   * windows with watermarks, and gap-based sessionization with
@@ -66,6 +80,73 @@ object StreamOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         sessionFn(gapSeconds))
+  }
+
+  /** Watermarked approximate distinct users per (hour, event_type),
+    * maintained as the SAME portable md5-HLL the batch ev_approx_users
+    * computes — identical bucket/rho/estimate integer math, so a
+    * closed window's streaming row is BIT-EQUAL to the batch estimator
+    * over the same events (StreamOpsSpec asserts it), not merely
+    * within sketch error. The built-in approx_count_distinct would
+    * also run incrementally; owning the registers is what makes exact
+    * batch-parity checkable. State per open group is 64 ints —
+    * distinct-count state stays O(registers), never O(users). Windows
+    * emit once, on event-time timeout, when the watermark proves them
+    * complete (append mode). */
+  def approxUsersHourly(events: DataFrame, lateness: String = "1 hour")
+      : Dataset[HourlyUsers] = {
+    import events.sparkSession.implicits._
+    import graft.ops.Hll
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("event_type"),
+        md5(col("user_id").cast("string")).as("hx"))
+      .select(col("ts"), col("event_type"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M)
+          .cast("int").as("bucket"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      .withColumn("rho", expr(Hll.rhoLadderSql).cast("int"))
+      .select(col("ts"), col("event_type"), col("bucket"), col("rho"))
+      .as[HllEvent]
+      .groupByKey(e => (e.ts.getTime / 3600000L * 3600000L, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        hllFn)
+  }
+
+  /** The integer HLL estimate over final registers — the same formula
+    * text as the batch twin's `s`/final CTEs (ev_approx_users). */
+  private def hllEstimate(regs: Array[Int]): Long = {
+    var sp = 0L
+    var np = 0
+    regs.foreach { r => if (r > 0) { sp += 1L << (33 - r); np += 1 } }
+    graft.ops.Hll.ScaledAlphaM2 /
+      (1000L * (sp + (graft.ops.Hll.M - np) * 8589934592L))
+  }
+
+  private def hllFn(
+      key: (Long, String), events: Iterator[HllEvent], state: GroupState[HllState])
+      : Iterator[HourlyUsers] = {
+    val (winMs, eventType) = key
+    if (events.isEmpty && state.hasTimedOut) {
+      val out = state.getOption.map { st =>
+        HourlyUsers(new Timestamp(winMs), eventType, hllEstimate(st.regs), st.n_events)
+      }.iterator
+      state.remove()
+      return out
+    }
+    val st = state.getOption.getOrElse(HllState(new Array[Int](graft.ops.Hll.M), 0L))
+    val regs = st.regs.clone()
+    var n = st.n_events
+    events.foreach { e =>
+      if (e.rho > regs(e.bucket)) regs(e.bucket) = e.rho
+      n += 1
+    }
+    state.update(HllState(regs, n))
+    // the window is final when the watermark passes its end; a late
+    // re-open (group already fired) re-times-out on the next batch
+    state.setTimeoutTimestamp(
+      math.max(winMs + 3600 * 1000L + 1, state.getCurrentWatermarkMs + 1))
+    Iterator.empty
   }
 
   /** Stream-stream interval join: each purchase is attributed to the

@@ -444,6 +444,65 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(disagree == 0L)
   }
 
+  test("approxUsersHourly emits windows register-exact with the batch HLL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def normalized(df: org.apache.spark.sql.DataFrame) = df.select(
+      graft.ops.Events.tsTimestampOf(df).as("ts"),
+      col("event_type"), col("user_id"))
+
+    // batch twin: the ev_approx_users register pipeline, grouped by
+    // hour as well — the same integer math the stream maintains
+    val batch = normalized(raw)
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"), md5(col("user_id").cast("string")).as("hx"))
+      .select(col("window_start"), col("event_type"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 64)
+          .cast("int").as("bucket"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      .withColumn("rho", expr(graft.ops.Hll.rhoLadderSql).cast("int"))
+      .groupBy(col("window_start"), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mrho"), count(lit(1)).as("bn"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+        count(lit(1)).as("np"), sum(col("bn")).cast("long").as("n_events"))
+      .select(col("window_start"), col("event_type"),
+        expr(s"CAST(${graft.ops.Hll.ScaledAlphaM2}L div " +
+          "(1000 * (sp + (64 - np) * 8589934592L)) AS BIGINT)").as("approx_users"),
+        col("n_events"))
+      .as[HourlyUsers].collect()
+      .map(h => (h.window_start, h.event_type) -> (h.approx_users, h.n_events)).toMap
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ev-hll-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = normalized(
+      spark.readStream.schema(raw.schema).parquet(streamDir.toString))
+    val q = StreamOps.approxUsersHourly(stream, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("ev_hll")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_hll").as[HourlyUsers].collect()
+        .map(h => (h.window_start, h.event_type) -> (h.approx_users, h.n_events)).toMap
+      // every emitted window must be BIT-EQUAL to the batch estimator
+      got.foreach { case (k, v) =>
+        assert(batch.get(k).contains(v), s"window $k: stream=$v batch=${batch.get(k)}")
+      }
+      // and all but the watermark-open tail must have emitted: only
+      // windows whose end exceeds the final watermark may be held
+      val maxTs = batch.keys.map(_._1.getTime).max
+      val mustEmit = batch.keys.filter(_._1.getTime + 3600 * 1000L < maxTs)
+      mustEmit.foreach { k =>
+        assert(got.contains(k), s"window $k closed but never emitted")
+      }
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
