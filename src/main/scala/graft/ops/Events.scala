@@ -688,6 +688,49 @@ object Events {
     // constant-size register state (64 maxima) per group, map-side
     // combinable, one shuffle of registers — where exact
     // COUNT(DISTINCT) shuffles every distinct value. ----
+    // ---- the same portable HLL per (hour, type): the registered
+    // batch twin of streaming approxUsersHourly — a closed streaming
+    // window equals this row bit-for-bit (StreamOpsSpec) ----
+    sql("ev_hourly_users", {
+      val hx1 = Hll.hexValSql("hx", 1)
+      val hx9 = Hll.hexValSql("hx", 9)
+      s"""WITH e AS ($baseSql),
+         |h AS (SELECT tsec // 3600 AS epoch_hour, event_type,
+         |             md5(CAST(user_id AS VARCHAR)) AS hx FROM e),
+         |v AS (SELECT epoch_hour, event_type, $hx1 % ${Hll.M} AS bucket, $hx9 AS w FROM h),
+         |r AS (SELECT epoch_hour, event_type, bucket, MAX(${Hll.rhoLadderSql}) AS mrho,
+         |             COUNT(*) AS bn
+         |      FROM v GROUP BY epoch_hour, event_type, bucket),
+         |s AS (SELECT epoch_hour, event_type,
+         |             CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+         |             COUNT(*) AS np,
+         |             CAST(SUM(bn) AS BIGINT) AS n_events
+         |      FROM r GROUP BY epoch_hour, event_type)
+         |SELECT epoch_hour, event_type,
+         |       CAST(${Hll.ScaledAlphaM2} // (1000 * (sp + (${Hll.M} - np) * 8589934592)) AS BIGINT)
+         |         AS approx_users,
+         |       n_events
+         |FROM s ORDER BY epoch_hour, event_type"""
+    }) { (s, dir) =>
+      val v = base(s, dir)
+        .select(expr("tsec div 3600").as("epoch_hour"), col("event_type"),
+          md5(col("user_id").cast("string")).as("hx"))
+        .select(col("epoch_hour"), col("event_type"),
+          (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
+          conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      val regs = v.groupBy(col("epoch_hour"), col("event_type"), col("bucket"))
+        .agg(max(expr(Hll.rhoLadderSql)).as("mrho"), count(lit(1)).as("bn"))
+      regs.groupBy(col("epoch_hour"), col("event_type"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"),
+          sum(col("bn")).cast("long").as("n_events"))
+        .select(col("epoch_hour"), col("event_type"),
+          expr(s"CAST(${Hll.ScaledAlphaM2}L div (1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
+            .as("approx_users"),
+          col("n_events"))
+        .orderBy(col("epoch_hour"), col("event_type"))
+    },
+
     sql("ev_approx_users", {
       val hx1 = Hll.hexValSql("hx", 1)
       val hx9 = Hll.hexValSql("hx", 9)
