@@ -688,6 +688,59 @@ object Events {
     // constant-size register state (64 maxima) per group, map-side
     // combinable, one shuffle of registers — where exact
     // COUNT(DISTINCT) shuffles every distinct value. ----
+    // ---- robust anomaly hours: |cnt − median| > 3·MAD per type, all
+    // in exact integers (lower median via ROW_NUMBER at rank
+    // (n+1)/2 — no engine-dependent even-count averaging; the 1.4826
+    // normal-consistency factor is deliberately omitted, making "3×"
+    // a ~2σ-equivalent gate). Complements ev_hourly_spikes' trailing
+    // baseline with a whole-series robust one. Windows partition on
+    // event_type over the PRE-AGGREGATED hourly relation — bounded
+    // rows at any corpus scale. ----
+    sql("ev_hourly_mad",
+      s"""WITH e AS ($baseSql),
+         |h AS (SELECT tsec // 3600 AS epoch_hour, event_type,
+         |             CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY 1, 2),
+         |hr AS (SELECT epoch_hour, event_type, cnt,
+         |              ROW_NUMBER() OVER (PARTITION BY event_type
+         |                ORDER BY cnt, epoch_hour) AS rk,
+         |              COUNT(*) OVER (PARTITION BY event_type) AS n
+         |       FROM h),
+         |m AS (SELECT event_type, cnt AS med FROM hr WHERE rk = (n + 1) // 2),
+         |d AS (SELECT h.event_type, h.epoch_hour, h.cnt, m.med,
+         |             ABS(h.cnt - m.med) AS dev
+         |      FROM h JOIN m ON m.event_type = h.event_type),
+         |dr AS (SELECT event_type, epoch_hour, dev,
+         |              ROW_NUMBER() OVER (PARTITION BY event_type
+         |                ORDER BY dev, epoch_hour) AS rk,
+         |              COUNT(*) OVER (PARTITION BY event_type) AS n
+         |       FROM d),
+         |md AS (SELECT event_type, dev AS mad FROM dr WHERE rk = (n + 1) // 2)
+         |SELECT d.event_type, d.epoch_hour, d.cnt, d.med, md.mad
+         |FROM d JOIN md ON md.event_type = d.event_type
+         |WHERE d.dev > 3 * md.mad
+         |ORDER BY d.event_type, d.epoch_hour""") { (s, dir) =>
+      val byType = Window.partitionBy(col("event_type"))
+      val h = base(s, dir)
+        .groupBy(expr("tsec div 3600").as("epoch_hour"), col("event_type"))
+        .agg(lsum(lit(1)).as("cnt"))
+      def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame =
+        df.withColumn("rk", row_number().over(
+            byType.orderBy(col(valueCol), col("epoch_hour"))))
+          .withColumn("n", count(lit(1)).over(byType))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(valueCol).as(outCol))
+      val m = lowerMedian(h, "cnt", "med")
+      val d = h.join(broadcast(m), Seq("event_type"))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val md = lowerMedian(d.select(col("event_type"), col("epoch_hour"), col("dev")),
+        "dev", "mad")
+      d.join(broadcast(md), Seq("event_type"))
+        .filter(col("dev") > lit(3) * col("mad"))
+        .select(col("event_type"), col("epoch_hour"), col("cnt"), col("med"), col("mad"))
+        .orderBy(col("event_type"), col("epoch_hour"))
+    },
+
     // ---- the same portable HLL per (hour, type): the registered
     // batch twin of streaming approxUsersHourly — a closed streaming
     // window equals this row bit-for-bit (StreamOpsSpec) ----
