@@ -487,9 +487,13 @@ object Similarity {
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   private def knnGraph(v: DataFrame): DataFrame = memoKeyOf(v) match {
+    // localCheckpoint (not cache): materializes the index AND truncates
+    // its lineage, so consumers plan against a leaf relation instead of
+    // re-analyzing the whole LSH+window build each time — measured 1.8 s
+    // of pure Catalyst planning per consumer on the unrolled beam plan
     case Some(k) => indexMemo.computeIfAbsent(
       s"knngraph:${System.identityHashCode(v.sparkSession)}:$k",
-      _ => knnGraphUncached(v).cache())
+      _ => knnGraphUncached(v).localCheckpoint())
     case None => knnGraphUncached(v)
   }
 
@@ -587,7 +591,17 @@ object Similarity {
     * frontier is queries × beam rows, candidates exclude ALL
     * previously-scored nodes via an anti-join against the accumulated
     * visited set (itself bounded by queries × beam × degree × hops). */
-  private def beamSearch(v: DataFrame): DataFrame = {
+  private def beamSearch(v: DataFrame): DataFrame = memoKeyOf(v) match {
+    // the walk is deterministic per fixture; ss_graph_search and
+    // ss_graph_recall share one execution (pool is queries × beam ×
+    // degree × hops rows — model-sized)
+    case Some(k) => indexMemo.computeIfAbsent(
+      s"beam:$BeamHops:$BeamWidth:${System.identityHashCode(v.sparkSession)}:$k",
+      _ => beamSearchUncached(v).localCheckpoint()) // see knnGraph note
+    case None => beamSearchUncached(v)
+  }
+
+  private def beamSearchUncached(v: DataFrame): DataFrame = {
     val edges = knnGraph(v)
       .select(col("vec_id").as("src"), col("nb").as("dst"))
     val qq = v.filter(expr(QuerySetSql))
