@@ -419,7 +419,16 @@ object Similarity {
     * Centroid means use floor division (Math.floorDiv ≡ the oracle's
     * `(S - ((S % N + N) % N)) // N`) so the learned model is bit-equal
     * in both engines even for negative coordinate sums. */
-  private def trainedCells(v: DataFrame): DataFrame =
+  private def trainedCells(v: DataFrame): DataFrame = memoKeyOf(v) match {
+    // the materialized IVF index (corpus + assigned cell), shared by
+    // every cell-probe consumer; localCheckpoint: see knnGraph note
+    case Some(k) => indexMemo.computeIfAbsent(
+      s"cells:${System.identityHashCode(v.sparkSession)}:$k",
+      _ => trainedCellsUncached(v).localCheckpoint())
+    case None => trainedCellsUncached(v)
+  }
+
+  private def trainedCellsUncached(v: DataFrame): DataFrame =
     v.withColumn("cell", assignCell(kmeansModel(v, "qe", DefaultGeometry.dims)))
 
   /** Broadcast-join twin of the literal argmin, for LARGE k. The
@@ -689,7 +698,7 @@ object Similarity {
     * zero extra model state. */
   private def ivfProbeTop3(v: DataFrame, nprobe: Int): DataFrame = {
     val cents = kmeansModel(v, "qe", DefaultGeometry.dims)
-    val cells = v.withColumn("cell", assignCellOn("qe", cents))
+    val cells = trainedCells(v) // shared materialized IVF index
     val qprobe = v.filter(expr(QuerySetSql))
       .select(col("vec_id").as("qid"), col("qe").as("qqe"),
         col("n2").as("n2_q"),
@@ -798,7 +807,22 @@ object Similarity {
     cents
   }
 
-  private def pqCodesAndLuts(s: SparkSession, v: DataFrame): (DataFrame, DataFrame) = {
+  private def pqCodesAndLuts(s: SparkSession, v: DataFrame): (DataFrame, DataFrame) =
+    memoKeyOf(v) match {
+      // the coded corpus IS the stored PQ index (5 longs/vector);
+      // materialize once per fixture, lineage-truncated. The LUT frame
+      // is query-sized literal data — no checkpoint needed.
+      case Some(k) => modelMemo.computeIfAbsent(
+        s"pqcodes:$PqM:$PqSub:${System.identityHashCode(s)}:$k",
+        _ => {
+          val (coded, lut) = pqCodesAndLutsUncached(s, v)
+          (coded.localCheckpoint(), lut)
+        }).asInstanceOf[(DataFrame, DataFrame)]
+      case None => pqCodesAndLutsUncached(s, v)
+    }
+
+  private def pqCodesAndLutsUncached(s: SparkSession, v: DataFrame)
+      : (DataFrame, DataFrame) = {
     val models = pqModels(v)
     val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
       df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
