@@ -914,6 +914,52 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- packing efficiency readout: per (lang, source) stream, the
+    // numbers a batch-builder tunes against — bins produced, fill
+    // percentage of the 256-token sequences, and how many documents
+    // straddle a bin boundary (get split across training sequences).
+    // One aggregation over the same windowed prefix-sum relation as
+    // tx_pack_manifest. ----
+    sql("tx_pack_stats",
+      """WITH d AS (SELECT doc_id, lang, source,
+        |                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |                    AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT *,
+        |             CAST(coalesce(SUM(n_tokens) OVER (
+        |               PARTITION BY lang, source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |               AS start_tok
+        |      FROM d)
+        |SELECT lang, source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_bins,
+        |       CAST(CASE WHEN SUM(n_tokens) = 0 THEN 0
+        |            ELSE (100 * SUM(n_tokens)) // (((SUM(n_tokens) + 255) // 256) * 256)
+        |            END AS BIGINT) AS fill_pct,
+        |       CAST(SUM(CASE WHEN start_tok // 256 <> (start_tok + n_tokens - 1) // 256
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM p GROUP BY lang, source ORDER BY lang, source""") { (s, dir) =>
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          expr("CAST((sum(n_tokens) + 255) div 256 AS BIGINT)").as("n_bins"),
+          expr("""CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                  ELSE (100 * sum(n_tokens)) div (((sum(n_tokens) + 255) div 256) * 256)
+                  END AS BIGINT)""").as("fill_pct"),
+          expr("""CAST(sum(CASE WHEN start_tok div 256 <> (start_tok + n_tokens - 1) div 256
+                      THEN 1 ELSE 0 END) AS BIGINT)""").as("n_split_docs"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // ---- DSIR-style importance weights (Xie et al. 2023, "Data
     // Selection for LMs via Importance Resampling"): hashed unigram
     // features (md5 → 256 buckets, identical in both engines), bucket
