@@ -355,6 +355,26 @@ object Similarity {
     * no file scan (synthetic test frames) are trained uncached. */
   private val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  /** Get-or-train WITHOUT ConcurrentHashMap.computeIfAbsent: trainings
+    * nest (beam search builds the graph index; PQ coding trains the
+    * codebooks), and a nested computeIfAbsent on the same map throws
+    * "Recursive update" whenever the outer and inner keys land in the
+    * same hash bin — flaky by session identityHashCode (caught as an
+    * intermittent PlanAuditSpec failure). Training outside the map
+    * lock and publishing with putIfAbsent is safe here: trainings are
+    * deterministic, so a lost race merely discards an identical
+    * value. */
+  private def getOrTrain[T <: AnyRef](key: String)(train: => T): T = {
+    val existing = modelMemo.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val fresh = train
+      val prev = modelMemo.putIfAbsent(key, fresh)
+      (if (prev != null) prev else fresh).asInstanceOf[T]
+    }
+  }
+
   private def memoKeyOf(v: DataFrame): Option[String] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val roots = v.queryExecution.analyzed.collect {
@@ -367,8 +387,7 @@ object Similarity {
   }
   private def memoized[T <: AnyRef](kind: String, v: DataFrame)(train: => T): T =
     memoKeyOf(v) match {
-      case Some(k) =>
-        modelMemo.computeIfAbsent(s"$kind:$k", _ => train).asInstanceOf[T]
+      case Some(k) => getOrTrain(s"$kind:$k")(train)
       case None => train
     }
 
@@ -422,9 +441,9 @@ object Similarity {
   private def trainedCells(v: DataFrame): DataFrame = memoKeyOf(v) match {
     // the materialized IVF index (corpus + assigned cell), shared by
     // every cell-probe consumer; localCheckpoint: see knnGraph note
-    case Some(k) => indexMemo.computeIfAbsent(
-      s"cells:${System.identityHashCode(v.sparkSession)}:$k",
-      _ => trainedCellsUncached(v).localCheckpoint())
+    case Some(k) => getOrTrain(
+      s"cells:${System.identityHashCode(v.sparkSession)}:$k")(
+      trainedCellsUncached(v).localCheckpoint())
     case None => trainedCellsUncached(v)
   }
 
@@ -491,18 +510,16 @@ object Similarity {
     * top-k, no global sort, no all-pairs anything. */
   /** Like the model memo: the graph is an INDEX — built once per
     * (session, fixture), served by ss_knn_graph, ss_graph_search and
-    * ss_graph_recall alike. The cached plan is corpus × 3 scalar edge
-    * rows. */
-  private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    * ss_graph_recall alike. The materialized value is corpus × 3
+    * scalar edge rows. */
   private def knnGraph(v: DataFrame): DataFrame = memoKeyOf(v) match {
     // localCheckpoint (not cache): materializes the index AND truncates
     // its lineage, so consumers plan against a leaf relation instead of
     // re-analyzing the whole LSH+window build each time — measured 1.8 s
     // of pure Catalyst planning per consumer on the unrolled beam plan
-    case Some(k) => indexMemo.computeIfAbsent(
-      s"knngraph:${System.identityHashCode(v.sparkSession)}:$k",
-      _ => knnGraphUncached(v).localCheckpoint())
+    case Some(k) => getOrTrain(
+      s"knngraph:${System.identityHashCode(v.sparkSession)}:$k")(
+      knnGraphUncached(v).localCheckpoint())
     case None => knnGraphUncached(v)
   }
 
@@ -604,9 +621,9 @@ object Similarity {
     // the walk is deterministic per fixture; ss_graph_search and
     // ss_graph_recall share one execution (pool is queries × beam ×
     // degree × hops rows — model-sized)
-    case Some(k) => indexMemo.computeIfAbsent(
-      s"beam:$BeamHops:$BeamWidth:${System.identityHashCode(v.sparkSession)}:$k",
-      _ => beamSearchUncached(v).localCheckpoint()) // see knnGraph note
+    case Some(k) => getOrTrain(
+      s"beam:$BeamHops:$BeamWidth:${System.identityHashCode(v.sparkSession)}:$k")(
+      beamSearchUncached(v).localCheckpoint()) // see knnGraph note
     case None => beamSearchUncached(v)
   }
 
@@ -812,12 +829,11 @@ object Similarity {
       // the coded corpus IS the stored PQ index (5 longs/vector);
       // materialize once per fixture, lineage-truncated. The LUT frame
       // is query-sized literal data — no checkpoint needed.
-      case Some(k) => modelMemo.computeIfAbsent(
-        s"pqcodes:$PqM:$PqSub:${System.identityHashCode(s)}:$k",
-        _ => {
-          val (coded, lut) = pqCodesAndLutsUncached(s, v)
-          (coded.localCheckpoint(), lut)
-        }).asInstanceOf[(DataFrame, DataFrame)]
+      case Some(k) => getOrTrain(
+        s"pqcodes:$PqM:$PqSub:${System.identityHashCode(s)}:$k")({
+        val (coded, lut) = pqCodesAndLutsUncached(s, v)
+        (coded.localCheckpoint(), lut)
+      })
       case None => pqCodesAndLutsUncached(s, v)
     }
 
