@@ -84,6 +84,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("training memos are keyed per fixture — no cross-dir leakage") {
+    // the model/index memos key on the input's parquet root paths; a
+    // key collision would serve one fixture's trained model to another
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val cells = SparkEntry.queries("ss_cells_broadcast")(spark, d)
+      assert(cells.count() == n, s"$d: assignment rows != corpus rows")
+      // every cell id must be one of that fixture's k-means init ids
+      assert(cells.select("cell").distinct().collect()
+        .forall(_.getLong(0) < 8))
+    }
+  }
+
   test("the broadcast assignment plans broadcast joins and no multi-MB literal") {
     val v = Similarity.varr(spark, dir)
     val plan = Similarity.trainedCellsBroadcast(v)
