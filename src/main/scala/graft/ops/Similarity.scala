@@ -1730,6 +1730,83 @@ object Similarity {
         .orderBy(col("query_id"))
     },
 
+    // ---- serving-index certification: ONE row per stored index (IVF
+    // cell assignment, PQ code table, k-NN graph) carrying its entry
+    // count and a two-level Merkle digest — per-bucket md5 over the
+    // ordered rows, then md5 over the ordered bucket digests. This
+    // certifies WHOLE-index equality against the oracle's replayed
+    // build (row-level queries already hash-match row sets; this pins
+    // the exact serialized index a deployment would ship). The merkle
+    // shape is the scale-correct checksum: each bucket digests only
+    // its own partition-sized slice, the final fold sees 32 digests —
+    // no orderBy-the-world concatenation. ----
+    sql("pipe_index_manifest", {
+      val subs = (0 until PqM).map(pqSubspaceSql(_, PqSub)).mkString(",\n")
+      val codeJoins = (1 until PqM)
+        .map(m => s"  JOIN codes$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n")
+      val codeConcat = (0 until PqM).map(m => s"CAST(c$m.cid AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"""WITH $knnEdgesCtesSql,
+         |$kmeansCellsCtesSql,
+         |$subs,
+         |cells_rows AS (
+         |  SELECT vec_id % 32 AS bucket,
+         |         CAST(vec_id AS VARCHAR) || ':' || CAST(cell AS VARCHAR) AS r,
+         |         vec_id AS o1, 0 AS o2
+         |  FROM cells),
+         |codes_rows AS (
+         |  SELECT c0.vec_id % 32 AS bucket,
+         |         CAST(c0.vec_id AS VARCHAR) || ':' || $codeConcat AS r,
+         |         c0.vec_id AS o1, 0 AS o2
+         |  FROM codes0 c0
+         |$codeJoins),
+         |graph_rows AS (
+         |  SELECT vec_id % 32 AS bucket,
+         |         CAST(vec_id AS VARCHAR) || ':' || CAST(rk AS VARCHAR)
+         |           || ':' || CAST(nb AS VARCHAR) AS r,
+         |         vec_id AS o1, rk AS o2
+         |  FROM krnk WHERE rk <= 3),
+         |allrows AS (
+         |  SELECT 'ivf_cells' AS index_name, * FROM cells_rows
+         |  UNION ALL SELECT 'pq_codes', * FROM codes_rows
+         |  UNION ALL SELECT 'knn_graph', * FROM graph_rows),
+         |bdg AS (
+         |  SELECT index_name, bucket,
+         |         md5(string_agg(r, ',' ORDER BY o1, o2)) AS bd,
+         |         COUNT(*) AS n
+         |  FROM allrows GROUP BY index_name, bucket)
+         |SELECT index_name, CAST(SUM(n) AS BIGINT) AS n_entries,
+         |       md5(string_agg(bd, ',' ORDER BY bucket)) AS merkle
+         |FROM bdg GROUP BY index_name ORDER BY index_name"""
+    }) { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count()
+      def rows(name: String, df: DataFrame, r: Column, o2: Column): DataFrame =
+        df.select(lit(name).as("index_name"),
+          (col("vec_id") % 32).as("bucket"), r.as("r"),
+          col("vec_id").as("o1"), o2.cast("int").as("o2"))
+      val cellRows = rows("ivf_cells",
+        trainedCells(v).select(col("vec_id"), col("cell")),
+        concat_ws(":", col("vec_id"), col("cell")), lit(0))
+      val coded = pqCodesAndLuts(s, withSubs(v))._1
+      val codeRows = rows("pq_codes", coded,
+        concat_ws(":", col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*),
+        lit(0))
+      val graphRows = rows("knn_graph",
+        knnGraph(v).select(col("vec_id"), col("rk"), col("nb")),
+        concat_ws(":", col("vec_id"), col("rk"), col("nb")), col("rk"))
+      cellRows.unionAll(codeRows).unionAll(graphRows)
+        .groupBy(col("index_name"), col("bucket"))
+        .agg(expr("md5(array_join(transform(array_sort(collect_list(struct(o1, o2, r)))," +
+          " x -> x.r), ','))").as("bd"),
+          count(lit(1)).as("n"))
+        .groupBy(col("index_name"))
+        .agg(sum(col("n")).cast("long").as("n_entries"),
+          expr("md5(array_join(transform(array_sort(collect_list(struct(bucket, bd)))," +
+            " x -> x.bd), ','))").as("merkle"))
+        .orderBy(col("index_name"))
+    },
+
     // ---- per-cluster profile of the trained k-means model: size,
     // label diversity, and inertia (Σ ||v − c||², the k-means
     // objective) — the corpus-organization readout behind SemDeDup /
