@@ -448,7 +448,10 @@ object Similarity {
   }
 
   private def trainedCellsUncached(v: DataFrame): DataFrame =
-    v.withColumn("cell", assignCell(kmeansModel(v, "qe", DefaultGeometry.dims)))
+    // label is dropped: no cell-probe consumer reads it, and the
+    // materialized index should store only what serving touches
+    v.select(col("vec_id"), col("qe"), col("n2"))
+      .withColumn("cell", assignCell(kmeansModel(v, "qe", DefaultGeometry.dims)))
 
   /** Broadcast-join twin of the literal argmin, for LARGE k. The
     * literal path embeds k·dims longs in the expression tree — the
