@@ -914,6 +914,41 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- the CDC dedup yield number: per source, how much word mass
+    // sits in chunks whose digest appears in 2+ documents — what a
+    // curation run reports before deciding to strip shared passages.
+    // The shared-digest set is an aggregate (much smaller than the
+    // chunk stream); one join on digest + one grouped aggregation. ----
+    sql("dd_chunk_dup_rate",
+      s"""WITH $cdcChunksCtesSql,
+         |sh AS (SELECT digest FROM chunks
+         |       GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2),
+         |j AS (SELECT c.doc_id, c.n_words,
+         |             CASE WHEN s.digest IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |      FROM chunks c LEFT JOIN sh s ON s.digest = c.digest)
+         |SELECT d.source,
+         |       CAST(SUM(j.n_words) AS BIGINT) AS total_words,
+         |       CAST(SUM(CASE WHEN j.dup = 1 THEN j.n_words ELSE 0 END) AS BIGINT)
+         |         AS dup_words,
+         |       CAST((1000 * SUM(CASE WHEN j.dup = 1 THEN j.n_words ELSE 0 END))
+         |              // SUM(j.n_words) AS BIGINT) AS dup_permille
+         |FROM j JOIN documents d ON d.doc_id = j.doc_id
+         |GROUP BY d.source ORDER BY d.source""") { (s, dir) =>
+      val chunks = cdcChunkFrame(s, dir)
+      val shared = chunks.groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("digest"), lit(1).as("dup"))
+      chunks.join(shared, Seq("digest"), "left_outer")
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).cast("long").as("total_words"),
+          sum(when(col("dup") === 1, col("n_words")).otherwise(0L)).cast("long")
+            .as("dup_words"),
+          expr("""CAST((1000 * sum(CASE WHEN dup = 1 THEN n_words ELSE 0 END))
+                  div sum(n_words) AS BIGINT)""").as("dup_permille"))
+        .orderBy(col("source"))
+    },
+
     // ---- packing efficiency readout: per (lang, source) stream, the
     // numbers a batch-builder tunes against — bins produced, fill
     // percentage of the 256-token sequences, and how many documents
