@@ -935,6 +935,7 @@ object Text {
          |FROM j JOIN documents d ON d.doc_id = j.doc_id
          |GROUP BY d.source ORDER BY d.source""") { (s, dir) =>
       val chunks = cdcChunkFrame(s, dir)
+        .cache() // read twice: the shared-digest aggregate + the join
       val shared = chunks.groupBy(col("digest"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("digest"), lit(1).as("dup"))
