@@ -468,8 +468,8 @@ object Dedup {
       val involved = pairs.select(col("doc_a").as("d"))
         .union(pairs.select(col("doc_b").as("d"))).distinct()
       t(s, dir, "documents").agg(count(lit(1)).cast("long").as("n_docs"))
-        .crossJoin(pairs.agg(count(lit(1)).cast("long").as("n_pairs")))
-        .crossJoin(involved.agg(count(lit(1)).cast("long").as("n_docs_with_neardup")))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).cast("long").as("n_pairs"))))
+        .crossJoin(broadcast(involved.agg(count(lit(1)).cast("long").as("n_docs_with_neardup"))))
     },
 
     sql("dd_ngram_jaccard_sample",

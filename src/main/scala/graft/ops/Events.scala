@@ -72,8 +72,14 @@ object Events {
   private[graft] def tsecOf(e: DataFrame): Column = e.schema("ts").dataType match {
     case LongType => expr("ts div 1000000000") // nanos-as-BIGINT fixture
     case TimestampType | TimestampNTZType =>
-      // micros fixture. The session is pinned to UTC, so NTZ→TZ cast is
-      // an identity on the wall-clock and unix_seconds == epoch-in-UTC.
+      // micros fixture. NTZ→TZ cast is only a wall-clock identity when
+      // the session is pinned to UTC; enforce the invariant instead of
+      // assuming it, so a future non-pinned entry point fails loudly
+      // rather than shifting every ev_* result by the local offset.
+      val tz = e.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP and spark.sql.session.timeZone=$tz; " +
+          "ev_* semantics require UTC (set it in the entry point)")
       expr("unix_seconds(CAST(ts AS TIMESTAMP))")
     case other => throw new IllegalArgumentException(
       s"unsupported events.ts encoding: $other (expected BIGINT nanos or TIMESTAMP micros)")

@@ -353,43 +353,21 @@ object Similarity {
     * training and still matches bit-for-bit. Values are model-sized
     * (k·dims longs), bounded by distinct fixtures touched. Inputs with
     * no file scan (synthetic test frames) are trained uncached. */
-  private val modelMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
-
-  /** Get-or-train WITHOUT ConcurrentHashMap.computeIfAbsent: trainings
-    * nest (beam search builds the graph index; PQ coding trains the
-    * codebooks), and a nested computeIfAbsent on the same map throws
-    * "Recursive update" whenever the outer and inner keys land in the
-    * same hash bin — flaky by session identityHashCode (caught as an
-    * intermittent PlanAuditSpec failure). Training outside the map
-    * lock and publishing with putIfAbsent is safe here: trainings are
-    * deterministic, so a lost race merely discards an identical
-    * value. */
-  private def getOrTrain[T <: AnyRef](key: String)(train: => T): T = {
-    val existing = modelMemo.get(key)
-    if (existing != null) existing.asInstanceOf[T]
-    else {
-      val fresh = train
-      val prev = modelMemo.putIfAbsent(key, fresh)
-      (if (prev != null) prev else fresh).asInstanceOf[T]
-    }
-  }
-
-  private def memoKeyOf(v: DataFrame): Option[String] = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val roots = v.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
-        case other => other.getClass.getName + "@" + System.identityHashCode(other)
-      }
-    }
-    if (roots.isEmpty) None else Some(roots.mkString(";"))
-  }
+  // Memoization machinery lives in [[TrainMemo]] (shared with Dedup's
+  // persisted band index); these aliases keep the call sites short.
+  private def getOrTrain[T <: AnyRef](key: String)(train: => T): T =
+    TrainMemo.getOrTrain(key)(train)
+  private def memoKeyOf(v: DataFrame): Option[String] = TrainMemo.memoKeyOf(v)
+  private def sessionKeyOf(s: SparkSession): String = TrainMemo.sessionKeyOf(s)
+  private def trackedCache(df: DataFrame): DataFrame = TrainMemo.trackedCache(df)
+  private def checkpointReleasing(build: => DataFrame): DataFrame =
+    TrainMemo.checkpointReleasing(build)
   private def memoized[T <: AnyRef](kind: String, v: DataFrame)(train: => T): T =
-    memoKeyOf(v) match {
-      case Some(k) => getOrTrain(s"$kind:$k")(train)
-      case None => train
-    }
+    TrainMemo.memoized(kind, v)(train)
+
+  /** Test hook: drop every memoized model/index (used by specs that
+    * exercise re-training against a mutated fixture). */
+  private[graft] def clearMemos(): Unit = TrainMemo.clear()
 
   /** Deterministic k-means over `v`'s array column `vecCol`: first-k
     * init by vec_id, `KmeansRounds` Lloyd updates, floor-division
@@ -442,8 +420,8 @@ object Similarity {
     // the materialized IVF index (corpus + assigned cell), shared by
     // every cell-probe consumer; localCheckpoint: see knnGraph note
     case Some(k) => getOrTrain(
-      s"cells:${System.identityHashCode(v.sparkSession)}:$k")(
-      trainedCellsUncached(v).localCheckpoint())
+      s"cells:${sessionKeyOf(v.sparkSession)}:$k")(
+      checkpointReleasing(trainedCellsUncached(v)))
     case None => trainedCellsUncached(v)
   }
 
@@ -521,8 +499,8 @@ object Similarity {
     // re-analyzing the whole LSH+window build each time — measured 1.8 s
     // of pure Catalyst planning per consumer on the unrolled beam plan
     case Some(k) => getOrTrain(
-      s"knngraph:${System.identityHashCode(v.sparkSession)}:$k")(
-      knnGraphUncached(v).localCheckpoint())
+      s"knngraph:${sessionKeyOf(v.sparkSession)}:$k")(
+      checkpointReleasing(knnGraphUncached(v)))
     case None => knnGraphUncached(v)
   }
 
@@ -532,11 +510,12 @@ object Similarity {
       col("n2").as("n2_a"))
     val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
       col("n2").as("n2_b"))
-    val pd = cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+    // scalar edge rows; both orientations read this once each. Tracked:
+    // released once the memoized graph index checkpoints.
+    val pd = trackedCache(cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
       .withColumn("dot", dot("qe_a", "qe_b"))
       .select(col("vec_a"), col("vec_b"), col("dot"),
-        col("n2_a"), col("n2_b"))
-      .cache() // scalar edge rows; both orientations read this once each
+        col("n2_a"), col("n2_b")))
     val bi = pd.select(col("vec_a").as("vec_id"), col("vec_b").as("nb"),
         col("dot"), col("n2_a").as("n2_q"), col("n2_b").as("n2_v"))
       .unionAll(pd.select(col("vec_b").as("vec_id"), col("vec_a").as("nb"),
@@ -625,8 +604,8 @@ object Similarity {
     // ss_graph_recall share one execution (pool is queries × beam ×
     // degree × hops rows — model-sized)
     case Some(k) => getOrTrain(
-      s"beam:$BeamHops:$BeamWidth:${System.identityHashCode(v.sparkSession)}:$k")(
-      beamSearchUncached(v).localCheckpoint()) // see knnGraph note
+      s"beam:$BeamHops:$BeamWidth:${sessionKeyOf(v.sparkSession)}:$k")(
+      checkpointReleasing(beamSearchUncached(v))) // see knnGraph note
     case None => beamSearchUncached(v)
   }
 
@@ -649,11 +628,10 @@ object Similarity {
       // frontier — cache it (queries × beam × degree rows, model-sized)
       // so the unrolled plan stays linear in hops instead of
       // re-evaluating every prior hop's window per consumer
-      val scored = cand.join(cvec, Seq("node"))
+      val scored = trackedCache(cand.join(cvec, Seq("node"))
         .join(broadcast(qq), Seq("qid"))
         .withColumn("dot", dot("qqe", "qe"))
-        .select(col("qid"), col("node"), col("dot"), col("n2_q"), col("n2_v"))
-        .cache()
+        .select(col("qid"), col("node"), col("dot"), col("n2_q"), col("n2_v")))
       pool = if (pool == null) scored else pool.unionAll(scored)
       visited = visited.unionAll(cand)
       frontier = scored.withColumn("rk", row_number().over(
@@ -833,9 +811,9 @@ object Similarity {
       // materialize once per fixture, lineage-truncated. The LUT frame
       // is query-sized literal data — no checkpoint needed.
       case Some(k) => getOrTrain(
-        s"pqcodes:$PqM:$PqSub:${System.identityHashCode(s)}:$k")({
+        s"pqcodes:$PqM:$PqSub:${sessionKeyOf(s)}:$k")({
         val (coded, lut) = pqCodesAndLutsUncached(s, v)
-        (coded.localCheckpoint(), lut)
+        (checkpointReleasing(coded), lut)
       })
       case None => pqCodesAndLutsUncached(s, v)
     }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Train-once-serve-many registry for deterministic trainings and
+  * built serving indexes (Similarity's k-means/PQ/SQ8 models and IVF /
+  * k-NN-graph / beam indexes; Dedup's persisted band-key index) —
+  * the way a model registry amortizes training in production.
+  *
+  * Keys fold in a CONTENT snapshot of the input fixture (every file's
+  * path, length, modificationTime), so a fixture regenerated at the
+  * same path — exactly what the driver does between rounds — gets a
+  * fresh key and a fresh training instead of a silently stale model,
+  * and sessions are identified by their collision-free sessionUUID.
+  * Determinism makes the memo an evaluation-count optimization only:
+  * every consumer's oracle still replays the full training and still
+  * matches bit-for-bit. Values are model-/index-sized, bounded by
+  * distinct fixtures touched and by [[MemoMaxEntries]].
+  */
+private[ops] object TrainMemo {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  /** Memo entries are bounded: past this many the whole registry is
+    * evicted (unpersisting any checkpointed DataFrame values), so a
+    * long multi-fixture session cannot pin cached blocks — or the
+    * sessions captured by the DataFrames — without bound. Whole-map
+    * eviction (vs LRU) is deliberate: entries are cheap to rebuild
+    * (they memoize deterministic trainings), the cap is far above the
+    * handful of fixtures any one session touches, and clearing
+    * everything keeps the concurrency story trivial. */
+  private val MemoMaxEntries = 64
+
+  /** Drop every memoized model/index (also the test hook for specs
+    * that exercise re-training against a mutated fixture). */
+  def clear(): Unit = {
+    def release(v: Any): Unit = v match {
+      case df: org.apache.spark.sql.Dataset[_] =>
+        scala.util.Try(df.unpersist(blocking = false))
+      case (a, b) => release(a); release(b)
+      case _ => ()
+    }
+    val it = memo.values.iterator()
+    while (it.hasNext) release(it.next())
+    memo.clear()
+  }
+
+  /** Get-or-train WITHOUT ConcurrentHashMap.computeIfAbsent: trainings
+    * nest (beam search builds the graph index; PQ coding trains the
+    * codebooks), and a nested computeIfAbsent on the same map throws
+    * "Recursive update" whenever the outer and inner keys land in the
+    * same hash bin — flaky by session identity (caught as an
+    * intermittent PlanAuditSpec failure). Training outside the map
+    * lock and publishing with putIfAbsent is safe here: trainings are
+    * deterministic, so a lost race merely discards an identical
+    * value. */
+  def getOrTrain[T <: AnyRef](key: String)(train: => T): T = {
+    val existing = memo.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      if (memo.size >= MemoMaxEntries) clear()
+      val fresh = train
+      val prev = memo.putIfAbsent(key, fresh)
+      (if (prev != null) prev else fresh).asInstanceOf[T]
+    }
+  }
+
+  /** Unconditional publish — the write-back half of an incremental
+    * index-maintenance loop (e.g. Dedup's merged band index REPLACES
+    * the stored one). Unpersists the value it replaces. */
+  def publish(key: String, value: AnyRef): Unit = {
+    val prev = memo.put(key, value)
+    prev match {
+      case df: org.apache.spark.sql.Dataset[_] if !(df eq value) =>
+        scala.util.Try(df.unpersist(blocking = false))
+      case _ => ()
+    }
+  }
+
+  def get[T <: AnyRef](key: String): Option[T] =
+    Option(memo.get(key)).map(_.asInstanceOf[T])
+
+  /** Content snapshot of one fixture root: every file's path, length
+    * and modificationTime, digested. Listing a handful of local files
+    * costs microseconds next to any training. */
+  private def snapshotOf(s: SparkSession, root: org.apache.hadoop.fs.Path): String = {
+    import org.apache.hadoop.fs.FileStatus
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    def walk(st: FileStatus): Seq[String] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.toString).toSeq.flatMap(walk)
+      else Seq(s"${st.getPath}#${st.getLen}#${st.getModificationTime}")
+    val listing =
+      try walk(fs.getFileStatus(root)).mkString("|")
+      catch { case _: java.io.IOException => "unlistable" }
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(listing.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"$root@$hex"
+  }
+
+  /** Stable session identity for memo keys. identityHashCode is not
+    * collision-free across sessions in one JVM; sessionUUID is. */
+  def sessionKeyOf(s: SparkSession): String =
+    org.apache.spark.sql.GraftShim.sessionUUID(s)
+
+  /** The fixture-content part of a memo key, from the input plan's
+    * file scans. None for inputs with no file scan (synthetic test
+    * frames) or with non-file relations — those have no content
+    * identity worth keying on, so callers train uncached rather than
+    * risk serving someone else's model. */
+  def memoKeyOf(v: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = v.sparkSession
+    var nonFile = false
+    val roots = v.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation =>
+          fsr.location.rootPaths.map(p => snapshotOf(spark, p)).mkString(",")
+        case _ => nonFile = true; ""
+      }
+    }
+    if (roots.isEmpty || nonFile) None else Some(roots.mkString(";"))
+  }
+
+  /** Intermediate caches created while building a memoized index are
+    * registered here and unpersisted once the index's localCheckpoint
+    * has materialized — the build scaffolding must not outlive the
+    * build (a long multi-fixture session would otherwise accumulate
+    * cached blocks without bound). ThreadLocal because builds nest
+    * (beam → graph): each build releases only its own caches. In the
+    * non-memoized (synthetic-frame) path no release runs — the result
+    * is lazy there, so the caches are still live when the consumer
+    * executes. */
+  private val buildCaches =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[DataFrame]]
+
+  def trackedCache(df: DataFrame): DataFrame = {
+    val buf = buildCaches.get()
+    if (buf != null) buf += df
+    df.cache()
+  }
+
+  def checkpointReleasing(build: => DataFrame): DataFrame = {
+    val outer = buildCaches.get()
+    val buf = new scala.collection.mutable.ListBuffer[DataFrame]
+    buildCaches.set(buf)
+    try {
+      val cp = build.localCheckpoint() // eager — the index materializes here
+      buf.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+      cp
+    } finally buildCaches.set(outer)
+  }
+
+  def memoized[T <: AnyRef](kind: String, v: DataFrame)(train: => T): T =
+    memoKeyOf(v) match {
+      case Some(k) => getOrTrain(s"$kind:$k")(train)
+      case None => train
+    }
+}

@@ -13,4 +13,9 @@ object GraftShim {
 
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Collision-free per-session identity (`private[sql]` upstream);
+    * graft's training memos key on it instead of identityHashCode. */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[classic.SparkSession].sessionUUID
 }

@@ -85,16 +85,63 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("training memos are keyed per fixture — no cross-dir leakage") {
-    // the model/index memos key on the input's parquet root paths; a
-    // key collision would serve one fixture's trained model to another
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
-      val cells = SparkEntry.queries("ss_cells_broadcast")(spark, d)
-      assert(cells.count() == n, s"$d: assignment rows != corpus rows")
-      // every cell id must be one of that fixture's k-means init ids
-      assert(cells.select("cell").distinct().collect()
-        .forall(_.getLong(0) < 8))
+    // the model/index memos key on the input's parquet content; a key
+    // collision would serve one fixture's trained model to another.
+    // Assert the MODEL-dependent output, not just its shape: for each
+    // fixture, the (possibly memo-served) assignment must be identical
+    // to a guaranteed-fresh retraining after clearMemos(). If fixture
+    // A's centroids were ever wrongly served for fixture B, B's served
+    // map would disagree with B's fresh map on some vector.
+    def assignments(d: String): Map[Long, Long] =
+      SparkEntry.queries("ss_cells_broadcast")(spark, d)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // warm both memos in an interleaved order first
+    val servedA = assignments("/root/testdata/sf0.001")
+    val servedB = assignments("/root/testdata/sf0.01")
+    Similarity.clearMemos()
+    val freshA = assignments("/root/testdata/sf0.001")
+    Similarity.clearMemos()
+    val freshB = assignments("/root/testdata/sf0.01")
+    assert(servedA == freshA, "sf0.001: memo-served model != freshly trained model")
+    assert(servedB == freshB, "sf0.01: memo-served model != freshly trained model")
+    // and the two fixtures' models genuinely differ (the test would be
+    // vacuous if both corpora trained to identical assignments)
+    val common = servedA.keySet.intersect(servedB.keySet)
+    assert(common.exists(id => servedA(id) != servedB(id)),
+      "fixtures trained to identical assignments — leakage undetectable")
+  }
+
+  test("regenerating a fixture at the same path retrains — no stale model served") {
+    // the ADVICE scenario: the driver rewrites a fixture in place
+    // between rounds within one JVM. The memo key folds in a file
+    // snapshot (path+len+mtime), so the rewrite must produce a fresh
+    // training; serving the pre-rewrite model would disagree with a
+    // from-scratch training on the new content.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-regen").toString
+    def writeFrom(src: String, scaleMod: Int): Unit = {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .selectExpr("vec_id", s"transform(embedding, x -> x * (1.0f + CAST(vec_id % $scaleMod AS FLOAT))) AS embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      // drop Spark's own data cache for the rewritten path — the
+      // production regeneration happens across JVMs; this test isolates
+      // the MEMO's staleness behavior, not the CacheManager's
+      spark.catalog.clearCache()
     }
+    def served(): Map[Long, Long] =
+      SparkEntry.queries("ss_cells_broadcast")(spark, tmp)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    writeFrom("/root/testdata/sf0.001", 2)
+    val before = served()
+    writeFrom("/root/testdata/sf0.001", 5) // same path, new content
+    val after = served() // must train on the NEW content
+    Similarity.clearMemos()
+    val freshAfter = served() // ground truth for the new content
+    assert(after == freshAfter,
+      "post-regeneration memo served a model differing from fresh training")
+    assert(before != after,
+      "shifted fixture trained to identical assignments — staleness undetectable")
   }
 
   test("the broadcast assignment plans broadcast joins and no multi-MB literal") {
