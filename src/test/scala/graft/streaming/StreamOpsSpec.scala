@@ -503,6 +503,146 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Lands `events` as one complete parquet file in `in` — staged
+    * then moved, because the file-stream source lists files atomically
+    * and a half-written file would be read as a short batch. */
+  private def landFile(work: java.nio.file.Path, in: String, file: String,
+      events: Seq[Event]): Unit = {
+    import spark.implicits._
+    events.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/stage-$file")
+    val staged = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$work/stage-$file")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(staged.head),
+      java.nio.file.Paths.get(s"$in/$file.parquet"))
+  }
+
+  test("sessionize state survives a stop/restart; late data after restart is dropped") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-sess-restart-")
+    val (in, out, ckpt) = (s"$work/in", s"$work/out", s"$work/ckpt")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
+    val schema = Seq.empty[Event].toDF().schema
+    def start() = StreamOps.sessionize(
+        spark.readStream.schema(schema).parquet(in).as[Event],
+        gapSeconds = 1800, lateness = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // phase 1: user 1 has an OPEN session (events at t0, t10); user 2
+    // one event. Nothing closes; all state lives in the state store.
+    landFile(work, in, "a", Seq(
+      Event(1, 1, "view", ts(0), 10),
+      Event(2, 1, "click", ts(10), 20),
+      Event(3, 2, "view", ts(5), 5)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 arrives while the query is DOWN:
+    //  - user 1 at t50: >30 min after t10 — closes session (t0,t10)
+    //    and opens a new one. Correct ONLY if the open-session state
+    //    was recovered from the checkpoint; a fresh query would emit
+    //    (t50,t50) with no (t0,t10) session at all.
+    //  - t1000/t2000 advance the watermark so every open session
+    //    times out and is flushed.
+    landFile(work, in, "b", Seq(
+      Event(4, 1, "view", ts(50), 30),
+      Event(99, 9, "view", ts(1000), 0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // a LATE event spanning the restart: t20 is far behind the
+      // recovered watermark (t1000, persisted in the checkpoint's
+      // commit log) — the state operator must drop it, not resurrect
+      // user 2's already-timed-out session
+      landFile(work, in, "c", Seq(
+        Event(5, 2, "view", ts(20), 7),
+        Event(100, 9, "view", ts(2000), 0)))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).as[UserSession].collect().toSeq
+      val got = rows.toSet
+      // exactly-once: no session row lands twice across the restart
+      assert(rows.size == got.size, s"duplicated sessions: $rows")
+      assert(got.contains(UserSession(1, sec(0), sec(10), 2, 30)), got)
+      assert(got.contains(UserSession(1, sec(50), sec(50), 1, 30)), got)
+      // user 2's session holds ONLY the pre-restart event: the late
+      // t20 event neither extended nor re-opened it
+      assert(got.contains(UserSession(2, sec(5), sec(5), 1, 5)), got)
+      assert(!got.exists(s => s.user_id == 2 && s.n_events > 1), got)
+    } finally q2.stop()
+  }
+
+  test("approxUsersHourly HLL registers survive a stop/restart mid-window") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-hll-restart-")
+    val (in, out, ckpt) = (s"$work/in", s"$work/out", s"$work/ckpt")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
+    val schema = Seq.empty[Event].toDF().schema
+    def start() = StreamOps.approxUsersHourly(
+        spark.readStream.schema(schema).parquet(in), lateness = "0 seconds")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // phase 1: hour-0 'view' events from users 1..40 in minutes 0..29
+    // — the window stays OPEN (watermark at ts(29)), its 64 HLL
+    // registers in state
+    val phase1 = (1L to 40L).map(u => Event(u, u, "view", ts(u % 30), 0))
+    landFile(work, in, "a", phase1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 while DOWN: users 41..60 land in the SAME hour but in
+    // minutes 30..49 — AFTER the recovered watermark (ts(29), from
+    // the checkpoint), so none is late — then a far-future event
+    // closes the window. The emitted estimate must cover ALL 60 users
+    // — i.e. the phase-1 registers were recovered, not reset.
+    val phase2 = (41L to 60L).map(u => Event(u, u, "view", ts(u - 11), 0)) :+
+      Event(999, 999, "click", ts(600), 0)
+    landFile(work, in, "b", phase2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      landFile(work, in, "c", Seq(Event(1000, 999, "click", ts(1200), 0)))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[HourlyUsers].collect()
+        .filter(_.event_type == "view")
+      assert(got.length == 1, s"hour-0 view window must emit exactly once: ${got.toSeq}")
+      assert(got.head.n_events == 60L, got.head)
+
+      // bit-equal oracle: the batch twin over the UNION of both phases
+      val all = (phase1 ++ phase2).toDF()
+      val batch = all
+        .select(org.apache.spark.sql.functions.window($"ts", "1 hour")
+            .getField("start").as("window_start"), $"event_type",
+          org.apache.spark.sql.functions.md5($"user_id".cast("string")).as("hx"))
+        .select($"window_start", $"event_type",
+          (org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.substring($"hx", 1, 8), 16, 10)
+            .cast("long") % 64).cast("int").as("bucket"),
+          org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.substring($"hx", 9, 8), 16, 10)
+            .cast("long").as("w"))
+        .withColumn("rho", org.apache.spark.sql.functions
+          .expr(graft.ops.Hll.rhoLadderSql).cast("int"))
+        .filter($"event_type" === "view")
+        .groupBy($"bucket").agg(org.apache.spark.sql.functions.max($"rho").as("mrho"))
+        .select(org.apache.spark.sql.functions
+          .expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("np"))
+        .select(org.apache.spark.sql.functions.expr(
+          s"CAST(${graft.ops.Hll.ScaledAlphaM2}L div " +
+            "(1000 * (sp + (64 - np) * 8589934592L)) AS BIGINT)").as("approx_users"))
+        .as[Long].head()
+      assert(got.head.approx_users == batch,
+        s"stream=${got.head.approx_users} batch=$batch — registers lost in restart?")
+    } finally q2.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
