@@ -27,7 +27,7 @@ object Bench {
     // dev aid: SPARK_GRAFT_ONLY=q1_x,dd_y times a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val allRuns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       // (elapsed, succeeded): a failed run must not contribute its
@@ -41,6 +41,9 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      (name, times)
+    }
+    val results = allRuns.map { case (name, times) =>
       val good = times.collect { case (t, true) => t }
       // all runs failed: report the SLOWEST failure and mark the query
       // failed in the JSON — a fail-fast crash (e.g. an
@@ -57,7 +60,17 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    // scale-evidence mode (SPARK_GRAFT_REPORT=runs): emit every run's
+    // elapsed time per query, in order — run 1 carries the cold cost
+    // (index builds, first-touch IO), later runs the warm serving cost.
+    // Off by default so the driver's JSON schema stays untouched.
+    val runsJson =
+      if (sys.env.get("SPARK_GRAFT_REPORT").contains("runs"))
+        allRuns.map { case (k, ts) =>
+          "\"" + k + "\":[" + ts.map(_._1).mkString(",") + "]"
+        }.mkString(""","runs":{""", ",", "}")
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -158,8 +158,13 @@ object IcebergDiff {
         }
       }
 
+    // like J12's effectiveness filter: a `first` directive on the
+    // column already leading the catalog order is a no-op, and
+    // reporting it anyway would keep the diff non-empty forever — the
+    // apply path (IcebergDdl) would never reach its fixpoint
     val firstPosition = common.collectFirst {
-      case (c, h) if c.dataType == h.dataType && h.first => c.name
+      case (c, h) if c.dataType == h.dataType && h.first &&
+        !cat.headOption.map(_.name).contains(c.name) => c.name
     }
 
     // J13 — new columns: DDL-only, not renames/drops/backfill sources.

@@ -74,6 +74,71 @@ object Similarity {
     SignLshGeometry(bands = 2, planesPerBand = 4, dims = 64)
   private val QuerySetSql = "vec_id < 10" // bounded query sample
 
+  // ---------------------------------------------------------------
+  // Corpus-size-scaled index geometry (the 100 TB knob)
+  // ---------------------------------------------------------------
+
+  /** Target vectors per LSH bucket / k-means cell. Candidate-pair and
+    * within-cell-pairwise volume is Σ occ²/2 per band/cell ≈
+    * n·occ/2 — LINEAR in the corpus as long as occupancy is held
+    * constant, QUADRATIC if the geometry is frozen while the corpus
+    * grows (measured: the 2×4-plane fixture geometry at sf1 put 12.5k
+    * vectors in each of 16 buckets and ss_lsh_multiprobe went
+    * 1.2 s → 101 s on 10× the data). 250 is chosen so the sf0.01
+    * ORACLE fixture (2,000 vectors) lands exactly on
+    * [[DefaultGeometry]] / k=8 — the regime every generated oracle
+    * SQL replays — pinned by ContractSpec. */
+  private[ops] val TargetOccupancy = 250L
+
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+
+  /** Corpus row count, memoized per fixture content (one metadata-only
+    * parquet count per fixture, amortized across every geometry
+    * consumer in the session). */
+  private[ops] def corpusCount(v: DataFrame): Long =
+    TrainMemo.memoized("corpus_n", v)(java.lang.Long.valueOf(v.count())).longValue()
+
+  /** Occupancy-targeted sign-LSH geometry: planes grow with
+    * log2(n/occupancy) so expected bucket size stays ~[[TargetOccupancy]]
+    * (each extra hyperplane halves it); bands grow one-per-plane
+    * (capped at 8) to claw back per-band recall lost to the narrower
+    * buckets — the Manku et al. 2007 (WWW, near-duplicate web crawling)
+    * block-table shape, where signature bits and table count both rise
+    * with corpus size. Recall at the deployed geometry is priced by
+    * ss_lsh_recall / ss_recall_eval, not assumed. */
+  private[ops] def scaledGeometry(n: Long): SignLshGeometry = {
+    val planes = math.min(16, math.max(4, ceilLog2(n / TargetOccupancy)))
+    SignLshGeometry(bands = math.min(8, 2 + (planes - 4)), planesPerBand = planes,
+      dims = DefaultGeometry.dims)
+  }
+
+  /** Multi-probe trades tables for probes ("more probes, fewer
+    * tables"): 2 planes finer than the plain geometry — the (1+planes)×
+    * probe expansion multiplies PAIR volume, so its occupancy target
+    * must sit ~4× lower — and bands pinned at 2, since the 1-bit probe
+    * ring already plays the role extra bands play in the plain path. */
+  private[ops] def scaledMultiprobeGeometry(n: Long): SignLshGeometry = {
+    val g = scaledGeometry(n)
+    if (g == DefaultGeometry) g // oracle-fixture regime: replayed by the SQL twins
+    else SignLshGeometry(bands = 2,
+      planesPerBand = math.min(16, g.planesPerBand + 2), dims = g.dims)
+  }
+
+  /** Occupancy-targeted k-means cell count (SemDeDup §3 / IVF sizing):
+    * k = n/occupancy keeps within-cell pairwise linear in n. The
+    * assignment term is n·k dots — fine through ~10⁸ vectors; past
+    * that a production deployment adds a coarse first-level quantizer
+    * (IMI / two-level IVF) so k per level stays bounded. */
+  private[ops] def scaledK(n: Long): Int =
+    math.max(KmeansK.toLong, math.min(1L << 16, n / TargetOccupancy)).toInt
+
+  /** Above this k the literal-argmin expression (k·dims longs inlined
+    * in the plan) gives way to the broadcast-table assignment —
+    * bit-equal by construction (SimilaritySpec asserts at k=8, 64 and
+    * 256), only the model's transport changes. */
+  private[ops] val LiteralAssignMaxK = 16
+
   /** int-quantized vector + its squared norm, both map-side.
     *
     * All per-vector math (norms, plane projections, pair dots) runs
@@ -245,6 +310,16 @@ object Similarity {
     Skew.dropOversizeGroups(buckets, Seq("band", "bucket"), g.maxBucketSize)
   }
 
+  /** LSH candidates at the corpus-scaled geometry — the entry point
+    * every registered query uses. At the sf0.01 oracle fixture the
+    * scaled geometry IS [[DefaultGeometry]] (ContractSpec pins it), so
+    * the static SQL twins replay exactly what ran. */
+  private[ops] def lshCandidatesAuto(v: DataFrame): DataFrame =
+    lshCandidates(v, scaledGeometry(corpusCount(v)))
+
+  private[ops] def lshMultiprobeCandidatesAuto(v: DataFrame): DataFrame =
+    lshMultiprobeCandidates(v, scaledMultiprobeGeometry(corpusCount(v)))
+
   private[ops] def lshCandidates(v: DataFrame,
       g: SignLshGeometry = DefaultGeometry): DataFrame = {
     val kept = keptBuckets(v, g)
@@ -322,7 +397,7 @@ object Similarity {
       val arr = ce.mkString("array(", "L, ", "L)")
       s"named_struct('s', ${n2c}L - 2L * graft_dot($vecCol, $arr), 'c', ${cid}L)"
     }.mkString(", ")
-  private def assignCellOn(vecCol: String, cents: Seq[(Long, Array[Long])]): Column =
+  private[ops] def assignCellOn(vecCol: String, cents: Seq[(Long, Array[Long])]): Column =
     expr(s"array_min(array(${assignElems(vecCol, cents)})).c")
   /** Winning (score, cid) struct — for consumers that also need the
     * distance to the assigned centroid (||v−c||² = s + n2_v). */
@@ -374,20 +449,29 @@ object Similarity {
     * means — the trainer behind [[trainedCells]] (full vectors) and
     * ss_pq_adc (per-subspace codebooks). Driver-side state per round
     * is the k·dims aggregated model, never corpus rows. */
-  private def kmeansModel(v: DataFrame, vecCol: String, dims: Int)
-      : Seq[(Long, Array[Long])] =
-    memoized(s"kmeans:$vecCol:$dims", v)(kmeansModelUncached(v, vecCol, dims))
+  private[ops] def kmeansModel(v: DataFrame, vecCol: String, dims: Int,
+      k: Int = KmeansK): Seq[(Long, Array[Long])] =
+    memoized(s"kmeans:$vecCol:$dims:$k", v)(kmeansModelUncached(v, vecCol, dims, k))
 
-  private def kmeansModelUncached(v: DataFrame, vecCol: String, dims: Int)
-      : Seq[(Long, Array[Long])] = {
+  private def kmeansModelUncached(v: DataFrame, vecCol: String, dims: Int,
+      k: Int): Seq[(Long, Array[Long])] = {
     var cents: Seq[(Long, Array[Long])] = v
-      .filter(col("vec_id") < KmeansK)
+      .filter(col("vec_id") < k)
       .select(col("vec_id"), col(vecCol))
       .collect() // k rows: the deterministic init, model-sized
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .toSeq.sortBy(_._1)
     for (_ <- 1 to KmeansRounds) {
-      val assigned = v.select(assignCellOn(vecCol, cents).as("cid"), col(vecCol))
+      // per-round assignment through the same literal-vs-broadcast
+      // dispatch as serving: past LiteralAssignMaxK the k·dims literal
+      // would swamp the plan (and Janino) — the broadcast transport is
+      // bit-equal, so the trained model is identical either way
+      val assigned =
+        if (cents.size <= LiteralAssignMaxK)
+          v.select(assignCellOn(vecCol, cents).as("cid"), col(vecCol))
+        else
+          v.join(assignWinnersBroadcast(v, vecCol, cents), Seq("vec_id"))
+            .select(col("cell").as("cid"), col(vecCol))
       cents = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
@@ -425,50 +509,62 @@ object Similarity {
     case None => trainedCellsUncached(v)
   }
 
-  private def trainedCellsUncached(v: DataFrame): DataFrame =
+  private def trainedCellsUncached(v: DataFrame): DataFrame = {
     // label is dropped: no cell-probe consumer reads it, and the
     // materialized index should store only what serving touches
-    v.select(col("vec_id"), col("qe"), col("n2"))
-      .withColumn("cell", assignCell(kmeansModel(v, "qe", DefaultGeometry.dims)))
+    val model = kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v)))
+    val base = v.select(col("vec_id"), col("qe"), col("n2"))
+    if (model.size <= LiteralAssignMaxK)
+      base.withColumn("cell", assignCell(model))
+    else
+      base.join(assignWinnersBroadcast(v, "qe", model)
+        .select(col("vec_id"), col("cell")), Seq("vec_id"))
+  }
 
   /** Broadcast-join twin of the literal argmin, for LARGE k. The
     * literal path embeds k·dims longs in the expression tree — the
     * right call at model scale (k=8 ⇒ 512 longs, zero shuffle), but at
     * production IVF scale (k ≈ 2¹⁶) the plan itself becomes multi-MB
     * and is re-analyzed on every use. Here the centroids travel as a
-    * broadcast TABLE instead: vectors explode to (vec_id, dim, x),
-    * BroadcastHashJoin the centroid elements on dim, map-side-combine
-    * the per-(vec, cid) dots, then take the lexicographic (score, cid)
-    * min per vector — the same tie-break as [[assignCell]], so the two
-    * paths are bit-equal (asserted at k=8 by SimilaritySpec and the
-    * ss_cells_broadcast oracle). Cost is the honest exhaustive
+    * broadcast TABLE of k (cid, centroid-array, ‖c‖²) rows joined on a
+    * model fan-out (crossJoin against the broadcast k-row table — a
+    * BroadcastNestedLoopJoin, the honest plan when every vector meets
+    * every centroid), each (vec, cid) pair scored by each scored by ONE codegen'd `graft_dot`
+    * loop (never exploded per dimension: that shape costs n·dims·k
+    * join rows, ~64× this one) — then the lexicographic (score, cid)
+    * min per vector: the same tie-break as [[assignCell]], so the two
+    * paths are bit-equal (asserted at k=8/64/256 by SimilaritySpec and
+    * the ss_cells_broadcast oracle). Cost is the honest exhaustive
     * assignment (k dots per vector) either way; only the model's
-    * transport changes.
-    */
-  private[ops] def assignCellsBroadcast(v: DataFrame, vecCol: String,
+    * transport changes. Returns (vec_id, cell, s) — s = ‖c‖² − 2·v·c,
+    * the winner's score, so profile consumers recover ‖v−c‖² = s + ‖v‖²
+    * without a second pass. */
+  private[ops] def assignWinnersBroadcast(v: DataFrame, vecCol: String,
       cents: Seq[(Long, Array[Long])]): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
-    val centDf = cents.flatMap { case (cid, ce) =>
-      ce.iterator.zipWithIndex.map { case (x, d) => (cid, d, x) } }
-      .toDF("cid", "dim", "ce")
-    val normDf = cents.map { case (cid, ce) => (cid, ce.map(x => x * x).sum) }
-      .toDF("cid", "n2c")
-    v.select(col("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .join(broadcast(centDf), Seq("dim"))
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum(col("x") * col("ce")).as("dot"))
-      .join(broadcast(normDf), Seq("cid"))
+    val centDf = cents.map { case (cid, ce) => (cid, ce, ce.map(x => x * x).sum) }
+      .toDF("cid", "ce", "n2c")
+    v.select(col("vec_id"), col(vecCol))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), struct(
+        (col("n2c") - lit(2L) * expr(s"graft_dot($vecCol, ce)")).as("s"),
+        col("cid").as("c")).as("sc"))
       .groupBy(col("vec_id"))
-      .agg(min(struct((col("n2c") - lit(2L) * col("dot")).as("s"),
-        col("cid").as("c"))).as("m"))
-      .select(col("vec_id"), col("m.c").as("cell"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"), col("m.s").as("s"))
   }
 
-  /** [[trainedCells]]' large-k twin: identical trained model,
-    * broadcast-join assignment instead of literal-argmin. */
+  private[ops] def assignCellsBroadcast(v: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Long])]): DataFrame =
+    assignWinnersBroadcast(v, vecCol, cents).select(col("vec_id"), col("cell"))
+
+  /** [[trainedCells]]' broadcast-transport twin: identical trained
+    * model (at the corpus-scaled k), broadcast-join assignment instead
+    * of literal-argmin. */
   private[ops] def trainedCellsBroadcast(v: DataFrame): DataFrame =
-    assignCellsBroadcast(v, "qe", kmeansModel(v, "qe", DefaultGeometry.dims))
+    assignCellsBroadcast(v, "qe",
+      kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v))))
 
   // ---------------------------------------------------------------
   // k-NN graph + beam search over it (graph ANN, batch-expressed)
@@ -505,7 +601,7 @@ object Similarity {
   }
 
   private def knnGraphUncached(v: DataFrame): DataFrame = {
-    val cand = lshCandidates(v)
+    val cand = lshCandidatesAuto(v)
     val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("n2").as("n2_a"))
     val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
@@ -695,13 +791,30 @@ object Similarity {
     * ranked prefix of the same literal argmin score array — map-side,
     * zero extra model state. */
   private def ivfProbeTop3(v: DataFrame, nprobe: Int): DataFrame = {
-    val cents = kmeansModel(v, "qe", DefaultGeometry.dims)
+    val cents = kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v)))
     val cells = trainedCells(v) // shared materialized IVF index
-    val qprobe = v.filter(expr(QuerySetSql))
-      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
-        col("n2").as("n2_q"),
-        explode(probeCellsOn("qe", cents, nprobe)).as("probe"))
-      .select(col("qid"), col("qqe"), col("n2_q"), col("probe.c").as("cell"))
+    val q = v.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+    // probe-list transport dispatches like assignment: literal sorted
+    // slice at model k, ranked broadcast join at large k (the window
+    // spans only |queries|·k rows and is partitioned per query)
+    val qprobe =
+      if (cents.size <= LiteralAssignMaxK)
+        q.select(col("qid"), col("qqe"), col("n2_q"),
+          explode(probeCellsOn("qqe", cents, nprobe)).as("probe"))
+          .select(col("qid"), col("qqe"), col("n2_q"), col("probe.c").as("cell"))
+      else {
+        val s = v.sparkSession
+        import s.implicits._
+        val centDf = cents.map { case (cid, ce) => (cid, ce, ce.map(x => x * x).sum) }
+          .toDF("cid", "ce", "n2c")
+        q.crossJoin(broadcast(centDf))
+          .withColumn("sc", col("n2c") - lit(2L) * expr("graft_dot(qqe, ce)"))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sc"), col("cid"))))
+          .filter(col("crk") <= nprobe)
+          .select(col("qid"), col("qqe"), col("n2_q"), col("cid").as("cell"))
+      }
     cells.join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("dot", dot("qqe", "qe"))
@@ -938,7 +1051,7 @@ object Similarity {
   /** Spark twin of [[cosinePairsCtesSql]]'s `vpairs`. */
   private[ops] def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val v = varr(s, dir).cache()
-    verifiedPairs(v, lshCandidates(v)).select(col("vec_a"), col("vec_b"))
+    verifiedPairs(v, lshCandidatesAuto(v)).select(col("vec_a"), col("vec_b"))
   }
 
   // ---------------------------------------------------------------
@@ -1150,7 +1263,7 @@ object Similarity {
     sql("ss_lsh_neardups",
       neardupVerifySqlFor(lshCandCtesSql)) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      verifiedPairs(v, lshCandidates(v))
+      verifiedPairs(v, lshCandidatesAuto(v))
     },
 
     // ---- multi-probe sign-LSH (cos ≥ 0.35): each vector also probes
@@ -1161,7 +1274,7 @@ object Similarity {
     sql("ss_lsh_multiprobe",
       neardupVerifySqlFor(lshMultiprobeCandCtesSqlFor(DefaultGeometry))) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      verifiedPairs(v, lshMultiprobeCandidates(v))
+      verifiedPairs(v, lshMultiprobeCandidatesAuto(v))
     },
 
     // ---- IVF cell-probe top-3: `label` is the coarse cell id ----
@@ -1541,7 +1654,7 @@ object Similarity {
       val v = varr(s, dir).cache() // brute side + LSH bucket side
       val top5 = bruteScored(v).filter(col("rk") <= 5)
         .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
-      val cand = lshCandidates(v)
+      val cand = lshCandidatesAuto(v)
       val qcand = cand
         .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
         .union(cand.select(col("vec_b"), col("vec_a")))
@@ -1816,11 +1929,18 @@ object Similarity {
          |GROUP BY b.cid ORDER BY cell""") { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count() // shared by the training rounds and the profile scan
-      val cents = kmeansModel(v, "qe", DefaultGeometry.dims)
-      v.withColumn("asg", assignStructOn("qe", cents))
-        .select(col("vec_id"), col("label"),
-          col("asg").getField("c").as("cell"),
-          (col("asg").getField("s") + col("n2")).as("dist"))
+      val cents = kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v)))
+      val assigned =
+        if (cents.size <= LiteralAssignMaxK)
+          v.withColumn("asg", assignStructOn("qe", cents))
+            .select(col("vec_id"), col("label"),
+              col("asg").getField("c").as("cell"),
+              (col("asg").getField("s") + col("n2")).as("dist"))
+        else
+          v.join(assignWinnersBroadcast(v, "qe", cents), Seq("vec_id"))
+            .select(col("vec_id"), col("label"), col("cell"),
+              (col("s") + col("n2")).as("dist"))
+      assigned
         .groupBy(col("cell"))
         .agg(count(lit(1)).cast("long").as("n_vecs"),
           countDistinct(col("label")).cast("long").as("n_labels"),

@@ -43,6 +43,25 @@ class ContractSpec extends AnyFunSuite {
     assert((SparkEntry.rowsOnlyContract.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("the sf0.01 ORACLE fixture sits in the pinned index-geometry regime") {
+    // every generated similarity/dedup oracle SQL replays the
+    // DefaultGeometry (2 bands × 4 planes) and k=8 training. The Spark
+    // side picks its geometry from the corpus SIZE (scaledGeometry /
+    // scaledK — the 100 TB knob), so the two only agree while the
+    // oracle fixture stays inside the default regime (n ≤ 250·16).
+    // If the driver ever regenerates sf0.01 with a bigger embeddings
+    // table, THIS gate fails — not the external oracle compare.
+    val n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    assert(Similarity.scaledGeometry(n) == Similarity.DefaultGeometry,
+      s"n=$n left the oracle geometry regime: ${Similarity.scaledGeometry(n)}")
+    assert(Similarity.scaledMultiprobeGeometry(n) == Similarity.DefaultGeometry)
+    assert(Similarity.scaledK(n) == 8, s"scaledK(${n}) != oracle k")
+    // and the scale path really departs from the fixture regime
+    assert(Similarity.scaledGeometry(200000) !=
+      Similarity.DefaultGeometry)
+    assert(Similarity.scaledK(200000) > Similarity.LiteralAssignMaxK)
+  }
+
   test("the flagship entry returns rows at sf0.001 (driver smoke mirror)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

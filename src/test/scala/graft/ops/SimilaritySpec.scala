@@ -84,6 +84,63 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("large-k training: broadcast assignment bit-equal to literal argmin at k=64 and k=256") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    // deterministic synthetic corpus big enough that k=256 init ids
+    // exist and cells stay non-trivially occupied
+    val v = spark.range(4096).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST((id * 37 + d * 101) % 997 - 498 AS BIGINT))").as("qe"))
+      .withColumn("n2", expr("graft_dot(qe, qe)"))
+      .cache()
+    v.count()
+    for (k <- Seq(64, 256)) {
+      // trains THROUGH the broadcast dispatch (k > LiteralAssignMaxK);
+      // Lloyd rounds may drop cells that end a round empty, so the
+      // model can be slightly smaller than k
+      val model = Similarity.kmeansModel(v, "qe", 64, k)
+      assert(model.size <= k && model.size > k / 2, s"k=$k model=${model.size}")
+      val bcast = Similarity.assignWinnersBroadcast(v, "qe", model)
+        .select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // literal argmin over the same model — ties included
+      val literal = v.select(col("vec_id"),
+          Similarity.assignCellOn("qe", model).as("cell")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bcast.size == 4096)
+      assert(bcast == literal, {
+        val bad = literal.collectFirst {
+          case (id, c) if bcast(id) != c => (id, c, bcast(id)) }
+        s"k=$k first divergence (vec, literal, broadcast): $bad"
+      })
+      // the model actually uses many cells at this k
+      assert(bcast.values.toSet.size > k / 2, s"k=$k degenerate assignment")
+    }
+  }
+
+  test("large-k plan: broadcast transport, no centroid literal at k=256") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val v = spark.range(4096).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST((id * 53 + d * 7) % 991 - 495 AS BIGINT))").as("qe"))
+    val model = Similarity.kmeansModel(v, "qe", 64, 256)
+    val plan = Similarity.assignWinnersBroadcast(v, "qe", model)
+      .queryExecution.executedPlan.toString
+    // every vector meets every centroid (a model fan-out has no
+    // selective key), so the right plan is a broadcast of the k-row
+    // model — Spark constant-folds the fan-out into a
+    // BroadcastNestedLoopJoin over the broadcast model table
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the k·dims model must travel as broadcast DATA, not plan text:
+    // a literal-argmin plan at k=256 carries 16k array literals
+    assert(plan.length < 100000, s"plan is ${plan.length} chars — model inlined?")
+    assert(!plan.contains("named_struct"), "literal argmin leaked into the broadcast path")
+  }
+
   test("training memos are keyed per fixture — no cross-dir leakage") {
     // the model/index memos key on the input's parquet content; a key
     // collision would serve one fixture's trained model to another.
