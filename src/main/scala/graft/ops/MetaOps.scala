@@ -314,33 +314,7 @@ object MetaOps {
         |       FULL OUTER JOIN new_side n ON o.tid = n.tid AND o.col_name = n.col_name)
         |SELECT tid, col_name, change FROM diff WHERE change IS NOT NULL
         |ORDER BY tid, col_name""") { (s, _) =>
-      import s.implicits._
-      val tables = s.range(200).select(col("id").cast("int").as("tid"))
-      val template = Seq((0, "c0", "bigint"), (1, "c1", "int"), (2, "c2", "string"),
-        (3, "c3", "double"), (4, "c4", "date"), (5, "c5", "string"))
-        .toDF("idx", "col_name", "dtype")
-      val oldSide = tables.crossJoin(broadcast(template))
-        .select(col("tid"), col("col_name"), col("dtype"))
-      val newSide = tables.crossJoin(broadcast(template))
-        .filter(!(col("col_name") === "c3" && col("tid") % 5 === 0))
-        .select(col("tid"), col("col_name"),
-          when(col("col_name") === "c1" && col("tid") % 3 === 0, "bigint")
-            .otherwise(col("dtype")).as("dtype"))
-        .union(tables.filter(col("tid") % 7 === 0)
-          .select(col("tid"), lit("c6").as("col_name"), lit("string").as("dtype")))
-      val o = oldSide.select(col("tid").as("o_tid"), col("col_name").as("o_name"),
-        col("dtype").as("o_dtype"))
-      val n = newSide.select(col("tid").as("n_tid"), col("col_name").as("n_name"),
-        col("dtype").as("n_dtype"))
-      o.join(n, o("o_tid") === n("n_tid") && o("o_name") === n("n_name"), "full_outer")
-        .select(
-          coalesce(col("o_tid"), col("n_tid")).as("tid"),
-          coalesce(col("o_name"), col("n_name")).as("col_name"),
-          when(col("o_name").isNull, "added")
-            .when(col("n_name").isNull, "dropped")
-            .when(col("o_dtype") =!= col("n_dtype"), "type_changed").as("change"))
-        .filter(col("change").isNotNull)
-        .orderBy(col("tid"), col("col_name"))
+      fleetDiffFrame(s, 200)
     },
 
     // ---- J12 at fleet scale: the position-validation window
@@ -366,25 +340,7 @@ object MetaOps {
         |JOIN successors s ON d.tid = s.tid AND d.after_col = s.col_name
         |WHERE s.next_col IS DISTINCT FROM d.col_name
         |ORDER BY d.tid, d.col_name""") { (s, _) =>
-      import s.implicits._
-      val tables = s.range(200).select(col("id").cast("int").as("tid"))
-      val template = Seq((0, "c0"), (1, "c1"), (2, "c2"), (3, "c3"), (4, "c4"), (5, "c5"))
-        .toDF("ord", "col_name")
-      val cat = tables.crossJoin(broadcast(template))
-      val successors = cat.select(col("tid"), col("col_name"),
-        lead(col("col_name"), 1)
-          .over(Window.partitionBy(col("tid")).orderBy(col("ord"))).as("next_col"))
-      val directives = tables.filter(col("tid") % 2 === 0)
-        .select(col("tid"), lit("c5").as("mv_name"), lit("c1").as("after_col"))
-        .union(tables.filter(col("tid") % 3 === 0)
-          .select(col("tid"), lit("c3").as("mv_name"), lit("c2").as("after_col")))
-      directives
-        .join(successors,
-          directives("tid") === successors("tid") &&
-            directives("after_col") === successors("col_name"))
-        .filter(!col("next_col").eqNullSafe(col("mv_name")))
-        .select(directives("tid"), col("mv_name").as("col_name"), col("after_col"))
-        .orderBy(col("tid"), col("col_name"))
+      fleetPositionMovesFrame(s, 200)
     },
 
     // ---- J11 after-position candidate filter: common columns with
@@ -593,4 +549,69 @@ object MetaOps {
           col("cat_name"), col("cat_type"), col("ddl_name"), col("ddl_type"))
         .orderBy(col("ord"))
     })
+
+  /** Fleet-wide schema diff over `nTables` synthetic descriptors — the
+    * one-shuffle replacement for the reference's per-table driver loop
+    * (alterator.py walks tables one by one; at fleet scale the diff is
+    * ONE full-outer join keyed on (table, column)). The registered
+    * md_fleet_diff pins nTables=200 for the oracle; FleetScaleSpec
+    * stresses the same builder at 10,000 tables (the reference's own
+    * 458-table production run at ~20×) and asserts the plan shape
+    * stays flat: no per-table jobs, no driver materialization, the
+    * descriptor template broadcast once. */
+  private[ops] def fleetDiffFrame(s: SparkSession, nTables: Int): DataFrame = {
+    import s.implicits._
+    val tables = s.range(nTables).select(col("id").cast("int").as("tid"))
+    val template = Seq((0, "c0", "bigint"), (1, "c1", "int"), (2, "c2", "string"),
+      (3, "c3", "double"), (4, "c4", "date"), (5, "c5", "string"))
+      .toDF("idx", "col_name", "dtype")
+    val oldSide = tables.crossJoin(broadcast(template))
+      .select(col("tid"), col("col_name"), col("dtype"))
+    val newSide = tables.crossJoin(broadcast(template))
+      .filter(!(col("col_name") === "c3" && col("tid") % 5 === 0))
+      .select(col("tid"), col("col_name"),
+        when(col("col_name") === "c1" && col("tid") % 3 === 0, "bigint")
+          .otherwise(col("dtype")).as("dtype"))
+      .union(tables.filter(col("tid") % 7 === 0)
+        .select(col("tid"), lit("c6").as("col_name"), lit("string").as("dtype")))
+    val o = oldSide.select(col("tid").as("o_tid"), col("col_name").as("o_name"),
+      col("dtype").as("o_dtype"))
+    val n = newSide.select(col("tid").as("n_tid"), col("col_name").as("n_name"),
+      col("dtype").as("n_dtype"))
+    o.join(n, o("o_tid") === n("n_tid") && o("o_name") === n("n_name"), "full_outer")
+      .select(
+        coalesce(col("o_tid"), col("n_tid")).as("tid"),
+        coalesce(col("o_name"), col("n_name")).as("col_name"),
+        when(col("o_name").isNull, "added")
+          .when(col("n_name").isNull, "dropped")
+          .when(col("o_dtype") =!= col("n_dtype"), "type_changed").as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy(col("tid"), col("col_name"))
+  }
+
+  /** J12's position-validation window at fleet width: PARTITIONED BY
+    * table id, so `nTables` tables validate in one exchange with no
+    * single-partition WindowExec. Registered at 200 (oracle);
+    * stress-run at 10,000 by FleetScaleSpec. */
+  private[ops] def fleetPositionMovesFrame(s: SparkSession, nTables: Int): DataFrame = {
+    import s.implicits._
+    val tables = s.range(nTables).select(col("id").cast("int").as("tid"))
+    val template = Seq((0, "c0"), (1, "c1"), (2, "c2"), (3, "c3"), (4, "c4"), (5, "c5"))
+      .toDF("ord", "col_name")
+    val cat = tables.crossJoin(broadcast(template))
+    val successors = cat.select(col("tid"), col("col_name"),
+      lead(col("col_name"), 1)
+        .over(Window.partitionBy(col("tid")).orderBy(col("ord"))).as("next_col"))
+    val directives = tables.filter(col("tid") % 2 === 0)
+      .select(col("tid"), lit("c5").as("mv_name"), lit("c1").as("after_col"))
+      .union(tables.filter(col("tid") % 3 === 0)
+        .select(col("tid"), lit("c3").as("mv_name"), lit("c2").as("after_col")))
+    directives
+      .join(successors,
+        directives("tid") === successors("tid") &&
+          directives("after_col") === successors("col_name"))
+      .filter(!col("next_col").eqNullSafe(col("mv_name")))
+      .select(directives("tid"), col("mv_name").as("col_name"), col("after_col"))
+      .orderBy(col("tid"), col("col_name"))
+  }
 }

@@ -98,6 +98,92 @@ class SkewSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  /** Largest per-partition row count of `df` under its own output
+    * partitioning, with the total — the straggler measurement. */
+  private def maxPartitionRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val counts = df.rdd
+      .mapPartitionsWithIndex((_, it) => Iterator(it.length.toLong))
+      .collect()
+    (counts.max, counts.sum)
+  }
+
+  test("adversarial events fixture: one hot user, salting bounds the max reducer") {
+    import spark.implicits._
+    // derive a hot-user events fixture from the REAL one: every 10th
+    // event re-keyed to user 1 (~10% of the stream on one key — the
+    // whale-account shape)
+    val raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"),
+        when(col("event_id") % 10 === 0, lit(1L)).otherwise(col("user_id"))
+          .as("user_id"))
+    val users = raw.select(col("user_id").as("uid")).distinct()
+      .withColumn("segment", concat(lit("s"), pmod(col("uid"), lit(5))))
+
+    // plain equi-join: the hot user's ~10% of rows land on ONE reducer
+    val plain = raw.join(users, raw("user_id") === users("uid"))
+      .repartition(32, col("user_id")) // pin the shuffle the join implies
+    val (plainMax, total) = maxPartitionRows(plain)
+    info(f"plain join: max reducer ${plainMax} of $total rows " +
+      f"(${100.0 * plainMax / total}%.1f%%)")
+    assert(plainMax.toDouble / total > 0.08, "fixture lost its hot user")
+
+    // salted 32 ways: the same join spreads the whale across reducers
+    val salted = Skew.saltedEquiJoin(raw, users, "user_id", "uid", "event_id", n = 32)
+    val (saltMax, saltTotal) = maxPartitionRows(
+      salted.repartition(32, col("user_id"), pmod(hash(col("event_id")), lit(32))))
+    assert(saltTotal == total) // same join result volume
+    info(f"salted join: max reducer ${saltMax} of $saltTotal rows " +
+      f"(${100.0 * saltMax / saltTotal}%.1f%%)")
+    assert(saltMax.toDouble / saltTotal < 0.06,
+      s"salting failed to spread the hot user: $saltMax/$saltTotal")
+  }
+
+  test("adversarial embeddings fixture: identical-vector block is capped out of the pair join") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    // derive from the REAL embeddings: the top-20% of vec_ids become
+    // ONE identical vector (the all-zero/padding-embedding shape that
+    // collides into a single LSH bucket in EVERY band)
+    val base = Similarity.varr(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("qe"))
+    val n = base.count()
+    val blockStart = (n * 80 / 100).toInt
+    val block = lit((0 until 64).map(d => (d * 7 + 3).toLong).toArray)
+    val v = base.select(col("vec_id"),
+        when(col("vec_id") >= blockStart, block).otherwise(col("qe")).as("qe"))
+      .withColumn("n2", expr("graft_dot(qe, qe)"))
+      .cache()
+
+    // cap sized to the healthy occupancy (~n/16 per band-bucket at 2x4
+    // planes) so the identical block's bucket is the one over it
+    val g = SignLshGeometry(bands = 2, planesPerBand = 4, dims = 64,
+      maxBucketSize = 60)
+    // unguarded, the block alone contributes ~block²/2 pairs per band,
+    // all on the one reducer owning its (band, bucket) key
+    val blockSize = n - blockStart
+    val uncapped = SignLshGeometry(g.bands, g.planesPerBand, g.dims,
+      maxBucketSize = Long.MaxValue)
+    val pairsUnguarded = Similarity.lshCandidates(v, uncapped).count()
+    val pairsCapped = Similarity.lshCandidates(v, g).count()
+    val blockPairs = blockSize * (blockSize - 1) / 2
+    info(s"block=$blockSize vectors; unguarded candidates=$pairsUnguarded " +
+      s"(>=$blockPairs from the block alone); capped candidates=$pairsCapped")
+    assert(pairsUnguarded >= blockPairs, "fixture lost its degenerate block")
+    // the cap removed the quadratic block without nuking the rest
+    assert(pairsCapped < pairsUnguarded - blockPairs + blockSize,
+      s"cap failed: $pairsCapped of $pairsUnguarded")
+    assert(pairsCapped > 0, "cap dropped every candidate")
+
+    // and no (band, bucket) group bigger than the cap survives in the
+    // index the join reads
+    val maxGroup = Similarity.keptBuckets(v, g)
+      .groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    info(s"max surviving bucket size=$maxGroup (cap ${g.maxBucketSize})")
+    assert(maxGroup <= g.maxBucketSize)
+    v.unpersist()
+  }
+
   test("outer salted join preserves unmatched fact rows") {
     import spark.implicits._
     val fact = Seq((1L, "a"), (2L, "b"), (3L, "zzz")).toDF("id", "k")
