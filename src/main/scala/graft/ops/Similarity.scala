@@ -108,9 +108,19 @@ object Similarity {
     * with corpus size. Recall at the deployed geometry is priced by
     * ss_lsh_recall / ss_recall_eval, not assumed. */
   private[ops] def scaledGeometry(n: Long): SignLshGeometry = {
-    val planes = math.min(16, math.max(4, ceilLog2(n / TargetOccupancy)))
-    SignLshGeometry(bands = math.min(8, 2 + (planes - 4)), planesPerBand = planes,
-      dims = DefaultGeometry.dims)
+    val coarse = math.min(16, math.max(4, ceilLog2(n / TargetOccupancy)))
+    val bands = math.min(8, 2 + (coarse - 4))
+    // refine: candidate volume is n·bands·occ/2, so once bands grow,
+    // per-band occupancy must SHRINK by ~bands to hold the per-vector
+    // candidate budget at ~TargetOccupancy/2 independent of n (at a
+    // 30× fixture the unrefined rule produced 50M candidate pairs for
+    // a 60k corpus — 830 per vector — and the pair verify dominated
+    // the whole query). Finer buckets trade mid-similarity recall for
+    // that bound — the standard knob, priced by the recall queries.
+    val planes =
+      if (coarse == 4) 4 // oracle-fixture regime: exactly DefaultGeometry
+      else math.min(16, coarse + ceilLog2(bands))
+    SignLshGeometry(bands, planesPerBand = planes, dims = DefaultGeometry.dims)
   }
 
   /** Multi-probe trades tables for probes ("more probes, fewer
