@@ -119,6 +119,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("scaled geometry keeps near-identical pairs (planted-pair recall at n=20k)") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    // 20k synthetic corpus (the sf1 regime: geometry (5 bands, 10
+    // planes)); vectors 2i/2i+1 for i < 100 are planted near-identical
+    // pairs (8 of 64 dims nudged ⇒ cos ≈ 0.95). Sign-LSH collision
+    // theory at cos 0.95 / 10 planes / 5 bands predicts ~88% pair
+    // recall — the scaled geometry sacrifices BORDERLINE similarity
+    // (cos 0.35-0.5, measured ~5%) to hold the per-vector candidate
+    // budget, but near-identical pairs — the mass a dedup pipeline
+    // exists for — must survive. Floor at 0.6 for seed robustness.
+    val base = spark.range(20000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST((id * 2654435761 + d * 40503) % 1001 - 500 AS BIGINT))").as("qe"))
+    val v = base.select(col("vec_id"),
+        when(col("vec_id") < 200 && col("vec_id") % 2 === 1,
+          expr("transform(sequence(0, 63), d -> " +
+            "CAST(((vec_id - 1) * 2654435761 + d * 40503) % 1001 - 500 " +
+            "+ IF(d < 8, 180, 0) AS BIGINT))"))
+          .otherwise(col("qe")).as("qe"))
+      .withColumn("n2", expr("graft_dot(qe, qe)"))
+      .cache()
+    assert(v.count() == 20000)
+    val g = Similarity.scaledGeometry(20000)
+    assert(g != Similarity.DefaultGeometry) // really the scale regime
+    // planted pairs really are near-identical
+    val planted = (0 until 100).map(i => (2L * i, 2L * i + 1))
+    val cosCheck = v.filter(col("vec_id") < 200)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    planted.foreach { case (a, b) =>
+      val (va, vb) = (cosCheck(a), cosCheck(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum.toDouble
+      val cos = dot / math.sqrt(va.map(x => x * x).sum.toDouble *
+        vb.map(x => x * x).sum.toDouble)
+      assert(cos > 0.9 && cos < 0.999, s"pair ($a,$b) cos=$cos")
+    }
+    val cand = Similarity.lshCandidates(v, g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = planted.count(cand.contains)
+    info(s"planted-pair recall at $g: $recalled/100")
+    assert(recalled >= 60, s"near-identical recall collapsed: $recalled/100")
+  }
+
   test("large-k plan: broadcast transport, no centroid literal at k=256") {
     import org.apache.spark.sql.functions._
     graft.GraftExtensions.register(spark)
