@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, SimHash16, WordShingleArray, WordShingles}
+import graft.functions.{DotProduct, RollingHash, SimHash16, TokenCounts, WordShingleArray, WordShingles}
 
 /** Session extension installing graft's native expressions, so SQL can
   * call them by name:
@@ -44,7 +44,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args.head, args(1))),
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args.head)))
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    (FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (args: Seq[Expression]) => TokenCounts(args.head)))
 
   private def literalWidth(e: Expression): Int = e.eval(null) match {
     case i: Int => i

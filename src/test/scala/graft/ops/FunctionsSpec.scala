@@ -73,6 +73,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diffs.forall(_ == 0L))
   }
 
+  test("graft_token_counts equals the four-regex formulation, multibyte included") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val texts = Seq(
+      "hello world 123 foo42bar",
+      "a1b2c3",
+      "  double  spaces  and... punct!?",
+      "UPPER lower MiXeD 000 9",
+      "",
+      "   ",
+      "tab\there\nnewline",
+      "café naïve über",                // 2-byte sequences
+      "日本語テスト abc 12",   // CJK (3-byte)
+      "emoji 😀🎉 end",            // 4-byte code points
+      "é combining å ring",                // combining marks
+      "mixed日a1😀b2")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.selectExpr("id", "graft_token_counts(text) AS tc")
+      .selectExpr("id", "tc.n_subtokens", "tc.n_alpha_runs", "tc.n_digit_runs", "tc.n_other")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val regex = df.selectExpr("id",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS INT) AS s",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS INT) AS a",
+        "CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS INT) AS d",
+        "CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS INT) AS o")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong) == regex(i.toLong),
+        s"'${texts(i)}': native=${native(i.toLong)} regex=${regex(i.toLong)}")
+    }
+    // null text propagates
+    val n = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .selectExpr("graft_token_counts(text)").collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("graft_shingle_array propagates null text as null") {
     graft.GraftExtensions.register(spark)
     val row = spark.sql("SELECT graft_shingle_array(CAST(NULL AS STRING), 3) AS shs")
