@@ -315,6 +315,31 @@ object Similarity {
         explode(array((0 until g.bands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    Skew.dropOversizeGroups(buckets, Seq("band", "bucket"), g.maxBucketSize)
+  }
+
+  /** Like [[keptBuckets]] but the bucket rows CARRY the quantized
+    * vector and its norm. Consumers that verify pairs read these
+    * payloads straight off the bucket join's output, which replaces
+    * the two corpus-sized post-candidate joins (each shuffling every
+    * candidate row WITH a 0.5 KB array attached) by one exchange of
+    * n·bands payload-bearing bucket rows — ~20× fewer shuffled bytes
+    * at the measured sf10 pair volumes. The bucket expressions stay in
+    * their own cached Project (Janino-limit hygiene — see the policy
+    * note in SCALE.md); the explode only passes the payload columns
+    * through. */
+  private[ops] def keptBucketsWith(v: DataFrame, g: SignLshGeometry): DataFrame = {
+    val withBuckets = v
+      .select(col("vec_id") +: col("qe") +: col("n2") +:
+        (0 until g.bands).map(b => bucketCol(b, g).as(s"b$b")): _*)
+      .cache()
+    withBuckets.count()
+    val buckets = withBuckets
+      .select(col("vec_id"), col("qe"), col("n2"),
+        explode(array((0 until g.bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("qe"), col("n2"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // hot-bucket guard: one degenerate bucket (all-zero vectors, a
     // popular sign pattern) otherwise goes quadratic on one reducer
     Skew.dropOversizeGroups(buckets, Seq("band", "bucket"), g.maxBucketSize)
@@ -1061,7 +1086,8 @@ object Similarity {
   /** Spark twin of [[cosinePairsCtesSql]]'s `vpairs`. */
   private[ops] def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val v = varr(s, dir).cache()
-    verifiedPairs(v, lshCandidatesAuto(v)).select(col("vec_a"), col("vec_b"))
+    fusedNeardupPairs(v, scaledGeometry(corpusCount(v)))
+      .select(col("vec_a"), col("vec_b"))
   }
 
   // ---------------------------------------------------------------
@@ -1160,17 +1186,65 @@ object Similarity {
        |WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
        |ORDER BY p.vec_a, p.vec_b""".stripMargin
 
-  /** Spark twin of [[neardupVerifySqlFor]]'s tail over any candidate
-    * relation. */
-  private def verifiedPairs(v: DataFrame, cand: DataFrame): DataFrame = {
-    val sa = v.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("n2").as("n2_a"))
-    val sb = v.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
-    cand.join(sa, Seq("vec_a")).join(sb, Seq("vec_b"))
+  /** Verify tail over payload-bearing pair rows (qe_a/n2_a/qe_b/n2_b
+    * already attached): dot → threshold → thin columns → distinct.
+    * Filtering BEFORE the distinct shrinks its exchange by the
+    * pass-rate; the (dot, n2) values are deterministic per pair, so
+    * de-duplicating the multi-band occurrences after scoring is
+    * value-identical to the oracle's candidates-first formulation. */
+  private def fusedVerifyTail(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("dot", dot("qe_a", "qe_b"))
       .filter(col("dot") > 0 &&
         lit(400) * col("dot") * col("dot") >= lit(49) * col("n2_a") * col("n2_b"))
       .select(col("vec_a"), col("vec_b"), col("dot"), col("n2_a"), col("n2_b"))
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Sign-LSH near-dup pairs with the verify FUSED into the bucket
+    * join: bucket rows carry (qe, n2), so each pair is scored by one
+    * codegen'd dot right where it is discovered. The candidates-first
+    * formulation (join the [[lshCandidates]] output back against the
+    * corpus on each pair side — the shape the oracle SQL keeps) shuffles
+    * every candidate row twice more with a 0.5 KB array attached —
+    * ~20× the exchanged bytes at the measured sf10 pair volumes. The
+    * oracle keeps the candidates-first CTE chain; values are
+    * identical, which the EXACT gate proves. */
+  private[ops] def fusedNeardupPairs(v: DataFrame, g: SignLshGeometry): DataFrame = {
+    val kept = keptBucketsWith(v, g)
+    val a = kept.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+      col("n2").as("n2_a"), col("band"), col("bucket"))
+    val b = kept.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+      col("n2").as("n2_b"), col("band"), col("bucket"))
+    fusedVerifyTail(
+      a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b")))
+  }
+
+  /** Multi-probe twin of [[fusedNeardupPairs]] — probe expansion and
+    * occupied-cell prefilter as in [[lshMultiprobeCandidates]], with
+    * the payload riding the probe rows (the prefilter drops empty-cell
+    * probes MAP-SIDE, before their payload ever reaches an exchange). */
+  private[ops] def fusedMultiprobeNeardupPairs(v: DataFrame, g: SignLshGeometry,
+      prefilter: Option[Boolean] = None): DataFrame = {
+    val kept = keptBucketsWith(v, g)
+    val probes = kept
+      .select(col("vec_id"), col("qe"), col("n2"), col("band"),
+        col("bucket").as("probe"))
+      .union(kept.select(col("vec_id"), col("qe"), col("n2"), col("band"),
+        explode(array((0 until g.planesPerBand).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("probe")))
+    val a0 = probes.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+      col("n2").as("n2_a"), col("band"), col("probe").as("bucket"))
+    val a =
+      if (!prefilter.getOrElse((1L << g.planesPerBand) > 1024)) a0
+      else {
+        val occupied = kept.select(col("band"), col("bucket")).distinct()
+        a0.join(broadcast(occupied), Seq("band", "bucket"), "leftsemi")
+      }
+    val b = kept.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+      col("n2").as("n2_b"), col("band"), col("bucket"))
+    fusedVerifyTail(
+      a.join(b, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b")))
   }
 
   /** SQ8 scalar quantizer (FAISS ScalarQuantizer QT_8bit shape):
@@ -1273,7 +1347,7 @@ object Similarity {
     sql("ss_lsh_neardups",
       neardupVerifySqlFor(lshCandCtesSql)) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      verifiedPairs(v, lshCandidatesAuto(v))
+      fusedNeardupPairs(v, scaledGeometry(corpusCount(v)))
     },
 
     // ---- multi-probe sign-LSH (cos ≥ 0.35): each vector also probes
@@ -1284,7 +1358,7 @@ object Similarity {
     sql("ss_lsh_multiprobe",
       neardupVerifySqlFor(lshMultiprobeCandCtesSqlFor(DefaultGeometry))) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
-      verifiedPairs(v, lshMultiprobeCandidatesAuto(v))
+      fusedMultiprobeNeardupPairs(v, scaledMultiprobeGeometry(corpusCount(v)))
     },
 
     // ---- IVF cell-probe top-3: `label` is the coarse cell id ----
