@@ -234,6 +234,97 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")
 
+  /** Streaming NEAR-dup candidate detection — the first-pass filter of
+    * a streaming ingest pipeline ([[curateDocs]] drops exact dups;
+    * this flags probable near-dups for downstream exact verification,
+    * the lambda split production crawl-dedup runs: cheap streaming
+    * candidates, exact batch verify).
+    *
+    * Map-side per doc: distinct word-3-gram shingles (the native
+    * [[graft.functions.WordShingleArray]]), the same K md5-slice
+    * MinHash values and band keys as the batch dd_* pipeline (4 bands
+    * × 2 rows — identical key math, so a batch index and this stream
+    * agree on collisions). Each doc's 4 (band, bkey) rows enter ONE
+    * keyed stateful operator whose state per bucket is a single
+    * occupied bit, evicted once the watermark passes the bucket's
+    * last activity plus the dedup HORIZON — O(buckets active within
+    * the horizon), never corpus-sized. A row emits
+    * `hit = true` iff its bucket was already occupied by an
+    * EARLIER-ARRIVED doc (any previous micro-batch — append mode
+    * cannot retract, so arrival order is the only honest cross-batch
+    * order) or by a smaller-id doc in the same batch; with in-order
+    * ingest this equals the batch rule "∃ d2 < d with the same band
+    * key" exactly — StreamOpsSpec asserts that parity on the real
+    * fixture, including collisions that straddle micro-batches.
+    * Downstream, `groupBy(doc_id).max(hit)` (or any threshold on the
+    * number of colliding bands) is the candidate verdict. */
+  def neardupCandidates(docs: DataFrame, lateness: String = "1 hour",
+      horizonSeconds: Long = 24 * 3600): Dataset[(Long, Int, Boolean)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bandKeys(docs)
+      .withWatermark("ts", lateness)
+      .as[(Timestamp, Long, Int, String)]
+      .groupByKey { case (_, _, band, bkey) => (band, bkey) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        bucketFn(horizonSeconds))
+  }
+
+  /** The map-side half of [[neardupCandidates]]: (ts, doc_id, band,
+    * bkey) rows, one per MinHash band — the SAME transformation on a
+    * batch frame is the parity twin's front end (like
+    * [[graft.ops.Text.gopherPass]] for curateDocs), so the stream and
+    * its batch oracle can never drift on the key math. Per-doc MinHash
+    * runs as one array expression per hash (interpreted higher-order
+    * fn — fine OFF the hot path: K evals per DOC, not per candidate
+    * pair; the hot path here is the state store). */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val hashes = (0 until 8).map { k =>
+      expr(s"array_min(transform(shs, x -> substring(md5('${k / 4}:' || x), " +
+        s"${(k % 4) * 8 + 1}, 8)))").as(s"h$k")
+    }
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+        .as("bkey"))
+    }
+    docs
+      .withColumn("shs", expr("graft_shingle_array(text, 3)"))
+      .filter(size(col("shs")) > 0)
+      .select(col("ts") +: col("doc_id") +: hashes: _*)
+      .withColumn("bb", explode(array(bands: _*)))
+      .select(col("ts"), col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  private def bucketFn(horizonSeconds: Long)(
+      key: (Int, String), rows: Iterator[(Timestamp, Long, Int, String)],
+      state: GroupState[Boolean]): Iterator[(Long, Int, Boolean)] = {
+    if (rows.isEmpty && state.hasTimedOut) {
+      state.remove() // bucket idle past the watermark: evict
+      return Iterator.empty
+    }
+    // deterministic in-batch order (state-store batches are unordered)
+    val sorted = rows.toSeq.sortBy { case (_, docId, _, _) => docId }
+    val occupiedBefore = state.getOption.getOrElse(false)
+    var maxTs = Long.MinValue
+    var first = true
+    val out = sorted.map { case (ts, docId, band, _) =>
+      val hit = occupiedBefore || !first
+      first = false
+      if (ts.getTime > maxTs) maxTs = ts.getTime
+      (docId, band, hit)
+    }
+    state.update(true)
+    // the occupied bit lives for the DEDUP HORIZON past the bucket's
+    // last doc (the business window "a near-dup of anything seen in
+    // the last N hours counts"), not merely until the watermark
+    // passes its event time — lateness bounds disorder, the horizon
+    // bounds state
+    state.setTimeoutTimestamp(
+      math.max(maxTs + horizonSeconds * 1000 + 1, state.getCurrentWatermarkMs + 1))
+    out.iterator
+  }
+
   /** Stream-static enrichment: each event picks up its user's
     * dimension row (segment) via a BROADCAST left join — in a
     * streaming plan the static side is re-resolved every micro-batch

@@ -643,6 +643,60 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("neardupCandidates matches the batch min-id band-collision rule, across batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL fixture docs, in-order arrival (ts monotone in doc_id)
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => Doc(r.getLong(0), ts(r.getLong(0)), r.getString(1),
+        r.getString(2), r.getString(3)))
+      .sortBy(_.doc_id)
+    assert(fixture.length > 20)
+
+    // batch twin over the SAME band-key derivation: hit iff a smaller
+    // doc_id shares the (band, bkey) bucket
+    val twin = StreamOps.bandKeys(fixture.toSeq.toDF())
+      .withColumn("minid", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .select(col("doc_id"), col("band"), (col("minid") < col("doc_id")).as("hit"))
+      .as[(Long, Int, Boolean)].collect().toSet
+
+    // stream in TWO micro-batches split mid-corpus, so some buckets
+    // are occupied in batch 1 and hit from batch 2 (the state-carry
+    // path, not just in-batch comparison)
+    val (first, second) = fixture.splitAt(fixture.length / 2)
+    val input = MemoryStream[Doc]
+    // horizon spans the whole fixture's ts range: nothing evicts
+    // mid-test, so the batch twin (which sees everything) is exact
+    val q = StreamOps.neardupCandidates(input.toDF(), lateness = "0 seconds",
+        horizonSeconds = 86400L * 30)
+      .toDF("doc_id", "band", "hit")
+      .writeStream.format("memory").queryName("nd_cands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("nd_cands")
+        .as[(Long, Int, Boolean)].collect().toSet
+      assert(got == twin, {
+        val missing = twin.diff(got).take(5)
+        val extra = got.diff(twin).take(5)
+        s"stream != batch twin; missing=$missing extra=$extra"
+      })
+      // the fixture really exercises both outcomes, and specifically
+      // CROSS-batch hits: a batch-2 doc whose bucket hit even though
+      // no smaller batch-2 doc shares it
+      assert(got.exists(_._3) && got.exists(!_._3))
+      val splitId = second.head.doc_id
+      val batch2Hits = twin.filter { case (d, _, h) => h && d >= splitId }
+      assert(batch2Hits.nonEmpty, "fixture has no cross-half collisions to test")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
