@@ -52,16 +52,25 @@ object Events {
     * frame is unaffected: the resolved schema is already pinned in the
     * plan (ContractSpec exercises collect-after-restore).
     */
-  private[ops] def events(s: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try t(s, dir, "events")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+  /** Serializes the set-construct-restore window: two threads
+    * building events frames concurrently could otherwise interleave
+    * one thread's restore inside the other's construct and fail the
+    * nanos-fixture schema inference (ConcurrencySpec drives builders
+    * in parallel; construction is cheap, so the lock is uncontended
+    * in practice). */
+  private val loaderLock = new Object
+
+  private[ops] def events(s: SparkSession, dir: String): DataFrame =
+    loaderLock.synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try t(s, dir, "events")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
-  }
 
   /** `ts` → epoch seconds, dispatching on the fixture's declared type
     * rather than a hard-coded physical encoding (the round-4 lesson:

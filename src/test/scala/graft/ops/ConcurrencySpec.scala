@@ -1,0 +1,61 @@
+package graft.ops
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.DurationInt
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** A production session serves QUERIES CONCURRENTLY; the per-query
+  * gates all run serially. This spec drives a diverse mix of
+  * registered queries in parallel against one session — twice: a cold
+  * wave that races the training memos (getOrTrain publishes with
+  * putIfAbsent; a lost race must discard an identical value, the
+  * round-6 'Recursive update' flake class), and a warm wave that
+  * serves the memoized indexes concurrently — and asserts every
+  * result is identical to its serial baseline. The mix deliberately
+  * spans the shared-state surfaces: k-means/IVF memos
+  * (ss_ivf_trained, ss_cells_broadcast), the checkpointed k-NN graph
+  * (ss_knn_graph), the published band index WRITE path
+  * (dd_index_merge races dd_incremental_neardups' read), the
+  * conf-scoped events loader (ev_*; construction is serialized by
+  * Events.loaderLock), and plain stateless scans. */
+class ConcurrencySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val names = Seq(
+    "ss_ivf_trained", "ss_cells_broadcast", "ss_knn_graph", "ss_pq_adc",
+    "dd_minhash_neardups", "dd_incremental_neardups", "dd_index_merge",
+    "tx_bpe_tokens", "q1_pricing_summary", "ev_sessionization", "ev_dau_wau")
+
+  private def run(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
+
+  test("concurrent query execution is result-identical to serial, cold and warm") {
+    // serial baseline, then force every training/index to rebuild
+    // UNDER the concurrent wave
+    val serial = names.map(n => n -> run(n)).toMap
+    Similarity.clearMemos()
+    spark.catalog.clearCache()
+
+    val pool = ExecutionContext.fromExecutorService(
+      Executors.newFixedThreadPool(names.size))
+    try {
+      implicit val ec: ExecutionContext = pool
+      for (wave <- Seq("cold", "warm")) {
+        val fs = names.map(n => Future(n -> run(n)))
+        val got = Await.result(Future.sequence(fs), 600.seconds).toMap
+        names.foreach { n =>
+          assert(got(n) == serial(n),
+            s"$wave wave: $n diverged under concurrency " +
+              s"(serial ${serial(n).size} rows, concurrent ${got(n).size})")
+        }
+      }
+    } finally pool.shutdown()
+  }
+}

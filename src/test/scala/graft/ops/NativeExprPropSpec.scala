@@ -59,4 +59,23 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
       val got = DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Long]
       got == a.zip(b).map { case (x, y) => x * y }.sum
     }
+
+  property("graft_token_counts equals the regex-alternation model per CODE POINT") =
+    Prop.forAll(Gen.oneOf(text, utf8Text)) { t =>
+      val row = graft.functions.TokenCounts(Literal(t)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val got = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      // independent model: Java regex over the same alternation — the
+      // exact semantics the DuckDB oracle's RE2 shares
+      def count(re: String) = {
+        val m = java.util.regex.Pattern.compile(re).matcher(t)
+        var c = 0
+        while (m.find()) c += 1
+        c
+      }
+      val alpha = count("[A-Za-z]+")
+      val digit = count("[0-9]+")
+      val other = count("[^A-Za-z0-9 ]")
+      got == (alpha + digit + other, alpha, digit, other)
+    }
 }
