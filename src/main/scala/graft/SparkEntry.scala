@@ -25,9 +25,25 @@ object SparkEntry {
     allSpecs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Static strings are pinned at [[graft.ops.QuerySpec.OracleRegimeN]];
+    * Verify dumps [[oracleSqlFor]] instead, which resolves the
+    * corpus-size-conditional oracles against the actual fixture. */
   def oracleSql: Map[String, String] =
     allSpecs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The oracle map with every corpus-size-conditional SQL twin
+    * generated for THIS fixture's embeddings count — EXACT parity at
+    * any SF, not only in the pinned regime (the similarity /
+    * semantic-dedup operators derive LSH geometry, k-means k and the
+    * training sample from corpus size; their oracles must be derived
+    * from the same rules). */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    lazy val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    allSpecs.flatMap(q =>
+      q.oracleGen.map(g => q.name -> g(n))
+        .orElse(q.oracle.map(q.name -> _))).toMap
+  }
 
   /** For each queries key WITHOUT an oracleSql entry: why rows-only is
     * the intended contract and which exact twin + accuracy-bound spec

@@ -38,7 +38,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // corpus-size-conditional oracles (similarity / semantic dedup)
+    // resolved against THIS fixture's embeddings count, so the DuckDB
+    // compare is EXACT at any SF — not only in the pinned sf0.01 regime
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // sidecar: why each oracle-less query is rows-only BY DESIGN and

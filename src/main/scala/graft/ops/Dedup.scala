@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Tables._
-import QuerySpec.sql
+import QuerySpec.{sql, sqlN}
 
 /** MinHash-LSH geometry: `bands` bands of `rowsPerBand` signature rows
   * (k = bands × rowsPerBand permutations), plus the hot-bucket cap.
@@ -618,8 +618,8 @@ object Dedup {
     // back to documents for the curation-relevant columns; the
     // cross_source flag marks semantic dups that ALSO leak across
     // corpus splits. Join keys are ids; text never moves. ----
-    sql("dd_semantic_neardups",
-      s"""WITH ${Similarity.cosinePairsCtesSql}
+    sqlN("dd_semantic_neardups")(n =>
+      s"""WITH ${Similarity.cosinePairsCtesSqlFor(n)}
          |SELECT p.vec_a AS doc_a, p.vec_b AS doc_b,
          |       da.source AS source_a, db.source AS source_b,
          |       CAST(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END AS INT)
@@ -681,8 +681,8 @@ object Dedup {
     // deterministic keep-min-id removal flag — the apply-stage output
     // a curation pipeline writes. Training + assignment replayed
     // bit-exactly by the oracle (same Lloyd chain as ss_ivf_trained).
-    sql("dd_semdedup",
-      s"""WITH ${Similarity.semdedupCtesSql}
+    sqlN("dd_semdedup")(n =>
+      s"""WITH ${Similarity.semdedupCtesSqlFor(n)}
          |SELECT vec_id AS doc_id, cell, n_dups, removed
          |FROM sdflag ORDER BY doc_id""") { (s, dir) =>
       Similarity.semdedupFrame(s, dir)

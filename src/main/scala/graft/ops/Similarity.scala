@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import Tables._
-import QuerySpec.sql
+import QuerySpec.{sql, sqlN}
 
 /** Sign-random-projection LSH geometry: `bands` bands of
   * `planesPerBand` hyperplanes over `dims`-dimensional vectors, plus
@@ -143,6 +143,54 @@ object Similarity {
   private[ops] def scaledK(n: Long): Int =
     math.max(KmeansK.toLong, math.min(1L << 16, n / TargetOccupancy)).toInt
 
+  /** Training-sample bound (FAISS `max_points_per_centroid` shape:
+    * clustering trains on min(n, cap·k) sampled points — FAISS defaults
+    * the cap to 256 and documents ~39 as the useful floor; 64 here).
+    * With the occupancy rule k = n/250, an unsampled Lloyd pass costs
+    * n·k = n²/250 dots — the engine's last super-linear term (measured:
+    * dd_semantic_neardups 92 s cold at sf10, k=800). Capping the
+    * TRAINING set at 64·k ≈ n/3.9 makes each training round ~4× cheaper
+    * at any n in the scaled regime (and unboundedly cheaper past the
+    * k = 2¹⁶ cap, where 64·k is a constant 4.2M rows); the final
+    * serving assignment stays the honest exhaustive n·k pass. */
+  private[ops] val TrainPointsPerCentroid = 64L
+
+  /** Below this corpus size training is never sampled: the full pass
+    * is already trivial, and the floor keeps the pinned oracle regime
+    * (n ≤ [[QuerySpec.OracleRegimeN]]) byte-identical to the
+    * pre-sampling oracle SQL. */
+  private[ops] val TrainSampleFloor = 4000L
+
+  /** Deterministic hash-sample threshold for k-means training: keep a
+    * vector iff the first 4 hex chars of md5("km:" + vec_id) sort below
+    * the threshold — the q16_hash_sample primitive (same md5 in any
+    * engine ⇒ the same training set, no RNG state, no coordination).
+    * None ⇒ train on the full corpus. */
+  private[ops] def trainSampleThreshold(n: Long, k: Int): Option[String] = {
+    val want = TrainPointsPerCentroid * k
+    if (n <= TrainSampleFloor || n <= want) None
+    else Some(f"${math.min(65535L,
+      math.max(1L, math.ceil(want.toDouble / n * 65536).toLong))}%04x")
+  }
+
+  /** Spark twin of the oracle's sample predicate — fixed-width
+    * lowercase hex compares lexicographically = numerically in both
+    * engines. */
+  private def trainSamplePred(thr: String): Column =
+    substring(md5(concat(lit("km:"), col("vec_id").cast("string"))), 1, 4) < thr
+
+  private def trainSamplePredSql(thr: String): String =
+    s"substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 4) < '$thr'"
+
+  /** The corpus-scaled, sample-bounded k-means model every IVF/SemDeDup
+    * consumer trains — k and the training sample both derived from the
+    * SAME corpus count the oracle generators use. */
+  private def scaledKmeansModel(v: DataFrame): Seq[(Long, Array[Long])] = {
+    val n = corpusCount(v)
+    val k = scaledK(n)
+    kmeansModel(v, "qe", DefaultGeometry.dims, k, trainSampleThreshold(n, k))
+  }
+
   /** Above this k the literal-argmin expression (k·dims longs inlined
     * in the plan) gives way to the broadcast-table assignment —
     * bit-equal by construction (SimilaritySpec asserts at k=8, 64 and
@@ -251,7 +299,7 @@ object Similarity {
        |  SELECT vec_id, band,
        |         CAST(SUM(CASE WHEN proj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
        |  FROM proj GROUP BY vec_id, band),
-       |bkept AS (
+       |bkept AS MATERIALIZED (
        |  SELECT buckets.* FROM buckets
        |  JOIN (SELECT band, bucket, COUNT(*) AS bn FROM buckets GROUP BY band, bucket) s
        |    ON s.band = buckets.band AND s.bucket = buckets.bucket
@@ -262,7 +310,7 @@ object Similarity {
     * same hot-bucket cap the Spark side applies. */
   private def lshCandCtesSqlFor(g: SignLshGeometry) =
     s"""${lshBucketCtesSqlFor(g)},
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bkept a JOIN bkept b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
@@ -281,12 +329,11 @@ object Similarity {
        |  UNION ALL
        |  SELECT b.vec_id, b.band, xor(b.bucket, CAST(2 ** j.j AS BIGINT)) AS probe
        |  FROM bkept b, (SELECT CAST(range AS INT) AS j FROM range(${g.planesPerBand})) j),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM probes a JOIN bkept b
        |    ON a.band = b.band AND a.probe = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
-  private val lshCandCtesSql = lshCandCtesSqlFor(DefaultGeometry)
 
   /** Spark twin of `cand`: LSH candidate pairs over [[varr]]'s `v`.
     *
@@ -485,11 +532,20 @@ object Similarity {
     * ss_pq_adc (per-subspace codebooks). Driver-side state per round
     * is the k·dims aggregated model, never corpus rows. */
   private[ops] def kmeansModel(v: DataFrame, vecCol: String, dims: Int,
-      k: Int = KmeansK): Seq[(Long, Array[Long])] =
-    memoized(s"kmeans:$vecCol:$dims:$k", v)(kmeansModelUncached(v, vecCol, dims, k))
+      k: Int = KmeansK,
+      sampleThr: Option[String] = None): Seq[(Long, Array[Long])] =
+    memoized(s"kmeans:$vecCol:$dims:$k:${sampleThr.getOrElse("full")}", v)(
+      kmeansModelUncached(v, vecCol, dims, k, sampleThr))
 
-  private def kmeansModelUncached(v: DataFrame, vecCol: String, dims: Int,
-      k: Int): Seq[(Long, Array[Long])] = {
+  private[ops] def kmeansModelUncached(v: DataFrame, vecCol: String, dims: Int,
+      k: Int, sampleThr: Option[String] = None): Seq[(Long, Array[Long])] = {
+    // sample-bounded training (see TrainPointsPerCentroid): the Lloyd
+    // UPDATE rounds see only the deterministic hash sample; the init
+    // stays first-k over the FULL corpus (the sample's membership is
+    // hash-scattered, so "first k of the sample" would be a different —
+    // not better — deterministic choice, and full-corpus init keeps the
+    // unsampled regime's oracle SQL byte-identical)
+    val vs = sampleThr.map(t => v.filter(trainSamplePred(t))).getOrElse(v)
     var cents: Seq[(Long, Array[Long])] = v
       .filter(col("vec_id") < k)
       .select(col("vec_id"), col(vecCol))
@@ -503,9 +559,9 @@ object Similarity {
       // bit-equal, so the trained model is identical either way
       val assigned =
         if (cents.size <= LiteralAssignMaxK)
-          v.select(assignCellOn(vecCol, cents).as("cid"), col(vecCol))
+          vs.select(assignCellOn(vecCol, cents).as("cid"), col(vecCol))
         else
-          v.join(assignWinnersBroadcast(v, vecCol, cents), Seq("vec_id"))
+          vs.join(assignWinnersBroadcast(vs, vecCol, cents), Seq("vec_id"))
             .select(col("cell").as("cid"), col(vecCol))
       cents = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -547,7 +603,7 @@ object Similarity {
   private def trainedCellsUncached(v: DataFrame): DataFrame = {
     // label is dropped: no cell-probe consumer reads it, and the
     // materialized index should store only what serving touches
-    val model = kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v)))
+    val model = scaledKmeansModel(v)
     val base = v.select(col("vec_id"), col("qe"), col("n2"))
     if (model.size <= LiteralAssignMaxK)
       base.withColumn("cell", assignCell(model))
@@ -564,7 +620,7 @@ object Similarity {
     * broadcast TABLE of k (cid, centroid-array, ‖c‖²) rows joined on a
     * model fan-out (crossJoin against the broadcast k-row table — a
     * BroadcastNestedLoopJoin, the honest plan when every vector meets
-    * every centroid), each (vec, cid) pair scored by each scored by ONE codegen'd `graft_dot`
+    * every centroid), each (vec, cid) pair scored by ONE codegen'd `graft_dot`
     * loop (never exploded per dimension: that shape costs n·dims·k
     * join rows, ~64× this one) — then the lexicographic (score, cid)
     * min per vector: the same tie-break as [[assignCell]], so the two
@@ -599,7 +655,7 @@ object Similarity {
     * of literal-argmin. */
   private[ops] def trainedCellsBroadcast(v: DataFrame): DataFrame =
     assignCellsBroadcast(v, "qe",
-      kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v))))
+      scaledKmeansModel(v))
 
   // ---------------------------------------------------------------
   // k-NN graph + beam search over it (graph ANN, batch-expressed)
@@ -658,8 +714,8 @@ object Similarity {
 
   /** Oracle CTE chain for [[knnGraph]], ending in
     * `krnk(vec_id, nb, dot, n2_q, n2_v, rk)` (edges = rk <= 3). */
-  private lazy val knnEdgesCtesSql: String =
-    s"""$cosinePairsCtesSql,
+  private def knnEdgesCtesSqlFor(n: Long): String =
+    s"""${cosinePairsCtesSqlFor(n)},
        |bi AS (
        |  SELECT vec_a AS vec_id, vec_b AS nb, dot FROM pairdot
        |  UNION ALL SELECT vec_b, vec_a, dot FROM pairdot),
@@ -668,7 +724,7 @@ object Similarity {
        |  FROM bi b
        |  JOIN norms na ON na.vec_id = b.vec_id
        |  JOIN norms nv ON nv.vec_id = b.nb),
-       |krnk AS (
+       |krnk AS MATERIALIZED (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY $cosExprSql DESC, nb) AS rk
        |  FROM ksc)""".stripMargin
@@ -686,7 +742,7 @@ object Similarity {
          |    AND NOT EXISTS (SELECT 1 FROM gc$j x
          |                    WHERE x.qid = f.qid AND x.node = e.dst)""".stripMargin)
       .mkString
-    s"""gc$i AS (
+    s"""gc$i AS MATERIALIZED (
        |  SELECT DISTINCT f.qid, e.dst AS node
        |  FROM ($frontier) f JOIN gedges e ON e.src = f.node
        |  WHERE e.dst <> f.qid$exclusions),
@@ -696,12 +752,12 @@ object Similarity {
        |  JOIN qv a ON a.vec_id = c.qid
        |  JOIN qv b ON b.vec_id = c.node AND b.dim = a.dim
        |  GROUP BY c.qid, c.node),
-       |gs$i AS (
+       |gs$i AS MATERIALIZED (
        |  SELECT d.qid, d.node, d.dot, na.n2 AS n2_q, nv.n2 AS n2_v
        |  FROM gd$i d
        |  JOIN norms na ON na.vec_id = d.qid
        |  JOIN norms nv ON nv.vec_id = d.node),
-       |gb$i AS (
+       |gb$i AS MATERIALIZED (
        |  SELECT qid, node FROM (
        |    SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
        |             ORDER BY $cosExprSql DESC, node) AS rk
@@ -710,12 +766,12 @@ object Similarity {
 
   /** The whole beam walk as a CTE chain, ending in
     * `granked(qid, node, dot, rk)` over every node any hop scored. */
-  private lazy val beamSearchCtesSql: String = {
+  private def beamSearchCtesSqlFor(n: Long): String = {
     val hops = (1 to BeamHops).map(beamHopSqlFor).mkString(",\n")
     val pool = (1 to BeamHops).map(i => s"SELECT * FROM gs$i").mkString(" UNION ALL ")
-    s"""$knnEdgesCtesSql,
-       |gedges AS (SELECT vec_id AS src, nb AS dst FROM krnk WHERE rk <= 3),
-       |gq AS (SELECT DISTINCT vec_id AS qid FROM qv WHERE $QuerySetSql),
+    s"""${knnEdgesCtesSqlFor(n)},
+       |gedges AS MATERIALIZED (SELECT vec_id AS src, nb AS dst FROM krnk WHERE rk <= 3),
+       |gq AS MATERIALIZED (SELECT DISTINCT vec_id AS qid FROM qv WHERE $QuerySetSql),
        |$hops,
        |gpool AS ($pool),
        |granked AS (
@@ -804,29 +860,42 @@ object Similarity {
        |  FROM ${pfx}a$idx a JOIN $src v ON v.vec_id = a.vec_id
        |  GROUP BY a.cid, v.dim)""".stripMargin
 
-  private def kmeansUpdateSql(idx: Int): String = kmeansUpdateSqlFor("", "qv", idx)
 
   /** The whole training replay as a CTE chain over `qv`, ending in
     * `cells(vec_id, cell)` — plus the final round's `d$KmeansRounds`
     * (per-(vec, cid) dots) and `s$KmeansRounds` (per-cid ‖c‖²) CTEs,
     * which profile consumers reuse to recover each vector's distance
-    * to its assigned centroid without recomputing. */
-  private lazy val kmeansCellsCtesSql: String = {
+    * to its assigned centroid without recomputing.
+    *
+    * Generated from the corpus count `n` by the SAME sizing rules the
+    * Spark trainer uses ([[scaledK]], [[trainSampleThreshold]]): the
+    * init and the FINAL (serving) assignment run over the full `qv`;
+    * when sampling binds, the Lloyd update rounds run over the
+    * hash-sampled `kqv`. At n ≤ [[QuerySpec.OracleRegimeN]] this is
+    * byte-identical to the pre-parameterized static SQL. */
+  private[ops] def kmeansCellsCtesSqlFor(n: Long): String = {
+    val k = scaledK(n)
+    val thr = trainSampleThreshold(n, k)
+    val src = if (thr.isDefined) "kqv" else "qv"
+    val sampleCte = thr
+      .map(t => s"kqv AS MATERIALIZED (SELECT * FROM qv WHERE ${trainSamplePredSql(t)}),\n")
+      .getOrElse("")
     val iters = (0 until KmeansRounds)
-      .map(i => s"${kmeansAssignSql(i)},\n${kmeansUpdateSql(i)}")
+      .map(i => s"${kmeansAssignSqlFor("", src, i)},\n${kmeansUpdateSqlFor("", src, i)}")
       .mkString(",\n")
-    s"""c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $KmeansK),
+    s"""${sampleCte}c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $k),
        |$iters,
        |${kmeansAssignSql(KmeansRounds)},
-       |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds)""".stripMargin
+       |cells AS MATERIALIZED (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds)""".stripMargin
   }
+
 
   /** Cell-probe top-3 with a multi-cell probe list: each query scans
     * only its `nprobe` nearest cells' vectors. The probe list is the
     * ranked prefix of the same literal argmin score array — map-side,
     * zero extra model state. */
   private def ivfProbeTop3(v: DataFrame, nprobe: Int): DataFrame = {
-    val cents = kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v)))
+    val cents = scaledKmeansModel(v)
     val cells = trainedCells(v) // shared materialized IVF index
     val q = v.filter(expr(QuerySetSql))
       .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
@@ -861,7 +930,7 @@ object Similarity {
 
   /** Oracle replay of [[ivfProbeTop3]] under prefix `p`, ending in
     * `${p}ranked(qid, vec_id, cell, dot, n2_q, n2_v, rk)`. Requires
-    * `qv`, `norms` and [[kmeansCellsCtesSql]]'s final-round
+    * `qv`, `norms` and [[kmeansCellsCtesSqlFor]]'s final-round
     * `d$KmeansRounds`/`s$KmeansRounds`/`cells` CTEs in scope. */
   private def ivfProbeCtesSqlFor(p: String, nprobe: Int): String =
     s"""${p}qprobe AS (
@@ -1048,6 +1117,52 @@ object Similarity {
        |          WHERE q.vec_id < 10 GROUP BY q.vec_id, c.cid)""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // IMI: two-level coarse quantizer (inverted multi-index — Babenko &
+  // Lempitsky 2012, "The Inverted Multi-Index", CVPR)
+  // ---------------------------------------------------------------
+
+  /** Per-level codebook size for the IMI queries: two independent
+    * k-means codebooks over the vector's two halves give k² joint
+    * cells at 2·k·(dims/2) = k·dims assignment work — the SAME cost as
+    * a flat k-cell assignment, for k× the cells. This is the design
+    * the scaledK scaladoc names for >10⁸ vectors, where flat IVF's
+    * assignment term (n·k dots, k capped at 2¹⁶) stops scaling: a
+    * 2⁸-per-level IMI reaches the same 2¹⁶ cells at 2⁹ dots per
+    * vector instead of 2¹⁶ — a 2⁷× assignment saving (the ratio is
+    * measured in SimilaritySpec and recorded in SCALE.md). Here the
+    * oracle proves the COMPOSITION at small k×k' (8×8 = 64 joint
+    * cells on the fixture), before the scale that needs it. */
+  private val ImiK = KmeansK
+  private def imiHalf = DefaultGeometry.dims / 2
+
+  /** (vec_id, qe, n2, impart0, impart1, cell1, cell2): each half
+    * assigned to its own trained codebook — both trainings and both
+    * assignments are the exact machinery of the PQ path (deterministic
+    * first-k init, floor-division Lloyd), so the oracle replay is the
+    * per-subspace chain at subDims = dims/2. */
+  private[ops] def imiCells(v: DataFrame): DataFrame = {
+    val vs = v.select(col("vec_id"), col("qe"), col("n2"),
+      expr(s"slice(qe, 1, $imiHalf)").as("impart0"),
+      expr(s"slice(qe, ${imiHalf + 1}, $imiHalf)").as("impart1"))
+    val m0 = kmeansModel(vs, "impart0", imiHalf, ImiK)
+    val m1 = kmeansModel(vs, "impart1", imiHalf, ImiK)
+    vs.select(col("vec_id"), col("qe"), col("n2"),
+      assignCellOn("impart0", m0).as("cell1"),
+      assignCellOn("impart1", m1).as("cell2"))
+  }
+
+  /** Oracle CTE chain for [[imiCells]], ending in
+    * `imicells(vec_id, cell1, cell2)` — two [[pqSubspaceSql]]
+    * trainings at subDims = dims/2. */
+  private lazy val imiCellsCtesSql: String =
+    s"""${pqSubspaceSql(0, imiHalf)},
+       |${pqSubspaceSql(1, imiHalf)},
+       |imicells AS MATERIALIZED (
+       |  SELECT c0.vec_id, CAST(c0.cid AS BIGINT) AS cell1,
+       |         CAST(c1.cid AS BIGINT) AS cell2
+       |  FROM codes0 c0 JOIN codes1 c1 ON c1.vec_id = c0.vec_id)""".stripMargin
+
   /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
   private def bruteScored(v: DataFrame): DataFrame = {
     val qq = v.filter(expr(QuerySetSql))
@@ -1065,12 +1180,14 @@ object Similarity {
     * and multi-probe variants can never drift apart. */
   /** Verified cosine near-dup pairs as a CTE chain ending in
     * `vpairs(vec_a, vec_b)` — the embedding-space dedup primitive,
-    * shared with the dedup-pillar view dd_semantic_neardups. */
-  private[ops] lazy val cosinePairsCtesSql: String =
+    * shared with the dedup-pillar view dd_semantic_neardups. The
+    * candidate geometry is derived from the corpus count `n`, matching
+    * [[cosinePairs]]' scaledGeometry dispatch at any SF. */
+  private[ops] def cosinePairsCtesSqlFor(n: Long): String =
     s"""qv AS ($qvSql),
        |norms AS ($normsSql),
-       |$lshCandCtesSql,
-       |pairdot AS (
+       |${lshCandCtesSqlFor(scaledGeometry(n))},
+       |pairdot AS MATERIALIZED (
        |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
        |  FROM cand c
        |  JOIN qv va ON va.vec_id = c.vec_a
@@ -1083,7 +1200,7 @@ object Similarity {
        |  JOIN norms nb ON nb.vec_id = p.vec_b
        |  WHERE p.dot > 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2)""".stripMargin
 
-  /** Spark twin of [[cosinePairsCtesSql]]'s `vpairs`. */
+  /** Spark twin of [[cosinePairsCtesSqlFor]]'s `vpairs`. */
   private[ops] def cosinePairs(s: SparkSession, dir: String): DataFrame = {
     val v = varr(s, dir).cache()
     fusedNeardupPairs(v, scaledGeometry(corpusCount(v)))
@@ -1105,10 +1222,10 @@ object Similarity {
     * confined to a cluster — the paper's own scale argument: k grows
     * with the corpus so |cell| stays bounded, and the pair join is an
     * equi-join on the learned cell, never a corpus cross join. */
-  private[ops] lazy val semdedupCtesSql: String =
+  private[ops] def semdedupCtesSqlFor(n: Long): String =
     s"""qv AS ($qvSql),
        |norms AS ($normsSql),
-       |$kmeansCellsCtesSql,
+       |${kmeansCellsCtesSqlFor(n)},
        |sdpairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
        |  FROM cells a JOIN cells b ON b.cell = a.cell AND b.vec_id > a.vec_id),
@@ -1136,7 +1253,7 @@ object Similarity {
        |  LEFT JOIN sdcnt n ON n.vec_id = c.vec_id
        |  LEFT JOIN sdrm r ON r.vec_id = c.vec_id)""".stripMargin
 
-  /** Spark twin of [[semdedupCtesSql]]'s `sdflag`: per vector, its
+  /** Spark twin of [[semdedupCtesSqlFor]]'s `sdflag`: per vector, its
     * learned cluster, its duplicate degree, and the keep-min-id
     * removal decision (the paper keeps one representative per
     * duplicate pair; min-id is the deterministic choice, matching
@@ -1173,7 +1290,7 @@ object Similarity {
     s"""WITH qv AS ($qvSql),
        |norms AS ($normsSql),
        |$candCtes,
-       |pairdot AS (
+       |pairdot AS MATERIALIZED (
        |  SELECT c.vec_a, c.vec_b, CAST(SUM(va.qe * vb.qe) AS BIGINT) AS dot
        |  FROM cand c
        |  JOIN qv va ON va.vec_id = c.vec_a
@@ -1344,8 +1461,8 @@ object Similarity {
     // ---- sign-LSH near-duplicate pairs (cos ≥ 0.35): projections and
     // band buckets map-side, candidates meet only inside a (band,
     // bucket) cell, dots verified per candidate pair ----
-    sql("ss_lsh_neardups",
-      neardupVerifySqlFor(lshCandCtesSql)) { (s, dir) =>
+    sqlN("ss_lsh_neardups")(n =>
+      neardupVerifySqlFor(lshCandCtesSqlFor(scaledGeometry(n)))) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
       fusedNeardupPairs(v, scaledGeometry(corpusCount(v)))
     },
@@ -1355,8 +1472,8 @@ object Similarity {
     // pairs that straddle one hyperplane — the production lever for
     // recall without more bands/tables. Candidate superset of
     // ss_lsh_neardups (asserted in SimilaritySpec); same verify. ----
-    sql("ss_lsh_multiprobe",
-      neardupVerifySqlFor(lshMultiprobeCandCtesSqlFor(DefaultGeometry))) { (s, dir) =>
+    sqlN("ss_lsh_multiprobe")(n =>
+      neardupVerifySqlFor(lshMultiprobeCandCtesSqlFor(scaledMultiprobeGeometry(n)))) { (s, dir) =>
       val v = varr(s, dir).cache() // bucket side + both pair sides
       fusedMultiprobeNeardupPairs(v, scaledMultiprobeGeometry(corpusCount(v)))
     },
@@ -1409,10 +1526,10 @@ object Similarity {
     // the oracle), instead of the given `label` column. The cell-probe
     // join itself is identical to ss_ivf_topk's: a query only scans
     // its own learned cell. ----
-    sql("ss_ivf_trained",
+    sqlN("ss_ivf_trained")(n =>
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |$kmeansCellsCtesSql,
+         |${kmeansCellsCtesSqlFor(n)},
          |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
          |cp AS (
          |  SELECT q.qid, c.vec_id, c.cell
@@ -1460,10 +1577,10 @@ object Similarity {
     // state) recovers them at nprobe× the scan cost. Still map-side
     // probe-list construction + one broadcast join; the corpus is
     // never scanned outside the probed cells. ----
-    sql("ss_ivf_nprobe",
+    sqlN("ss_ivf_nprobe")(n =>
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |$kmeansCellsCtesSql,
+         |${kmeansCellsCtesSqlFor(n)},
          |${ivfProbeCtesSqlFor("np_", IvfNprobe)}
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
          |       vec_id AS neighbor_id, cell, dot
@@ -1479,10 +1596,10 @@ object Similarity {
     // ---- the recall curve of that knob: recall@3 vs brute-force
     // cosine for nprobe = 1 and 2, in one result — the measurement a
     // deployment reads to set nprobe. ----
-    sql("ss_nprobe_recall",
+    sqlN("ss_nprobe_recall")(n =>
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |$kmeansCellsCtesSql,
+         |${kmeansCellsCtesSqlFor(n)},
          |${ivfProbeCtesSqlFor("np1_", 1)},
          |${ivfProbeCtesSqlFor("np2_", 2)},
          |gtd AS (
@@ -1543,13 +1660,84 @@ object Similarity {
     // map-side dot aggregation) instead of a literal expression tree.
     // Registered as its own oracle-checked query so the scale path is
     // driver-verified, not just unit-tested against the literal twin. ----
-    sql("ss_cells_broadcast",
+    sqlN("ss_cells_broadcast")(n =>
       s"""WITH qv AS ($qvSql),
-         |$kmeansCellsCtesSql
+         |${kmeansCellsCtesSqlFor(n)}
          |SELECT vec_id, cell FROM cells ORDER BY vec_id""") { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count() // eager, so training rounds reuse one materialization
       trainedCellsBroadcast(v).orderBy(col("vec_id"))
+    },
+
+    // ---- IMI two-level coarse quantizer (Babenko & Lempitsky 2012):
+    // the vector's two halves are quantized independently (k-means per
+    // half, the PQ trainer), and the JOINT (cell1, cell2) is the coarse
+    // cell — k² cells for one flat-k assignment cost. This is the
+    // composition flat IVF needs past its k = 2¹⁶ cap (>10⁸ vectors):
+    // per-level k stays bounded while effective cells square. Proven
+    // here at small k×k' (8×8 on the fixture) with the full-assignment
+    // oracle; the measured assignment-cost ratio is in SCALE.md. ----
+    sql("ss_imi_cells",
+      s"""WITH qv AS ($qvSql),
+         |$imiCellsCtesSql
+         |SELECT vec_id, cell1, cell2 FROM imicells ORDER BY vec_id""") { (s, dir) =>
+      val v = varr(s, dir).cache() // two trainings + two assignments
+      v.count()
+      imiCells(v).select(col("vec_id"), col("cell1"), col("cell2"))
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- IMI cell-probe top-3: a query scans only its JOINT cell —
+    // 1/k² of the corpus (vs 1/k for flat IVF at the same assignment
+    // cost). The equi-join key is the (cell1, cell2) pair; ranking is
+    // the standard exact-cosine window. Sparser cells trade recall for
+    // that scan bound — the multi-index sequence scan (probing
+    // neighboring cells in (d1+d2) order) is the production recall
+    // lever this query's shape composes with. ----
+    sql("ss_imi_topk",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$imiCellsCtesSql,
+         |imiq AS (SELECT vec_id AS qid, cell1, cell2 FROM imicells
+         |         WHERE $QuerySetSql),
+         |imicp AS (
+         |  SELECT q.qid, c.vec_id
+         |  FROM imiq q JOIN imicells c
+         |    ON c.cell1 = q.cell1 AND c.cell2 = q.cell2 AND c.vec_id <> q.qid),
+         |imidots AS (
+         |  SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM imicp cp
+         |  JOIN qv a ON a.vec_id = cp.qid
+         |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+         |  GROUP BY cp.qid, cp.vec_id),
+         |imiranked AS (
+         |  SELECT d.qid, d.vec_id, d.dot,
+         |         ROW_NUMBER() OVER (PARTITION BY d.qid
+         |           ORDER BY CAST(d.dot AS DOUBLE) /
+         |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+         |                    DESC, d.vec_id) AS rk
+         |  FROM imidots d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id)
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+         |       vec_id AS neighbor_id, dot
+         |FROM imiranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count()
+      val cells = imiCells(v)
+      val qq = cells.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("cell1"), col("cell2"),
+          col("qe").as("qqe"), col("n2").as("n2_q"))
+      cells.join(broadcast(qq), Seq("cell1", "cell2"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
     },
 
     // ---- product quantization + ADC (Jégou, Douze, Schmid 2011,
@@ -1591,10 +1779,7 @@ object Similarity {
     // the shape that actually ships: 1/N_cells of the corpus touched,
     // 4 bytes of codes per touched vector, zero raw-vector reads after
     // the one-off encode. ----
-    sql("ss_ivfadc_topk", {
-      val ivfIters = (0 until KmeansRounds)
-        .map(i => s"${kmeansAssignSql(i)},\n${kmeansUpdateSql(i)}")
-        .mkString(",\n")
+    sqlN("ss_ivfadc_topk") { n =>
       val pqSubs = (0 until PqM).map(m => pqSubspaceSql(m, PqSub)).mkString(",\n")
       val codeJoins = (0 until PqM)
         .map(m => s"  JOIN codes$m k$m ON k$m.vec_id = cp.vec_id").mkString("\n")
@@ -1603,10 +1788,7 @@ object Similarity {
         .mkString("\n")
       val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
       s"""WITH qv AS ($qvSql),
-         |c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM qv WHERE vec_id < $KmeansK),
-         |$ivfIters,
-         |${kmeansAssignSql(KmeansRounds)},
-         |cells AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM a$KmeansRounds),
+         |${kmeansCellsCtesSqlFor(n)},
          |$pqSubs,
          |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
          |cp AS (SELECT q.qid, c.vec_id, c.cell FROM qq q
@@ -1621,7 +1803,7 @@ object Similarity {
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id,
          |       cell, adc
          |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
-    }) { (s, dir) =>
+    } { (s, dir) =>
       val v = withSubs(varr(s, dir)).cache()
       v.count() // shared by the coarse training + 4 PQ trainings + encode
       val cells = trainedCells(v).select(col("vec_id"), col("cell"))
@@ -1724,9 +1906,9 @@ object Similarity {
     // brute-force ground truth, per query — the measurement loop any
     // production ANN deployment runs to tune bands×planes. Ground truth
     // is bounded (query set × 5), so the eval join broadcasts. ----
-    sql("ss_recall_eval",
+    sqlN("ss_recall_eval")(n =>
       s"""WITH $bruteCtesSql,
-         |$lshCandCtesSql,
+         |${lshCandCtesSqlFor(scaledGeometry(n))},
          |top5 AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5),
          |qcand AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM cand
          |          UNION SELECT vec_b, vec_a FROM cand)
@@ -1823,8 +2005,8 @@ object Similarity {
     // partitioned on vec_id — per-node top-k, no global sort, no
     // all-pairs anything. Nodes whose buckets collide with nothing
     // have no edges, as in any LSH-built graph. ----
-    sql("ss_knn_graph",
-      s"""WITH $knnEdgesCtesSql
+    sqlN("ss_knn_graph")(n =>
+      s"""WITH ${knnEdgesCtesSqlFor(n)}
          |SELECT vec_id, CAST(rk AS INT) AS rk, nb AS neighbor_id, dot
          |FROM krnk WHERE rk <= 3 ORDER BY vec_id, rk""") { (s, dir) =>
       val v = varr(s, dir).cache() // bucket pass + two edge-side lookups
@@ -1847,8 +2029,8 @@ object Similarity {
     // exceed queries × beam rows, and the scored pool is queries ×
     // beam × degree × hops, all model-sized. No corpus-wide scan after
     // graph construction: that is the point of graph ANN. ----
-    sql("ss_graph_search",
-      s"""WITH $beamSearchCtesSql
+    sqlN("ss_graph_search")(n =>
+      s"""WITH ${beamSearchCtesSqlFor(n)}
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
          |       node AS neighbor_id, dot
          |FROM granked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
@@ -1862,8 +2044,8 @@ object Similarity {
     // ---- graph-search recall@3 vs exact cosine top-3: the accuracy
     // row that prices the beam (same measurement loop as ss_pq_recall /
     // ss_sq8_recall price their compressions). ----
-    sql("ss_graph_recall",
-      s"""WITH $beamSearchCtesSql,
+    sqlN("ss_graph_recall")(n =>
+      s"""WITH ${beamSearchCtesSqlFor(n)},
          |ggtd AS (
          |  SELECT q.qid, b.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
          |  FROM gq q
@@ -1918,14 +2100,14 @@ object Similarity {
     // shape is the scale-correct checksum: each bucket digests only
     // its own partition-sized slice, the final fold sees 32 digests —
     // no orderBy-the-world concatenation. ----
-    sql("pipe_index_manifest", {
+    sqlN("pipe_index_manifest") { n =>
       val subs = (0 until PqM).map(pqSubspaceSql(_, PqSub)).mkString(",\n")
       val codeJoins = (1 until PqM)
         .map(m => s"  JOIN codes$m c$m ON c$m.vec_id = c0.vec_id").mkString("\n")
       val codeConcat = (0 until PqM).map(m => s"CAST(c$m.cid AS VARCHAR)")
         .mkString(" || ':' || ")
-      s"""WITH $knnEdgesCtesSql,
-         |$kmeansCellsCtesSql,
+      s"""WITH ${knnEdgesCtesSqlFor(n)},
+         |${kmeansCellsCtesSqlFor(n)},
          |$subs,
          |cells_rows AS (
          |  SELECT vec_id % 32 AS bucket,
@@ -1956,7 +2138,7 @@ object Similarity {
          |SELECT index_name, CAST(SUM(n) AS BIGINT) AS n_entries,
          |       md5(string_agg(bd, ',' ORDER BY bucket)) AS merkle
          |FROM bdg GROUP BY index_name ORDER BY index_name"""
-    }) { (s, dir) =>
+    } { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count()
       def rows(name: String, df: DataFrame, r: Column, o2: Column): DataFrame =
@@ -1993,10 +2175,10 @@ object Similarity {
     // assignment is the map-side literal-argmin; the profile is ONE
     // k-group aggregation; distances reuse the argmin's own score
     // (||v−c||² = s + ‖v‖²), so no second pass touches vectors. ----
-    sql("ss_cluster_profile",
+    sqlN("ss_cluster_profile")(n =>
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |$kmeansCellsCtesSql,
+         |${kmeansCellsCtesSqlFor(n)},
          |best AS (
          |  SELECT a.vec_id, a.cid, s.n2c - 2 * d.dot + n.n2 AS dist
          |  FROM a$KmeansRounds a
@@ -2013,7 +2195,7 @@ object Similarity {
          |GROUP BY b.cid ORDER BY cell""") { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count() // shared by the training rounds and the profile scan
-      val cents = kmeansModel(v, "qe", DefaultGeometry.dims, scaledK(corpusCount(v)))
+      val cents = scaledKmeansModel(v)
       val assigned =
         if (cents.size <= LiteralAssignMaxK)
           v.withColumn("asg", assignStructOn("qe", cents))

@@ -162,6 +162,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalled >= 60, s"near-identical recall collapsed: $recalled/100")
   }
 
+  test("IMI: 16×16 two-level assignment beats flat k=256 at equal cell count") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    // 20k synthetic corpus: flat IVF needs 256 dots of 64 dims per
+    // vector for 256 cells; the two-level quantizer reaches the same
+    // 256 joint cells with 2 × 16 dots of 32 dims — 16× less multiply
+    // work. Measure the ASSIGNMENT passes (models pre-trained) — the
+    // recurring cost every index build and every re-encode pays.
+    val v = spark.range(20000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST((id * 2654435761 + d * 40503) % 1001 - 500 AS BIGINT))").as("qe"))
+      .cache()
+    v.count()
+    val flatModel = Similarity.kmeansModel(v, "qe", 64, 256)
+    val vs = v.select(col("vec_id"),
+      expr("slice(qe, 1, 32)").as("impart0"),
+      expr("slice(qe, 33, 32)").as("impart1")).cache()
+    vs.count()
+    val m0 = Similarity.kmeansModel(vs, "impart0", 32, 16)
+    val m1 = Similarity.kmeansModel(vs, "impart1", 32, 16)
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths once (codegen/JIT), then measure
+    Similarity.assignCellsBroadcast(v, "qe", flatModel).count()
+    vs.select(Similarity.assignCellOn("impart0", m0),
+      Similarity.assignCellOn("impart1", m1)).count()
+    val (nFlat, tFlat) = timed(
+      Similarity.assignCellsBroadcast(v, "qe", flatModel).count())
+    val (nImi, tImi) = timed(vs.select(
+      Similarity.assignCellOn("impart0", m0).as("c1"),
+      Similarity.assignCellOn("impart1", m1).as("c2")).count())
+    assert(nFlat == 20000 && nImi == 20000)
+    info(f"flat k=256 assignment: $tFlat%.2f s; IMI 16×16: $tImi%.2f s " +
+      f"(${tFlat / tImi}%.1f× — theory 16× on multiplies, minus fixed overheads)")
+    // loose bound (timing): the two-level pass must not LOSE to flat
+    // at equal cell count — the composition's whole point
+    assert(tImi < tFlat, f"IMI $tImi%.2f s not faster than flat $tFlat%.2f s")
+    // and the joint cells really use the k² space (more occupied joint
+    // cells than either level alone could provide)
+    val joint = vs.select(
+      (Similarity.assignCellOn("impart0", m0) * 16 +
+        Similarity.assignCellOn("impart1", m1)).as("jc"))
+      .distinct().count()
+    assert(joint > 16, s"only $joint joint cells — degenerate split")
+  }
+
   test("large-k plan: broadcast transport, no centroid literal at k=256") {
     import org.apache.spark.sql.functions._
     graft.GraftExtensions.register(spark)
