@@ -25,28 +25,48 @@ private[ops] object TrainMemo {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
 
-  /** Memo entries are bounded: past this many the whole registry is
-    * evicted (unpersisting any checkpointed DataFrame values), so a
-    * long multi-fixture session cannot pin cached blocks — or the
-    * sessions captured by the DataFrames — without bound. Whole-map
-    * eviction (vs LRU) is deliberate: entries are cheap to rebuild
-    * (they memoize deterministic trainings), the cap is far above the
-    * handful of fixtures any one session touches, and clearing
-    * everything keeps the concurrency story trivial. */
-  private val MemoMaxEntries = 64
+  /** Keys written through [[publish]] — serving artifacts an
+    * incremental-maintenance loop paid to build (Dedup's merged band
+    * index). Exempt from cap eviction: evicting one silently degrades
+    * every later read to a full re-derivation (correct but unbounded
+    * work), defeating the O(batch) maintenance contract mid-session. */
+  private val published =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Drop every memoized model/index (also the test hook for specs
-    * that exercise re-training against a mutated fixture). */
+  /** Memo entries are bounded: past this many every UNPUBLISHED entry
+    * is dropped, so a long multi-fixture session cannot pin model
+    * state without bound. Whole-sweep eviction (vs LRU) is deliberate:
+    * entries are cheap to rebuild (they memoize deterministic
+    * trainings), the cap is far above the handful of fixtures any one
+    * session touches, and clearing keeps the concurrency story
+    * trivial. `private[graft] var`: ConcurrencySpec lowers it to force
+    * evictions under racing queries.
+    *
+    * RECLAMATION CONTRACT for dropped entries: references are dropped
+    * and the JVM reclaims them — for localCheckpoint'd DataFrames the
+    * checkpointed blocks are freed by ContextCleaner once the RDD is
+    * GC'd (RDD.persist registers the cleanup hook). We deliberately do
+    * NOT unpersist eagerly: Dataset.unpersist routes through
+    * CacheManager, which does not track localCheckpoint blocks (a
+    * no-op here), and unpersisting the underlying RDD directly would
+    * destroy lineage-truncated blocks a concurrent query may still be
+    * reading — the GC route frees memory only once no reader can
+    * reach the value, which is exactly the safe point. */
+  @volatile private[graft] var MemoMaxEntries = 64
+
+  /** Drop every memoized model/index INCLUDING published artifacts —
+    * the test hook for specs that exercise re-training against a
+    * mutated fixture. Reclamation is by GC + ContextCleaner (see
+    * [[MemoMaxEntries]]); never eager unpersist. */
   def clear(): Unit = {
-    def release(v: Any): Unit = v match {
-      case df: org.apache.spark.sql.Dataset[_] =>
-        scala.util.Try(df.unpersist(blocking = false))
-      case (a, b) => release(a); release(b)
-      case _ => ()
-    }
-    val it = memo.values.iterator()
-    while (it.hasNext) release(it.next())
     memo.clear()
+    published.clear()
+  }
+
+  /** Cap-pressure eviction: drop unpublished entries only. */
+  private def evictUnpublished(): Unit = {
+    val it = memo.keySet.iterator()
+    while (it.hasNext) if (!published.contains(it.next())) it.remove()
   }
 
   /** Get-or-train WITHOUT ConcurrentHashMap.computeIfAbsent: trainings
@@ -62,7 +82,7 @@ private[ops] object TrainMemo {
     val existing = memo.get(key)
     if (existing != null) existing.asInstanceOf[T]
     else {
-      if (memo.size >= MemoMaxEntries) clear()
+      if (memo.size >= MemoMaxEntries) evictUnpublished()
       val fresh = train
       val prev = memo.putIfAbsent(key, fresh)
       (if (prev != null) prev else fresh).asInstanceOf[T]
@@ -71,14 +91,17 @@ private[ops] object TrainMemo {
 
   /** Unconditional publish — the write-back half of an incremental
     * index-maintenance loop (e.g. Dedup's merged band index REPLACES
-    * the stored one). Unpersists the value it replaces. */
+    * the stored one). The replaced value is only dereferenced, never
+    * unpersisted: a concurrent query planned against the old artifact
+    * keeps it alive (and its checkpointed blocks valid) until it
+    * finishes, after which GC + ContextCleaner reclaim it. */
   def publish(key: String, value: AnyRef): Unit = {
+    published.add(key)
     val prev = memo.put(key, value)
-    prev match {
-      case df: org.apache.spark.sql.Dataset[_] if !(df eq value) =>
-        scala.util.Try(df.unpersist(blocking = false))
-      case _ => ()
-    }
+    if (prev != null && !(prev eq value))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .info(s"memo publish replaced artifact under $key " +
+          "(predecessor reclaimed after readers finish)")
   }
 
   def get[T <: AnyRef](key: String): Option[T] =
