@@ -245,17 +245,22 @@ object StreamOps {
     * MinHash values and band keys as the batch dd_* pipeline (4 bands
     * × 2 rows — identical key math, so a batch index and this stream
     * agree on collisions). Each doc's 4 (band, bkey) rows enter ONE
-    * keyed stateful operator whose state per bucket is a single
-    * occupied bit, evicted once the watermark passes the bucket's
-    * last activity plus the dedup HORIZON — O(buckets active within
-    * the horizon), never corpus-sized. A row emits
-    * `hit = true` iff its bucket was already occupied by an
-    * EARLIER-ARRIVED doc (any previous micro-batch — append mode
-    * cannot retract, so arrival order is the only honest cross-batch
-    * order) or by a smaller-id doc in the same batch; with in-order
-    * ingest this equals the batch rule "∃ d2 < d with the same band
-    * key" exactly — StreamOpsSpec asserts that parity on the real
-    * fixture, including collisions that straddle micro-batches.
+    * keyed stateful operator whose state per bucket is the MIN doc_id
+    * seen (one long — same O(1) footprint as an occupied bit), evicted
+    * once the watermark passes the bucket's last activity plus the
+    * dedup HORIZON — O(buckets active within the horizon), never
+    * corpus-sized. A row emits `hit = true` iff a SMALLER-id doc with
+    * the same band key has arrived in any batch up to and including
+    * this one — the batch rule "∃ d2 < d with the same band key"
+    * evaluated over the stream prefix, ORDER-INSENSITIVELY (a late
+    * smaller-id doc is judged against the min, not a bucket bit, so
+    * out-of-order ingest cannot false-positive it; what append mode
+    * cannot do is retract an already-emitted verdict when its smaller
+    * collider arrives later). With in-order ingest the parity with the
+    * batch rule is exact — StreamOpsSpec asserts both that parity
+    * (collisions straddling micro-batches included) and the
+    * out-of-order min-id behavior, plus kill-restart checkpoint
+    * recovery of the min-id state and its horizon timeouts.
     * Downstream, `groupBy(doc_id).max(hit)` (or any threshold on the
     * number of colliding bands) is the candidate verdict. */
   def neardupCandidates(docs: DataFrame, lateness: String = "1 hour",
@@ -298,23 +303,34 @@ object StreamOps {
 
   private def bucketFn(horizonSeconds: Long)(
       key: (Int, String), rows: Iterator[(Timestamp, Long, Int, String)],
-      state: GroupState[Boolean]): Iterator[(Long, Int, Boolean)] = {
+      state: GroupState[Long]): Iterator[(Long, Int, Boolean)] = {
     if (rows.isEmpty && state.hasTimedOut) {
       state.remove() // bucket idle past the watermark: evict
       return Iterator.empty
     }
     // deterministic in-batch order (state-store batches are unordered)
     val sorted = rows.toSeq.sortBy { case (_, docId, _, _) => docId }
-    val occupiedBefore = state.getOption.getOrElse(false)
+    // state = MIN doc_id ever seen in this bucket (same O(1) state as
+    // an occupied bit) so each verdict is the batch rule "∃ smaller-id
+    // doc with this band key" over everything that has arrived: a
+    // smaller-id doc landing in a LATER micro-batch is not flagged
+    // against a larger id it never preceded (an occupied bit would
+    // false-positive it). Append mode still cannot retract an earlier
+    // doc's verdict when its smaller collider arrives later — that
+    // residual is the honest limit of no-retraction streaming, and the
+    // in-order-ingest spec case is unchanged.
+    val minBefore = state.getOption.getOrElse(Long.MaxValue)
     var maxTs = Long.MinValue
     var first = true
     val out = sorted.map { case (ts, docId, band, _) =>
-      val hit = occupiedBefore || !first
+      // ascending in-batch order ⇒ any non-first row has an in-batch
+      // smaller-id collider; cross-batch the state min decides
+      val hit = minBefore < docId || !first
       first = false
       if (ts.getTime > maxTs) maxTs = ts.getTime
       (docId, band, hit)
     }
-    state.update(true)
+    state.update(math.min(minBefore, sorted.head._2))
     // the occupied bit lives for the DEDUP HORIZON past the bucket's
     // last doc (the business window "a near-dup of anything seen in
     // the last N hours counts"), not merely until the watermark

@@ -697,6 +697,119 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("neardupCandidates min-id state is order-insensitive across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // four docs sharing ONE text (⇒ identical band keys), arriving OUT
+    // of id order across three batches: 10,20 | 5 | 15. Min-id state
+    // must judge each doc against the smallest id seen so far — an
+    // occupied bit would false-positive doc 5 (round-6 ADVICE).
+    val t = "alpha beta gamma delta epsilon zeta"
+    def d(id: Long) = Doc(id, ts(id), t, "en", "web")
+    val input = MemoryStream[Doc]
+    val q = StreamOps.neardupCandidates(input.toDF(), lateness = "1 hour",
+        horizonSeconds = 86400L)
+      .toDF("doc_id", "band", "hit")
+      .writeStream.format("memory").queryName("nd_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(d(10), d(20)); q.processAllAvailable()
+      input.addData(d(5)); q.processAllAvailable()
+      input.addData(d(15)); q.processAllAvailable()
+      val verdicts = spark.table("nd_ooo")
+        .groupBy($"doc_id").agg(org.apache.spark.sql.functions.max($"hit").as("hit"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdicts == Map(
+        10L -> false, // first arrival
+        20L -> true,  // in-batch smaller collider (10)
+        5L -> false,  // SMALLER than everything seen: the batch rule says no dup
+        15L -> true)) // min is 5 by now
+    } finally q.stop()
+  }
+
+  test("neardupCandidates state and horizon timeouts survive a stop/restart") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-nd-restart-")
+    val (in, out, ckpt) = (s"$work/in", s"$work/out", s"$work/ckpt")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "one two three four five six seven"
+    val tC = "red orange yellow green blue indigo"
+    val schema = Seq.empty[Doc].toDF().schema
+    def landDocs(file: String, docs: Seq[Doc]): Unit = {
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$work/stage-$file")
+      val staged = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/stage-$file")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staged.head),
+        java.nio.file.Paths.get(s"$in/$file.parquet"))
+    }
+    // horizon 50 min: bucket state lives 50 min past its last doc
+    def start() = StreamOps.neardupCandidates(
+        spark.readStream.schema(schema).parquet(in),
+        lateness = "0 seconds", horizonSeconds = 50 * 60)
+      .toDF("doc_id", "band", "hit")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // phase 1: tA docs 2 then 1 OUT of order in one batch (min-id ⇒
+    // 1 false, 2 true), tC doc 3 alone at t0 — its horizon (t0+50min)
+    // will expire across the restart
+    landDocs("a", Seq(Doc(3, ts(0), tC, "en", "web"),
+      Doc(1, ts(1), tA, "en", "web"), Doc(2, ts(2), tA, "en", "web")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // phase 2 lands while the query is DOWN, then a fresh query
+    // recovers from the checkpoint:
+    //  - doc 4 (tA, t10): hit ⇔ the tA bucket's min-id=1 was RECOVERED
+    //    (processed against the recovered watermark t2, so not late)
+    //  - doc 5 (tB, t10): fresh bucket, false
+    //  - doc 99 (t120): advances the watermark past every horizon
+    landDocs("b", Seq(Doc(4, ts(10), tA, "en", "web"),
+      Doc(5, ts(10), tB, "en", "web"),
+      Doc(99, ts(120), "filler words to advance the watermark only", "en", "web")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // a data-less-for-those-keys batch: horizon timeouts (recovered
+      // from the checkpoint) fire for tA/tB/tC — their last activity
+      // (t10/t10/t0) + 50 min all sit behind the watermark (t120).
+      // Timeouts fire only for keys with no new rows in the batch,
+      // hence the separate filler-only file.
+      landDocs("c", Seq(
+        Doc(100, ts(125), "more filler words advancing time again", "en", "web")))
+      q2.processAllAvailable()
+      // docs 6 (tC) and 7 (tA): their buckets were evicted by the
+      // horizon — doc 3 < 6 and doc 1 < 7 DID share these buckets, but
+      // outside the horizon, which is the operator's contract ("a
+      // near-dup of anything seen in the last N hours") — so a
+      // recovered-then-expired bucket must read as fresh ⇒ false.
+      landDocs("d", Seq(Doc(6, ts(126), tC, "en", "web"),
+        Doc(7, ts(126), tA, "en", "web")))
+      q2.processAllAvailable()
+      // and the re-occupied tA bucket serves again: min-id is 7 now
+      landDocs("e", Seq(Doc(8, ts(127), tA, "en", "web")))
+      q2.processAllAvailable()
+      val verdicts = spark.read.parquet(out)
+        .groupBy($"doc_id").agg(org.apache.spark.sql.functions.max($"hit").as("hit"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdicts(1L) == false && verdicts(2L) == true, verdicts)
+      assert(verdicts(4L) == true,
+        s"tA min-id state lost across restart: $verdicts")
+      assert(verdicts(5L) == false, verdicts)
+      assert(verdicts(6L) == false,
+        s"tC bucket should have expired by horizon across the restart: $verdicts")
+      assert(verdicts(7L) == false && verdicts(8L) == true,
+        s"expired tA bucket must restart fresh then re-occupy: $verdicts")
+      // exactly-once across the restart: every (doc, band) row lands once
+      val rows = spark.read.parquet(out).as[(Long, Int, Boolean)].collect().toSeq
+      assert(rows.size == rows.toSet.size, "duplicated rows across restart")
+    } finally q2.stop()
+  }
+
   test("sessionize closes sessions on gaps and on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
