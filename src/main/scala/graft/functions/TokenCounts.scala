@@ -13,12 +13,18 @@ object TokenCountsImpl {
   /** One UTF-8 byte walk computing the GPT-2-style pre-tokenizer run
     * counts the `'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'` alternation yields:
     * alpha runs, digit runs, and single non-alnum-non-space CODE
-    * POINTS (a multibyte sequence counts once — only its lead byte is
-    * counted, continuation bytes 0x80-0xBF are skipped — matching the
-    * per-code-point semantics of both Java regex and DuckDB's RE2;
-    * the multibyte oracle fixture is the gate for this). Total
-    * subtokens = alpha + digit + other, since every non-space
-    * character is consumed by exactly one alternative. */
+    * POINTS. Multibyte handling matches the REGEX PATH BYTE FOR BYTE,
+    * malformed input included: Spark's regexp functions convert
+    * UTF8String → java.lang.String (replacement decoding: each
+    * maximal ill-formed subpart becomes ONE U+FFFD, which the
+    * `[^A-Za-z0-9 ]` class then counts once), so the walk consumes
+    * exactly the decoder's subpart per step — a valid sequence or a
+    * maximal malformed prefix — and counts one `other` either way.
+    * Parquet string columns are NOT validated by Spark, so malformed
+    * bytes are reachable; NativeExprPropSpec drives random raw bytes
+    * through both paths. Total subtokens = alpha + digit + other,
+    * since every non-space character is consumed by exactly one
+    * alternative. */
   def counts(text: UTF8String): InternalRow = {
     val bytes = text.getBytes
     var alpha = 0
@@ -26,22 +32,62 @@ object TokenCountsImpl {
     var other = 0
     var run = 0 // 0 = boundary, 1 = inside alpha run, 2 = inside digit run
     var i = 0
-    while (i < bytes.length) {
+    val n = bytes.length
+    while (i < n) {
       val b = bytes(i) & 0xff
-      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
-        if (run != 1) alpha += 1
-        run = 1
-      } else if (b >= '0' && b <= '9') {
-        if (run != 2) digit += 1
-        run = 2
+      if (b < 0x80) {
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (run != 1) alpha += 1
+          run = 1
+        } else if (b >= '0' && b <= '9') {
+          if (run != 2) digit += 1
+          run = 2
+        } else {
+          if (b != ' ') other += 1
+          run = 0
+        }
+        i += 1
       } else {
-        if (b != ' ' && (b < 0x80 || b >= 0xc0)) other += 1
+        // one decoded code point OR one replacement char — either way
+        // exactly one non-alnum-non-space count and a run boundary
+        other += 1
         run = 0
+        i += utf8Step(bytes, i, n)
       }
-      i += 1
     }
     new GenericInternalRow(
       Array[Any](alpha + digit + other, alpha, digit, other))
+  }
+
+  /** Bytes consumed at a non-ASCII position: the valid sequence's
+    * length, or the length of the maximal ill-formed subpart the JDK
+    * UTF-8 decoder replaces with one U+FFFD (lead with out-of-range
+    * second byte → 1; valid prefix truncated by a non-continuation or
+    * EOF → prefix length; orphan continuation / C0 / C1 / F5-FF → 1). */
+  private def utf8Step(bytes: Array[Byte], i: Int, n: Int): Int = {
+    val b1 = bytes(i) & 0xff
+    def cont(k: Int): Boolean = i + k < n && (bytes(i + k) & 0xc0) == 0x80
+    def b2in(lo: Int, hi: Int): Boolean = i + 1 < n && {
+      val b2 = bytes(i + 1) & 0xff; b2 >= lo && b2 <= hi
+    }
+    if (b1 < 0xc2) 1 // orphan continuation byte, or overlong lead C0/C1
+    else if (b1 <= 0xdf) if (cont(1)) 2 else 1
+    else if (b1 <= 0xef) {
+      // E0: overlong second bytes 80-9F cut the subpart at the lead.
+      // ED (surrogate range A0-BF): the JDK decoder treats the second
+      // byte as a plausible continuation and rejects the SURROGATE
+      // after reading all 3 bytes — one replacement char for the whole
+      // ED A0-BF 80-BF triple — so the subpart ranges here are the
+      // JDK's (isMalformed3_2), NOT the Unicode table's
+      val ok2 = if (b1 == 0xe0) b2in(0xa0, 0xbf) else b2in(0x80, 0xbf)
+      if (!ok2) 1 else if (cont(2)) 3 else 2
+    } else if (b1 <= 0xf4) {
+      val ok2 = // F0: no overlongs; F4: cap at U+10FFFF
+        if (b1 == 0xf0) b2in(0x90, 0xbf)
+        else if (b1 == 0xf4) b2in(0x80, 0x8f)
+        else b2in(0x80, 0xbf)
+      if (!ok2) 1 else if (!cont(2)) 2 else if (cont(3)) 4 else 3
+    } else 1 // F5-FF: never a valid lead
   }
 }
 

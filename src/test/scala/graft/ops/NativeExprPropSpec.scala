@@ -78,4 +78,40 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
       val other = count("[^A-Za-z0-9 ]")
       got == (alpha + digit + other, alpha, digit, other)
     }
+
+  // RAW-BYTE generator: arbitrary bytes, heavily weighted toward the
+  // malformed-UTF-8 space (orphan continuations, overlong leads C0/C1,
+  // truncated 2/3/4-byte prefixes, surrogates ED A0.., F4 90.. beyond
+  // U+10FFFF, F5-FF) interleaved with ASCII runs. Parquet string
+  // columns are NOT validated by Spark, so these bytes are reachable.
+  private val rawBytes: Gen[Array[Byte]] = Gen.choose(0, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.choose(0x20, 0x7e),      // ASCII incl. alnum and space
+      3 -> Gen.choose(0x80, 0xbf),      // continuation bytes
+      2 -> Gen.choose(0xc0, 0xdf),      // 2-byte leads incl. overlong C0/C1
+      2 -> Gen.choose(0xe0, 0xef),      // 3-byte leads incl. ED (surrogates)
+      2 -> Gen.choose(0xf0, 0xff)))     // 4-byte leads incl. invalid F5-FF
+      .map(_.map(_.toByte).toArray))
+
+  property("graft_token_counts matches String replacement-decoding on MALFORMED bytes") =
+    Prop.forAll(rawBytes) { bytes =>
+      // the expression walks the raw UTF8String bytes; the regex path
+      // (what Spark's regexp_* would do) decodes to java.lang.String
+      // first, replacing each maximal ill-formed subpart with U+FFFD —
+      // the byte walk must count identically
+      val row = graft.functions.TokenCountsImpl.counts(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+      val got = (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      def count(re: String) = {
+        val m = java.util.regex.Pattern.compile(re).matcher(t)
+        var c = 0
+        while (m.find()) c += 1
+        c
+      }
+      val alpha = count("[A-Za-z]+")
+      val digit = count("[0-9]+")
+      val other = count("[^A-Za-z0-9 ]")
+      got == (alpha + digit + other, alpha, digit, other)
+    }
 }
