@@ -1099,15 +1099,24 @@ object Similarity {
 
   /** Full k-means replay for one PQ subspace `m`: sub-vector slice CTE
     * + init + rounds + final assignment, ending in `codes$m(vec_id,
-    * cid)` and the trained centroid CTE `p${m}c$KmeansRounds`. */
-  private def pqSubspaceSql(m: Int, subDims: Int): String = {
+    * cid)` and the trained centroid CTE `p${m}c$KmeansRounds`. With
+    * defaults this is the (unsampled, k=8) PQ-codebook replay; the IMI
+    * chain passes its corpus-scaled per-level k and sample threshold —
+    * training rounds then read the hash-sampled `ksv$m`, the final
+    * (coding) assignment stays over the full `sv$m`. */
+  private def pqSubspaceSql(m: Int, subDims: Int, k: Int = KmeansK,
+      sampleThr: Option[String] = None): String = {
     val lo = m * subDims
+    val src = if (sampleThr.isDefined) s"ksv$m" else s"sv$m"
+    val sampleCte = sampleThr
+      .map(t => s"ksv$m AS MATERIALIZED (SELECT * FROM sv$m WHERE ${trainSamplePredSql(t)}),\n")
+      .getOrElse("")
     val iters = (0 until KmeansRounds)
-      .map(i => s"${kmeansAssignSqlFor(s"p$m", s"sv$m", i)},\n${kmeansUpdateSqlFor(s"p$m", s"sv$m", i)}")
+      .map(i => s"${kmeansAssignSqlFor(s"p$m", src, i)},\n${kmeansUpdateSqlFor(s"p$m", src, i)}")
       .mkString(",\n")
     s"""sv$m AS (SELECT vec_id, dim - $lo AS dim, qe FROM qv
        |          WHERE dim >= $lo AND dim < ${lo + subDims}),
-       |p${m}c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM sv$m WHERE vec_id < $KmeansK),
+       |${sampleCte}p${m}c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM sv$m WHERE vec_id < $k),
        |$iters,
        |${kmeansAssignSqlFor(s"p$m", s"sv$m", KmeansRounds)},
        |codes$m AS (SELECT vec_id, cid FROM p${m}a$KmeansRounds),
@@ -1130,38 +1139,57 @@ object Similarity {
     * assignment term (n·k dots, k capped at 2¹⁶) stops scaling: a
     * 2⁸-per-level IMI reaches the same 2¹⁶ cells at 2⁹ dots per
     * vector instead of 2¹⁶ — a 2⁷× assignment saving (the ratio is
-    * measured in SimilaritySpec and recorded in SCALE.md). Here the
-    * oracle proves the COMPOSITION at small k×k' (8×8 = 64 joint
-    * cells on the fixture), before the scale that needs it. */
-  private val ImiK = KmeansK
+    * measured in SimilaritySpec and recorded in SCALE.md). Per-level k
+    * scales as √(scaledK(n)) — the SAME joint occupancy target as flat
+    * IVF, at √k of its assignment cost — so the IMI queries hold their
+    * per-cell bound at any corpus size instead of re-growing the
+    * frozen-geometry disease round 6 repaired. */
+  private[ops] def imiLevelK(n: Long): Int =
+    math.max(2, math.ceil(math.sqrt(scaledK(n).toDouble)).toInt)
   private def imiHalf = DefaultGeometry.dims / 2
 
   /** (vec_id, qe, n2, impart0, impart1, cell1, cell2): each half
     * assigned to its own trained codebook — both trainings and both
     * assignments are the exact machinery of the PQ path (deterministic
-    * first-k init, floor-division Lloyd), so the oracle replay is the
-    * per-subspace chain at subDims = dims/2. */
+    * first-k init, floor-division Lloyd, sample-bounded rounds), so
+    * the oracle replay is the per-subspace chain at subDims = dims/2.
+    * Assignment transport dispatches per level like every other site:
+    * literal argmin at model k, broadcast table above. */
   private[ops] def imiCells(v: DataFrame): DataFrame = {
+    val n = corpusCount(v)
+    val k = imiLevelK(n)
+    val thr = trainSampleThreshold(n, k)
     val vs = v.select(col("vec_id"), col("qe"), col("n2"),
       expr(s"slice(qe, 1, $imiHalf)").as("impart0"),
       expr(s"slice(qe, ${imiHalf + 1}, $imiHalf)").as("impart1"))
-    val m0 = kmeansModel(vs, "impart0", imiHalf, ImiK)
-    val m1 = kmeansModel(vs, "impart1", imiHalf, ImiK)
-    vs.select(col("vec_id"), col("qe"), col("n2"),
-      assignCellOn("impart0", m0).as("cell1"),
-      assignCellOn("impart1", m1).as("cell2"))
+    val m0 = kmeansModel(vs, "impart0", imiHalf, k, thr)
+    val m1 = kmeansModel(vs, "impart1", imiHalf, k, thr)
+    if (k <= LiteralAssignMaxK)
+      vs.select(col("vec_id"), col("qe"), col("n2"),
+        assignCellOn("impart0", m0).as("cell1"),
+        assignCellOn("impart1", m1).as("cell2"))
+    else
+      vs.join(assignCellsBroadcast(vs, "impart0", m0)
+          .withColumnRenamed("cell", "cell1"), Seq("vec_id"))
+        .join(assignCellsBroadcast(vs, "impart1", m1)
+          .withColumnRenamed("cell", "cell2"), Seq("vec_id"))
+        .select(col("vec_id"), col("qe"), col("n2"), col("cell1"), col("cell2"))
   }
 
   /** Oracle CTE chain for [[imiCells]], ending in
     * `imicells(vec_id, cell1, cell2)` — two [[pqSubspaceSql]]
-    * trainings at subDims = dims/2. */
-  private lazy val imiCellsCtesSql: String =
-    s"""${pqSubspaceSql(0, imiHalf)},
-       |${pqSubspaceSql(1, imiHalf)},
+    * trainings at subDims = dims/2, per-level k and training sample
+    * derived from the corpus count like the Spark side. */
+  private def imiCellsCtesSqlFor(n: Long): String = {
+    val k = imiLevelK(n)
+    val thr = trainSampleThreshold(n, k)
+    s"""${pqSubspaceSql(0, imiHalf, k, thr)},
+       |${pqSubspaceSql(1, imiHalf, k, thr)},
        |imicells AS MATERIALIZED (
        |  SELECT c0.vec_id, CAST(c0.cid AS BIGINT) AS cell1,
        |         CAST(c1.cid AS BIGINT) AS cell2
        |  FROM codes0 c0 JOIN codes1 c1 ON c1.vec_id = c0.vec_id)""".stripMargin
+  }
 
   /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
   private def bruteScored(v: DataFrame): DataFrame = {
@@ -1677,9 +1705,9 @@ object Similarity {
     // per-level k stays bounded while effective cells square. Proven
     // here at small k×k' (8×8 on the fixture) with the full-assignment
     // oracle; the measured assignment-cost ratio is in SCALE.md. ----
-    sql("ss_imi_cells",
+    sqlN("ss_imi_cells")(n =>
       s"""WITH qv AS ($qvSql),
-         |$imiCellsCtesSql
+         |${imiCellsCtesSqlFor(n)}
          |SELECT vec_id, cell1, cell2 FROM imicells ORDER BY vec_id""") { (s, dir) =>
       val v = varr(s, dir).cache() // two trainings + two assignments
       v.count()
@@ -1694,10 +1722,10 @@ object Similarity {
     // that scan bound — the multi-index sequence scan (probing
     // neighboring cells in (d1+d2) order) is the production recall
     // lever this query's shape composes with. ----
-    sql("ss_imi_topk",
+    sqlN("ss_imi_topk")(n =>
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
-         |$imiCellsCtesSql,
+         |${imiCellsCtesSqlFor(n)},
          |imiq AS (SELECT vec_id AS qid, cell1, cell2 FROM imicells
          |         WHERE $QuerySetSql),
          |imicp AS (

@@ -44,13 +44,15 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the sf0.01 ORACLE fixture sits in the pinned index-geometry regime") {
-    // every generated similarity/dedup oracle SQL replays the
-    // DefaultGeometry (2 bands × 4 planes) and k=8 training. The Spark
-    // side picks its geometry from the corpus SIZE (scaledGeometry /
-    // scaledK — the 100 TB knob), so the two only agree while the
-    // oracle fixture stays inside the default regime (n ≤ 250·16).
-    // If the driver ever regenerates sf0.01 with a bigger embeddings
-    // table, THIS gate fails — not the external oracle compare.
+    // Since round 7 the similarity/dedup oracle SQL is GENERATED from
+    // the corpus size (QuerySpec.oracleGen — proven EXACT above this
+    // regime at sf0.1, docs/oracle_scale_check_sf0.1.txt), so parity
+    // no longer depends on this pin. The gate stays as an ALARM: if
+    // the driver regenerates sf0.01 with a bigger embeddings table,
+    // the static SparkEntry.oracleSql strings (pinned at OracleRegimeN
+    // for the contract surface) stop describing what Verify dumps, and
+    // the regime commentary across docs/tests goes stale — fail loudly
+    // here so that drift is noticed, not discovered by a reader.
     val n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
     assert(Similarity.scaledGeometry(n) == Similarity.DefaultGeometry,
       s"n=$n left the oracle geometry regime: ${Similarity.scaledGeometry(n)}")

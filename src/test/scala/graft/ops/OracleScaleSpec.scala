@@ -32,7 +32,8 @@ class OracleScaleSpec extends AnyFunSuite {
     "ss_ivf_nprobe", "ss_nprobe_recall", "ss_cells_broadcast",
     "ss_recall_eval", "ss_knn_graph", "ss_graph_search",
     "ss_graph_recall", "ss_ivfadc_topk", "ss_cluster_profile",
-    "pipe_index_manifest", "dd_semantic_neardups", "dd_semdedup")
+    "pipe_index_manifest", "dd_semantic_neardups", "dd_semdedup",
+    "ss_imi_cells", "ss_imi_topk")
 
   test("exactly the geometry/k-dependent specs carry an oracle generator") {
     val gens = SparkEntry.allSpecs.filter(_.oracleGen.isDefined).map(_.name).toSet
