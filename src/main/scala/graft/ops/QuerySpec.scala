@@ -29,11 +29,15 @@ final case class QuerySpec(
 
 object QuerySpec {
 
-  /** The corpus size every static oracle string is generated at: the
-    * sf0.01 oracle fixture's 2,000 embeddings — the largest n whose
-    * scaled geometry is exactly [[Similarity.DefaultGeometry]] / k=8 /
-    * unsampled training (ContractSpec pins the shipped fixture to this
-    * regime). */
+  /** The corpus size every static oracle string is generated at:
+    * 2,000 embeddings — the largest n whose scaled geometry is exactly
+    * [[Similarity.DefaultGeometry]] / k=8 / unsampled training
+    * (n/250 = 8 = the default k; one more row and scaledK grows). The
+    * shipped sf0.1 fixture has exactly this many embeddings and the
+    * sf0.01 oracle fixture's 500 sit well inside; ContractSpec pins
+    * the oracle fixture to the regime. Above-regime parity evidence
+    * comes from the generators run against a derived 10× fixture
+    * (docs/oracle_scale_check_sf1.txt). */
   val OracleRegimeN = 2000L
 
   def sql(name: String, oracle: String)(

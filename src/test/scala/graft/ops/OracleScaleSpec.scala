@@ -14,8 +14,11 @@ import graft.{SparkEntry, SparkTestSession}
   * trainSampleThreshold), so EXACT parity holds at any SF — the
   * round-6 ADVICE flagged that frozen DefaultGeometry twins broke
   * parity for any fixture above ~2,250 embeddings. Cross-engine EXACT
-  * evidence above the regime lives in docs/oracle_scale_check (the
-  * driver-style DuckDB gate run at sf0.1, n=20k); these tests pin the
+  * evidence above the regime lives in docs/oracle_scale_check_sf1.txt
+  * (the driver-style DuckDB gate run on the derived 10× fixture,
+  * n=20,000 — the shipped sf0.1's 2,000 embeddings sit exactly AT the
+  * regime boundary, inside it, so only a derived fixture exercises
+  * the generators); these tests pin the
   * in-JVM half: which specs are conditional, that the static strings
   * are the generators at the pinned regime, that the generated SQL
   * embeds the scaled constants, and that the SAMPLED trainer is an
@@ -33,7 +36,7 @@ class OracleScaleSpec extends AnyFunSuite {
     "ss_recall_eval", "ss_knn_graph", "ss_graph_search",
     "ss_graph_recall", "ss_ivfadc_topk", "ss_cluster_profile",
     "pipe_index_manifest", "dd_semantic_neardups", "dd_semdedup",
-    "ss_imi_cells", "ss_imi_topk")
+    "ss_imi_cells", "ss_imi_topk", "ss_imi_seqscan")
 
   test("exactly the geometry/k-dependent specs carry an oracle generator") {
     val gens = SparkEntry.allSpecs.filter(_.oracleGen.isDefined).map(_.name).toSet
