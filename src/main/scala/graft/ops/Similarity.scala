@@ -631,6 +631,22 @@ object Similarity {
     * the winner's score, so profile consumers recover ‖v−c‖² = s + ‖v‖²
     * without a second pass. */
   private[ops] def assignWinnersBroadcast(v: DataFrame, vecCol: String,
+      cents: Seq[(Long, Array[Long])]): DataFrame =
+    centroidScores(v, vecCol, cents)
+      .select(col("vec_id"),
+        struct(col("s"), col("cid").as("c")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"), col("m.s").as("s"))
+
+  /** EVERY (vector, centroid) score — the broadcast fan-out of
+    * [[assignWinnersBroadcast]] without the argmin: (vec_id, cid,
+    * s = ‖c‖² − 2·v·c). The multi-sequence scan needs the full score
+    * table per QUERY vector (it orders whole cells, not just picks the
+    * winner); the fan-out is |v|·k rows, so callers keep `v` to the
+    * bounded query set unless they genuinely want the exhaustive
+    * assignment table. */
+  private[ops] def centroidScores(v: DataFrame, vecCol: String,
       cents: Seq[(Long, Array[Long])]): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
@@ -638,12 +654,8 @@ object Similarity {
       .toDF("cid", "ce", "n2c")
     v.select(col("vec_id"), col(vecCol))
       .crossJoin(broadcast(centDf))
-      .select(col("vec_id"), struct(
-        (col("n2c") - lit(2L) * expr(s"graft_dot($vecCol, ce)")).as("s"),
-        col("cid").as("c")).as("sc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("sc")).as("m"))
-      .select(col("vec_id"), col("m.c").as("cell"), col("m.s").as("s"))
+      .select(col("vec_id"), col("cid"),
+        (col("n2c") - lit(2L) * expr(s"graft_dot($vecCol, ce)")).as("s"))
   }
 
   private[ops] def assignCellsBroadcast(v: DataFrame, vecCol: String,
@@ -1147,6 +1159,14 @@ object Similarity {
   private[ops] def imiLevelK(n: Long): Int =
     math.max(2, math.ceil(math.sqrt(scaledK(n).toDouble)).toInt)
   private def imiHalf = DefaultGeometry.dims / 2
+
+  /** Multi-sequence-scan candidate budget (Babenko & Lempitsky 2012
+    * §3.2: traverse joint cells in increasing distance until the
+    * candidate list reaches T): one [[TargetOccupancy]]'s worth —
+    * the same expected candidate volume as flat IVF's single-cell
+    * probe, so the seqscan's cost sits beside ss_ivf_trained's while
+    * drawing candidates from the better-localized joint grid. */
+  private[ops] val SeqScanCandBudget = TargetOccupancy
 
   /** (vec_id, qe, n2, impart0, impart1, cell1, cell2): each half
     * assigned to its own trained codebook — both trainings and both
@@ -1757,6 +1777,113 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("cell1"), col("cell2"),
           col("qe").as("qqe"), col("n2").as("n2_q"))
       cells.join(broadcast(qq), Seq("cell1", "cell2"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- IMI multi-sequence scan (Babenko & Lempitsky 2012 §3.2):
+    // the production IMI *query* algorithm the joint-cell probe above
+    // composes with. Each query half is scored against ALL per-level
+    // centroids (2·k dots — model-sized), joint cells are visited in
+    // increasing s1+s2 order (= true ‖q−(c1,c2)‖² order, the ‖q‖² term
+    // is constant per query), and scanning stops once the cells
+    // visited so far hold ≥ SeqScanCandBudget candidates; the
+    // candidates then exact-rerank. The first visited cell is
+    // PROVABLY the query's own joint cell (min(s1+s2) decomposes to
+    // (min s1, min s2)), so the candidate set is a superset of
+    // ss_imi_topk's single-cell probe — recall can only go up, and
+    // the budget is the knob that prices the latency for it. The
+    // per-query cell table is k² rows (≤ 2¹⁶ at the per-level cap) —
+    // model-sized, windowed per qid, never corpus-joined until the
+    // kept cells select their members. ----
+    sqlN("ss_imi_seqscan")(n => {
+      val k = imiLevelK(n)
+      val thr = trainSampleThreshold(n, k)
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |${imiCellsCtesSqlFor(n)},
+         |iqn0 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
+         |         FROM p0c$KmeansRounds GROUP BY cid),
+         |iqd0 AS (SELECT v.vec_id AS qid, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
+         |         FROM sv0 v JOIN p0c$KmeansRounds c ON c.dim = v.dim
+         |         WHERE v.$QuerySetSql GROUP BY v.vec_id, c.cid),
+         |iqs0 AS (SELECT d.qid, CAST(d.cid AS BIGINT) AS cell1, s.n2c - 2 * d.dot AS s1
+         |         FROM iqd0 d JOIN iqn0 s ON s.cid = d.cid),
+         |iqn1 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
+         |         FROM p1c$KmeansRounds GROUP BY cid),
+         |iqd1 AS (SELECT v.vec_id AS qid, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
+         |         FROM sv1 v JOIN p1c$KmeansRounds c ON c.dim = v.dim
+         |         WHERE v.$QuerySetSql GROUP BY v.vec_id, c.cid),
+         |iqs1 AS (SELECT d.qid, CAST(d.cid AS BIGINT) AS cell2, s.n2c - 2 * d.dot AS s2
+         |         FROM iqd1 d JOIN iqn1 s ON s.cid = d.cid),
+         |imipop AS (SELECT cell1, cell2, COUNT(*) AS cnt
+         |           FROM imicells GROUP BY cell1, cell2),
+         |imiseq AS (
+         |  SELECT a.qid, a.cell1, b.cell2,
+         |         COALESCE(SUM(COALESCE(p.cnt, 0)) OVER (
+         |           PARTITION BY a.qid ORDER BY a.s1 + b.s2, a.cell1, b.cell2
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM iqs0 a JOIN iqs1 b ON b.qid = a.qid
+         |  LEFT JOIN imipop p ON p.cell1 = a.cell1 AND p.cell2 = b.cell2),
+         |imiscand AS (
+         |  SELECT kc.qid, c.vec_id
+         |  FROM (SELECT qid, cell1, cell2 FROM imiseq WHERE prev < $SeqScanCandBudget) kc
+         |  JOIN imicells c ON c.cell1 = kc.cell1 AND c.cell2 = kc.cell2
+         |  WHERE c.vec_id <> kc.qid),
+         |imisdots AS (
+         |  SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM imiscand cp
+         |  JOIN qv a ON a.vec_id = cp.qid
+         |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+         |  GROUP BY cp.qid, cp.vec_id),
+         |imisranked AS (
+         |  SELECT d.qid, d.vec_id, d.dot,
+         |         ROW_NUMBER() OVER (PARTITION BY d.qid
+         |           ORDER BY CAST(d.dot AS DOUBLE) /
+         |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+         |                    DESC, d.vec_id) AS rk
+         |  FROM imisdots d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id)
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+         |       vec_id AS neighbor_id, dot
+         |FROM imisranked WHERE rk <= 3 ORDER BY query_id, rk"""
+    }) { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count()
+      val n = corpusCount(v)
+      val k = imiLevelK(n)
+      val thr = trainSampleThreshold(n, k)
+      val vs = v.select(col("vec_id"), col("qe"), col("n2"),
+        expr(s"slice(qe, 1, $imiHalf)").as("impart0"),
+        expr(s"slice(qe, ${imiHalf + 1}, $imiHalf)").as("impart1"))
+      val m0 = kmeansModel(vs, "impart0", imiHalf, k, thr)
+      val m1 = kmeansModel(vs, "impart1", imiHalf, k, thr)
+      val cells = imiCells(v)
+      val qs = vs.filter(expr(QuerySetSql))
+      val s0 = centroidScores(qs, "impart0", m0)
+        .select(col("vec_id").as("qid"), col("cid").as("cell1"), col("s").as("s1"))
+      val s1 = centroidScores(qs, "impart1", m1)
+        .select(col("vec_id").as("qid"), col("cid").as("cell2"), col("s").as("s2"))
+      val pop = cells.groupBy(col("cell1"), col("cell2")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("s1") + col("s2"), col("cell1"), col("cell2"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val kept = s0.join(s1, "qid")
+        .join(pop, Seq("cell1", "cell2"), "left")
+        .withColumn("prev", coalesce(sum(coalesce(col("cnt"), lit(0L))).over(w), lit(0L)))
+        .filter(col("prev") < SeqScanCandBudget)
+        .select(col("qid"), col("cell1"), col("cell2"))
+      val qfull = qs.select(col("vec_id").as("qid"),
+        col("qe").as("qqe"), col("n2").as("n2_q"))
+      cells.join(broadcast(kept.join(qfull, "qid")), Seq("cell1", "cell2"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("dot", dot("qqe", "qe"))
         .withColumnRenamed("n2", "n2_v")

@@ -45,6 +45,45 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == unfiltered)
   }
 
+  test("IMI seqscan dominates the single-cell probe at every rank") {
+    // the multi-sequence scan's first visited cell is provably the
+    // query's own joint cell (min(s1+s2) decomposes per level), so its
+    // candidate set is a superset of ss_imi_topk's — black-box form:
+    // per query, the rank-r cosine can only be ≥ the single-probe's,
+    // and the result list can only be longer
+    def byQuery(name: String): Map[Long, Seq[(Long, Double)]] =
+      SparkEntry.queries(name)(spark, dir)
+        .join(Similarity.varr(spark, dir).select("vec_id", "n2")
+          .withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("n2", "n2_v"),
+          "neighbor_id")
+        .join(Similarity.varr(spark, dir).select("vec_id", "n2")
+          .withColumnRenamed("vec_id", "query_id").withColumnRenamed("n2", "n2_q"),
+          "query_id")
+        .select("query_id", "rk", "neighbor_id", "dot", "n2_q", "n2_v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3).toDouble / math.sqrt(r.getLong(4).toDouble * r.getLong(5).toDouble)))
+        .groupBy(_._1)
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq }
+    val single = byQuery("ss_imi_topk")
+    val seq = byQuery("ss_imi_seqscan")
+    assert(seq.nonEmpty)
+    single.foreach { case (q, srows) =>
+      val qrows = seq.getOrElse(q, Seq.empty)
+      assert(qrows.size >= srows.size,
+        s"q=$q: seqscan returned fewer rows (${qrows.size} < ${srows.size})")
+      srows.zip(qrows).zipWithIndex.foreach { case (((_, sc), (_, qc)), i) =>
+        assert(qc >= sc - 1e-12,
+          s"q=$q rank ${i + 1}: seqscan cos $qc < single-probe cos $sc")
+      }
+    }
+    // and the budget must actually widen the scan somewhere on the
+    // fixture: at least one query sees a strictly better neighbor set
+    assert(single.exists { case (q, srows) =>
+      seq.getOrElse(q, Seq.empty).map(_._1) != srows.map(_._1)
+    }, "seqscan never improved on the single-cell probe — budget too small to matter?")
+  }
+
   test("graph-search results are reachable within the beam's hop budget") {
     // independent BFS over the materialized edge list: every neighbor
     // the beam returns must lie within 3 hops of its query in the
