@@ -1211,6 +1211,134 @@ object Similarity {
        |  FROM codes0 c0 JOIN codes1 c1 ON c1.vec_id = c0.vec_id)""".stripMargin
   }
 
+  /** Joint-cell probe chain over `imicells`, ending in
+    * `imiranked(qid, vec_id, dot, rk)` — each query scans exactly its
+    * own (cell1, cell2). Shared by ss_imi_topk and ss_imi_recall. */
+  private val imiProbeCtesSql: String =
+    s"""imiq AS (SELECT vec_id AS qid, cell1, cell2 FROM imicells
+       |         WHERE $QuerySetSql),
+       |imicp AS (
+       |  SELECT q.qid, c.vec_id
+       |  FROM imiq q JOIN imicells c
+       |    ON c.cell1 = q.cell1 AND c.cell2 = q.cell2 AND c.vec_id <> q.qid),
+       |imidots AS (
+       |  SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+       |  FROM imicp cp
+       |  JOIN qv a ON a.vec_id = cp.qid
+       |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+       |  GROUP BY cp.qid, cp.vec_id),
+       |imiranked AS (
+       |  SELECT d.qid, d.vec_id, d.dot,
+       |         ROW_NUMBER() OVER (PARTITION BY d.qid
+       |           ORDER BY CAST(d.dot AS DOUBLE) /
+       |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+       |                    DESC, d.vec_id) AS rk
+       |  FROM imidots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.vec_id)""".stripMargin
+
+  /** Multi-sequence-scan chain (Babenko & Lempitsky §3.2) over
+    * `imicells` + the trained per-level centroid CTEs, ending in
+    * `imisranked(qid, vec_id, dot, rk)`: per-level query-to-centroid
+    * scores, joint cells in increasing s1+s2 order, scan until
+    * [[SeqScanCandBudget]] candidates, exact rerank. Shared by
+    * ss_imi_seqscan and ss_imi_recall. */
+  private val imiSeqscanCtesSql: String =
+    s"""iqn0 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
+       |         FROM p0c$KmeansRounds GROUP BY cid),
+       |iqd0 AS (SELECT v.vec_id AS qid, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
+       |         FROM sv0 v JOIN p0c$KmeansRounds c ON c.dim = v.dim
+       |         WHERE v.$QuerySetSql GROUP BY v.vec_id, c.cid),
+       |iqs0 AS (SELECT d.qid, CAST(d.cid AS BIGINT) AS cell1, s.n2c - 2 * d.dot AS s1
+       |         FROM iqd0 d JOIN iqn0 s ON s.cid = d.cid),
+       |iqn1 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
+       |         FROM p1c$KmeansRounds GROUP BY cid),
+       |iqd1 AS (SELECT v.vec_id AS qid, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
+       |         FROM sv1 v JOIN p1c$KmeansRounds c ON c.dim = v.dim
+       |         WHERE v.$QuerySetSql GROUP BY v.vec_id, c.cid),
+       |iqs1 AS (SELECT d.qid, CAST(d.cid AS BIGINT) AS cell2, s.n2c - 2 * d.dot AS s2
+       |         FROM iqd1 d JOIN iqn1 s ON s.cid = d.cid),
+       |imipop AS (SELECT cell1, cell2, COUNT(*) AS cnt
+       |           FROM imicells GROUP BY cell1, cell2),
+       |imiseq AS (
+       |  SELECT a.qid, a.cell1, b.cell2,
+       |         COALESCE(SUM(COALESCE(p.cnt, 0)) OVER (
+       |           PARTITION BY a.qid ORDER BY a.s1 + b.s2, a.cell1, b.cell2
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM iqs0 a JOIN iqs1 b ON b.qid = a.qid
+       |  LEFT JOIN imipop p ON p.cell1 = a.cell1 AND p.cell2 = b.cell2),
+       |imiscand AS (
+       |  SELECT kc.qid, c.vec_id
+       |  FROM (SELECT qid, cell1, cell2 FROM imiseq WHERE prev < $SeqScanCandBudget) kc
+       |  JOIN imicells c ON c.cell1 = kc.cell1 AND c.cell2 = kc.cell2
+       |  WHERE c.vec_id <> kc.qid),
+       |imisdots AS (
+       |  SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+       |  FROM imiscand cp
+       |  JOIN qv a ON a.vec_id = cp.qid
+       |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+       |  GROUP BY cp.qid, cp.vec_id),
+       |imisranked AS (
+       |  SELECT d.qid, d.vec_id, d.dot,
+       |         ROW_NUMBER() OVER (PARTITION BY d.qid
+       |           ORDER BY CAST(d.dot AS DOUBLE) /
+       |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+       |                    DESC, d.vec_id) AS rk
+       |  FROM imisdots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.vec_id)""".stripMargin
+
+  /** Spark twin of `imiranked`: each query's own-joint-cell candidates
+    * exact-reranked (all ranks — callers slice). */
+  private def imiProbeRanked(v: DataFrame): DataFrame = {
+    val cells = imiCells(v)
+    val qq = cells.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("cell1"), col("cell2"),
+        col("qe").as("qqe"), col("n2").as("n2_q"))
+    cells.join(broadcast(qq), Seq("cell1", "cell2"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot("qqe", "qe"))
+      .withColumnRenamed("n2", "n2_v")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+  }
+
+  /** Spark twin of `imisranked`: budget-bounded multi-sequence-scan
+    * candidates exact-reranked (all ranks — callers slice). */
+  private def imiSeqscanRanked(v: DataFrame): DataFrame = {
+    val n = corpusCount(v)
+    val k = imiLevelK(n)
+    val thr = trainSampleThreshold(n, k)
+    val vs = v.select(col("vec_id"), col("qe"), col("n2"),
+      expr(s"slice(qe, 1, $imiHalf)").as("impart0"),
+      expr(s"slice(qe, ${imiHalf + 1}, $imiHalf)").as("impart1"))
+    val m0 = kmeansModel(vs, "impart0", imiHalf, k, thr)
+    val m1 = kmeansModel(vs, "impart1", imiHalf, k, thr)
+    val cells = imiCells(v)
+    val qs = vs.filter(expr(QuerySetSql))
+    val s0 = centroidScores(qs, "impart0", m0)
+      .select(col("vec_id").as("qid"), col("cid").as("cell1"), col("s").as("s1"))
+    val s1 = centroidScores(qs, "impart1", m1)
+      .select(col("vec_id").as("qid"), col("cid").as("cell2"), col("s").as("s2"))
+    val pop = cells.groupBy(col("cell1"), col("cell2")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("s1") + col("s2"), col("cell1"), col("cell2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = s0.join(s1, "qid")
+      .join(pop, Seq("cell1", "cell2"), "left")
+      .withColumn("prev", coalesce(sum(coalesce(col("cnt"), lit(0L))).over(w), lit(0L)))
+      .filter(col("prev") < SeqScanCandBudget)
+      .select(col("qid"), col("cell1"), col("cell2"))
+    val qfull = qs.select(col("vec_id").as("qid"),
+      col("qe").as("qqe"), col("n2").as("n2_q"))
+    cells.join(broadcast(kept.join(qfull, "qid")), Seq("cell1", "cell2"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot("qqe", "qe"))
+      .withColumnRenamed("n2", "n2_v")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+  }
+
   /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
   private def bruteScored(v: DataFrame): DataFrame = {
     val qq = v.filter(expr(QuerySetSql))
@@ -1746,42 +1874,13 @@ object Similarity {
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
          |${imiCellsCtesSqlFor(n)},
-         |imiq AS (SELECT vec_id AS qid, cell1, cell2 FROM imicells
-         |         WHERE $QuerySetSql),
-         |imicp AS (
-         |  SELECT q.qid, c.vec_id
-         |  FROM imiq q JOIN imicells c
-         |    ON c.cell1 = q.cell1 AND c.cell2 = q.cell2 AND c.vec_id <> q.qid),
-         |imidots AS (
-         |  SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
-         |  FROM imicp cp
-         |  JOIN qv a ON a.vec_id = cp.qid
-         |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
-         |  GROUP BY cp.qid, cp.vec_id),
-         |imiranked AS (
-         |  SELECT d.qid, d.vec_id, d.dot,
-         |         ROW_NUMBER() OVER (PARTITION BY d.qid
-         |           ORDER BY CAST(d.dot AS DOUBLE) /
-         |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
-         |                    DESC, d.vec_id) AS rk
-         |  FROM imidots d
-         |  JOIN norms nq ON nq.vec_id = d.qid
-         |  JOIN norms nv ON nv.vec_id = d.vec_id)
+         |$imiProbeCtesSql
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
          |       vec_id AS neighbor_id, dot
          |FROM imiranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count()
-      val cells = imiCells(v)
-      val qq = cells.filter(expr(QuerySetSql))
-        .select(col("vec_id").as("qid"), col("cell1"), col("cell2"),
-          col("qe").as("qqe"), col("n2").as("n2_q"))
-      cells.join(broadcast(qq), Seq("cell1", "cell2"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dot", dot("qqe", "qe"))
-        .withColumnRenamed("n2", "n2_v")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+      imiProbeRanked(v)
         .filter(col("rk") <= 3)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("dot"))
@@ -1803,96 +1902,81 @@ object Similarity {
     // per-query cell table is k² rows (≤ 2¹⁶ at the per-level cap) —
     // model-sized, windowed per qid, never corpus-joined until the
     // kept cells select their members. ----
-    sqlN("ss_imi_seqscan")(n => {
-      val k = imiLevelK(n)
-      val thr = trainSampleThreshold(n, k)
+    sqlN("ss_imi_seqscan")(n =>
       s"""WITH qv AS ($qvSql),
          |norms AS ($normsSql),
          |${imiCellsCtesSqlFor(n)},
-         |iqn0 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
-         |         FROM p0c$KmeansRounds GROUP BY cid),
-         |iqd0 AS (SELECT v.vec_id AS qid, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
-         |         FROM sv0 v JOIN p0c$KmeansRounds c ON c.dim = v.dim
-         |         WHERE v.$QuerySetSql GROUP BY v.vec_id, c.cid),
-         |iqs0 AS (SELECT d.qid, CAST(d.cid AS BIGINT) AS cell1, s.n2c - 2 * d.dot AS s1
-         |         FROM iqd0 d JOIN iqn0 s ON s.cid = d.cid),
-         |iqn1 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
-         |         FROM p1c$KmeansRounds GROUP BY cid),
-         |iqd1 AS (SELECT v.vec_id AS qid, c.cid, CAST(SUM(v.qe * c.ce) AS BIGINT) AS dot
-         |         FROM sv1 v JOIN p1c$KmeansRounds c ON c.dim = v.dim
-         |         WHERE v.$QuerySetSql GROUP BY v.vec_id, c.cid),
-         |iqs1 AS (SELECT d.qid, CAST(d.cid AS BIGINT) AS cell2, s.n2c - 2 * d.dot AS s2
-         |         FROM iqd1 d JOIN iqn1 s ON s.cid = d.cid),
-         |imipop AS (SELECT cell1, cell2, COUNT(*) AS cnt
-         |           FROM imicells GROUP BY cell1, cell2),
-         |imiseq AS (
-         |  SELECT a.qid, a.cell1, b.cell2,
-         |         COALESCE(SUM(COALESCE(p.cnt, 0)) OVER (
-         |           PARTITION BY a.qid ORDER BY a.s1 + b.s2, a.cell1, b.cell2
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
-         |  FROM iqs0 a JOIN iqs1 b ON b.qid = a.qid
-         |  LEFT JOIN imipop p ON p.cell1 = a.cell1 AND p.cell2 = b.cell2),
-         |imiscand AS (
-         |  SELECT kc.qid, c.vec_id
-         |  FROM (SELECT qid, cell1, cell2 FROM imiseq WHERE prev < $SeqScanCandBudget) kc
-         |  JOIN imicells c ON c.cell1 = kc.cell1 AND c.cell2 = kc.cell2
-         |  WHERE c.vec_id <> kc.qid),
-         |imisdots AS (
-         |  SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
-         |  FROM imiscand cp
-         |  JOIN qv a ON a.vec_id = cp.qid
-         |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
-         |  GROUP BY cp.qid, cp.vec_id),
-         |imisranked AS (
-         |  SELECT d.qid, d.vec_id, d.dot,
-         |         ROW_NUMBER() OVER (PARTITION BY d.qid
-         |           ORDER BY CAST(d.dot AS DOUBLE) /
-         |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
-         |                    DESC, d.vec_id) AS rk
-         |  FROM imisdots d
-         |  JOIN norms nq ON nq.vec_id = d.qid
-         |  JOIN norms nv ON nv.vec_id = d.vec_id)
+         |$imiSeqscanCtesSql
          |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
          |       vec_id AS neighbor_id, dot
-         |FROM imisranked WHERE rk <= 3 ORDER BY query_id, rk"""
-    }) { (s, dir) =>
+         |FROM imisranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count()
-      val n = corpusCount(v)
-      val k = imiLevelK(n)
-      val thr = trainSampleThreshold(n, k)
-      val vs = v.select(col("vec_id"), col("qe"), col("n2"),
-        expr(s"slice(qe, 1, $imiHalf)").as("impart0"),
-        expr(s"slice(qe, ${imiHalf + 1}, $imiHalf)").as("impart1"))
-      val m0 = kmeansModel(vs, "impart0", imiHalf, k, thr)
-      val m1 = kmeansModel(vs, "impart1", imiHalf, k, thr)
-      val cells = imiCells(v)
-      val qs = vs.filter(expr(QuerySetSql))
-      val s0 = centroidScores(qs, "impart0", m0)
-        .select(col("vec_id").as("qid"), col("cid").as("cell1"), col("s").as("s1"))
-      val s1 = centroidScores(qs, "impart1", m1)
-        .select(col("vec_id").as("qid"), col("cid").as("cell2"), col("s").as("s2"))
-      val pop = cells.groupBy(col("cell1"), col("cell2")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("s1") + col("s2"), col("cell1"), col("cell2"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val kept = s0.join(s1, "qid")
-        .join(pop, Seq("cell1", "cell2"), "left")
-        .withColumn("prev", coalesce(sum(coalesce(col("cnt"), lit(0L))).over(w), lit(0L)))
-        .filter(col("prev") < SeqScanCandBudget)
-        .select(col("qid"), col("cell1"), col("cell2"))
-      val qfull = qs.select(col("vec_id").as("qid"),
-        col("qe").as("qqe"), col("n2").as("n2_q"))
-      cells.join(broadcast(kept.join(qfull, "qid")), Seq("cell1", "cell2"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dot", dot("qqe", "qe"))
-        .withColumnRenamed("n2", "n2_v")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+      imiSeqscanRanked(v)
         .filter(col("rk") <= 3)
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("dot"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- the recall price of both IMI probe modes, measured against
+    // brute-force cosine top-3 in one result — the row a deployment
+    // reads to decide whether the single-cell probe's 1/k² scan is
+    // enough or the budgeted seqscan's extra cells are worth it. The
+    // seqscan row can never recall LESS than the cell row (superset),
+    // so this also oracle-checks the dominance invariant at every SF
+    // the driver runs. ----
+    sqlN("ss_imi_recall")(n =>
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |${imiCellsCtesSqlFor(n)},
+         |$imiProbeCtesSql,
+         |$imiSeqscanCtesSql,
+         |gtd AS (
+         |  SELECT q.vec_id AS qid, b.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM (SELECT DISTINCT vec_id FROM qv WHERE $QuerySetSql) q
+         |  JOIN qv a ON a.vec_id = q.vec_id
+         |  JOIN qv b ON b.dim = a.dim AND b.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, b.vec_id),
+         |gtr AS (
+         |  SELECT d.qid, d.vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY d.qid
+         |           ORDER BY CAST(d.dot AS DOUBLE) /
+         |                    sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nv.n2 AS DOUBLE))
+         |                    DESC, d.vec_id) AS rk
+         |  FROM gtd d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id)
+         |SELECT 'cell' AS method,
+         |       CAST(COUNT(*) AS BIGINT) AS n_top3,
+         |       CAST(COUNT(h.vec_id) AS BIGINT) AS n_recalled
+         |FROM gtr g LEFT JOIN imiranked h
+         |  ON h.qid = g.qid AND h.vec_id = g.vec_id AND h.rk <= 3
+         |WHERE g.rk <= 3
+         |UNION ALL
+         |SELECT 'seqscan',
+         |       CAST(COUNT(*) AS BIGINT),
+         |       CAST(COUNT(h.vec_id) AS BIGINT)
+         |FROM gtr g LEFT JOIN imisranked h
+         |  ON h.qid = g.qid AND h.vec_id = g.vec_id AND h.rk <= 3
+         |WHERE g.rk <= 3
+         |ORDER BY method""") { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count()
+      val gt = bruteScored(v)
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"))
+      def recallRow(method: String, ranked: DataFrame): DataFrame = {
+        val hits = ranked.filter(col("rk") <= 3)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        gt.join(hits, Seq("qid", "vec_id"), "left_outer")
+          .agg(count(lit(1)).cast("long").as("n_top3"),
+            count(col("hit")).cast("long").as("n_recalled"))
+          .select(lit(method).as("method"), col("n_top3"), col("n_recalled"))
+      }
+      recallRow("cell", imiProbeRanked(v))
+        .unionAll(recallRow("seqscan", imiSeqscanRanked(v)))
+        .orderBy(col("method"))
     },
 
     // ---- product quantization + ADC (Jégou, Douze, Schmid 2011,

@@ -36,7 +36,7 @@ class OracleScaleSpec extends AnyFunSuite {
     "ss_recall_eval", "ss_knn_graph", "ss_graph_search",
     "ss_graph_recall", "ss_ivfadc_topk", "ss_cluster_profile",
     "pipe_index_manifest", "dd_semantic_neardups", "dd_semdedup",
-    "ss_imi_cells", "ss_imi_topk", "ss_imi_seqscan")
+    "ss_imi_cells", "ss_imi_topk", "ss_imi_seqscan", "ss_imi_recall")
 
   test("exactly the geometry/k-dependent specs carry an oracle generator") {
     val gens = SparkEntry.allSpecs.filter(_.oracleGen.isDefined).map(_.name).toSet
