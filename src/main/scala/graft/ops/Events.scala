@@ -452,17 +452,30 @@ object Events {
          |       CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1       THEN cents END) AS BIGINT) AS p50,
          |       CAST(MAX(CASE WHEN rn = (n - 1) * 9 // 10 + 1  THEN cents END) AS BIGINT) AS p90
          |FROM r GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
-      val cw = Window.partitionBy(col("event_type"))
-      val r = base(s, dir).select(col("event_type"), col("cents"),
-        row_number().over(w).as("rn"), count(lit(1)).over(cw).as("n"))
-      r.groupBy(col("event_type"))
+      // exact per-type quantiles via a value-frequency histogram, NOT
+      // a row_number window over raw events: the heavy term is a fully
+      // parallel hash aggregation on (event_type, cents) with map-side
+      // combine, and the cumulative window then runs over the DISTINCT
+      // value table — bounded by the value domain per type, not the
+      // event count. A raw-row window partitioned by the handful of
+      // event types sorts each type's entire history on ONE reducer
+      // (measured: 16 s at sf10 with 26 of 32 cores idle; the shape is
+      // fatal at 100 TB). The rank-r VALUE of a multiset is the
+      // smallest value whose cumulative frequency reaches r, so the
+      // quantile definition — and the oracle SQL — is unchanged.
+      val byType = Window.partitionBy(col("event_type"))
+      val cum = base(s, dir)
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(byType.orderBy(col("cents"))))
+        .withColumn("n", sum(col("c")).over(byType))
+      cum.groupBy(col("event_type"))
         .agg(
-          max(when(col("rn") === expr("(n - 1) div 4 + 1"), col("cents")))
+          min(when(col("cum") >= expr("(n - 1) div 4 + 1"), col("cents")))
             .cast("long").as("p25"),
-          max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("cents")))
+          min(when(col("cum") >= expr("(n - 1) div 2 + 1"), col("cents")))
             .cast("long").as("p50"),
-          max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("cents")))
+          min(when(col("cum") >= expr("(n - 1) * 9 div 10 + 1"), col("cents")))
             .cast("long").as("p90"))
         .orderBy(col("event_type"))
     },
