@@ -31,7 +31,9 @@ class ConcurrencySpec extends AnyFunSuite {
   private val names = Seq(
     "ss_ivf_trained", "ss_cells_broadcast", "ss_knn_graph", "ss_pq_adc",
     "dd_minhash_neardups", "dd_incremental_neardups", "dd_index_merge",
-    "tx_bpe_tokens", "q1_pricing_summary", "ev_sessionization", "ev_dau_wau")
+    "tx_bpe_tokens", "q1_pricing_summary", "ev_sessionization", "ev_dau_wau",
+    // the IMI family: two per-level model memos raced by two consumers
+    "ss_imi_seqscan", "ss_imi_recall")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
