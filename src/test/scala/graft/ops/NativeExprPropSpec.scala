@@ -50,6 +50,26 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
       got == expected
     }
 
+  property("graft_trigram_codes: injective, order-preserving pack of the substring model") =
+    Prop.forAll(Gen.oneOf(text, utf8Text)) { t =>
+      val got = graft.functions.TrigramCodes(Literal(t)).eval(null)
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      // the substring(text, i, 3) model over CODE POINTS
+      val cps = t.codePoints().toArray
+      val tris =
+        if (cps.length < 3) Seq.empty[String]
+        else cps.sliding(3).map(w => new String(w, 0, 3)).toSeq
+      val decode = (code: Long) => new String(Array(
+        (code >> 42).toInt, ((code >> 21) & 0x1FFFFF).toInt,
+        (code & 0x1FFFFF).toInt), 0, 3)
+      // instance-exact: each code decodes back to exactly its trigram
+      // (injectivity), and numeric code order == string trigram order
+      // (the downstream (cnt, tri) tie-break contract)
+      got.size == tris.size &&
+        got.map(decode) == tris &&
+        got.sorted.map(decode) == tris.sorted
+    }
+
   private val vec: Gen[Seq[Long]] = Gen.choose(0, 8)
     .flatMap(n => Gen.listOfN(n, Gen.choose(-1000000L, 1000000L)))
 
