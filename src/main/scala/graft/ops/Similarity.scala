@@ -1175,7 +1175,22 @@ object Similarity {
     * the oracle replay is the per-subspace chain at subDims = dims/2.
     * Assignment transport dispatches per level like every other site:
     * literal argmin at model k, broadcast table above. */
-  private[ops] def imiCells(v: DataFrame): DataFrame = {
+  /** The materialized IMI index (corpus + joint cell), memoized per
+    * fixture exactly like [[trainedCells]] — the probe, seqscan and
+    * recall consumers all read it, and without the memo each one
+    * re-derived the assignment (and re-compiled the per-level literal
+    * argmin: at k=9 the generated code is big enough that Janino
+    * compile time, not the 2·k·dims multiplies, dominated — measured
+    * as sf1 being SLOWER than sf10, whose k=29 takes the broadcast
+    * transport). */
+  private[ops] def imiCells(v: DataFrame): DataFrame = memoKeyOf(v) match {
+    case Some(key) => getOrTrain(
+      s"imicells:${sessionKeyOf(v.sparkSession)}:$key")(
+      checkpointReleasing(imiCellsUncached(v)))
+    case None => imiCellsUncached(v)
+  }
+
+  private def imiCellsUncached(v: DataFrame): DataFrame = {
     val n = corpusCount(v)
     val k = imiLevelK(n)
     val thr = trainSampleThreshold(n, k)
