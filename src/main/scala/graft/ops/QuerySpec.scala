@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would hold only at the pinned oracle regime. Verify resolves
   * `oracleGen` against the actual fixture; `oracle` is always
   * `oracleGen(OracleRegimeN)` for these specs (asserted by
-  * OracleRegimeSpec), so the static map stays correct in-regime.
+  * OracleScaleSpec), so the static map stays correct in-regime.
   */
 final case class QuerySpec(
     name: String,
@@ -30,10 +30,12 @@ final case class QuerySpec(
 object QuerySpec {
 
   /** The corpus size every static oracle string is generated at:
-    * 2,000 embeddings — the largest n whose scaled geometry is exactly
+    * 2,000 embeddings — the shipped sf0.1 fixture's exact count, well
+    * inside the regime where the scaled geometry is exactly
     * [[Similarity.DefaultGeometry]] / k=8 / unsampled training
-    * (n/250 = 8 = the default k; one more row and scaledK grows). The
-    * shipped sf0.1 fixture has exactly this many embeddings and the
+    * (scaledK uses integer division n/250, so the regime holds through
+    * n = 2,249; the first above-regime n is 2,250 — consistent with
+    * OracleScaleSpec's boundary remark, which asserts the pin). The
     * sf0.01 oracle fixture's 500 sit well inside; ContractSpec pins
     * the oracle fixture to the regime. Above-regime parity evidence
     * comes from the generators run against a derived 10× fixture

@@ -1257,7 +1257,16 @@ object Similarity {
     * `imisranked(qid, vec_id, dot, rk)`: per-level query-to-centroid
     * scores, joint cells in increasing s1+s2 order, scan until
     * [[SeqScanCandBudget]] candidates, exact rerank. Shared by
-    * ss_imi_seqscan and ss_imi_recall. */
+    * ss_imi_seqscan and ss_imi_recall.
+    *
+    * The query's OWN joint cell is kept unconditionally (`imiskept`'s
+    * OR-arm): the scan order tie-breaks equal s1+s2 on (cell1, cell2),
+    * so on an exact distance tie a foreign cell can be visited first
+    * and exhaust the budget before the own cell — which would break
+    * the "seqscan recalls at least the single-cell probe" dominance
+    * invariant SimilaritySpec asserts. With the OR-arm the superset
+    * property is structural, not an artifact of tie-break luck. Both
+    * engines apply the identical rule (see [[seqscanKeptCells]]). */
   private val imiSeqscanCtesSql: String =
     s"""iqn0 AS (SELECT cid, CAST(SUM(ce * ce) AS BIGINT) AS n2c
        |         FROM p0c$KmeansRounds GROUP BY cid),
@@ -1282,9 +1291,15 @@ object Similarity {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
        |  FROM iqs0 a JOIN iqs1 b ON b.qid = a.qid
        |  LEFT JOIN imipop p ON p.cell1 = a.cell1 AND p.cell2 = b.cell2),
+       |imiskept AS (
+       |  SELECT s.qid, s.cell1, s.cell2
+       |  FROM imiseq s
+       |  LEFT JOIN imicells o ON o.vec_id = s.qid
+       |   AND o.cell1 = s.cell1 AND o.cell2 = s.cell2
+       |  WHERE s.prev < $SeqScanCandBudget OR o.vec_id IS NOT NULL),
        |imiscand AS (
        |  SELECT kc.qid, c.vec_id
-       |  FROM (SELECT qid, cell1, cell2 FROM imiseq WHERE prev < $SeqScanCandBudget) kc
+       |  FROM imiskept kc
        |  JOIN imicells c ON c.cell1 = kc.cell1 AND c.cell2 = kc.cell2
        |  WHERE c.vec_id <> kc.qid),
        |imisdots AS (
@@ -1318,6 +1333,32 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
   }
 
+  /** The multi-sequence-scan kept-cell rule, twin of `imiskept`: a
+    * (qid, cell1, cell2) survives when the candidate mass of the cells
+    * visited STRICTLY BEFORE it (s1+s2 order, (cell1, cell2)
+    * tie-break) is under `budget`, OR when it is the query's own
+    * assigned joint cell — the unconditional own-cell arm that makes
+    * the probe-dominance invariant structural on exact s1+s2 ties
+    * (SimilaritySpec constructs such a tie). Factored out so the tie
+    * semantics are unit-testable without training a model.
+    *
+    * @param scores (qid, cell1, cell2, s1, s2) — one row per query ×
+    *               joint cell
+    * @param pop    (cell1, cell2, cnt) — occupied-cell populations
+    * @param own    (qid, cell1, cell2) — each query's assigned cell */
+  private[ops] def seqscanKeptCells(scores: DataFrame, pop: DataFrame,
+      own: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("s1") + col("s2"), col("cell1"), col("cell2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scores
+      .join(pop, Seq("cell1", "cell2"), "left")
+      .withColumn("prev", coalesce(sum(coalesce(col("cnt"), lit(0L))).over(w), lit(0L)))
+      .join(own.withColumn("is_own", lit(true)), Seq("qid", "cell1", "cell2"), "left")
+      .filter(col("prev") < budget || col("is_own").isNotNull)
+      .select(col("qid"), col("cell1"), col("cell2"))
+  }
+
   /** Spark twin of `imisranked`: budget-bounded multi-sequence-scan
     * candidates exact-reranked (all ranks — callers slice). */
   private def imiSeqscanRanked(v: DataFrame): DataFrame = {
@@ -1336,14 +1377,9 @@ object Similarity {
     val s1 = centroidScores(qs, "impart1", m1)
       .select(col("vec_id").as("qid"), col("cid").as("cell2"), col("s").as("s2"))
     val pop = cells.groupBy(col("cell1"), col("cell2")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("s1") + col("s2"), col("cell1"), col("cell2"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val kept = s0.join(s1, "qid")
-      .join(pop, Seq("cell1", "cell2"), "left")
-      .withColumn("prev", coalesce(sum(coalesce(col("cnt"), lit(0L))).over(w), lit(0L)))
-      .filter(col("prev") < SeqScanCandBudget)
-      .select(col("qid"), col("cell1"), col("cell2"))
+    val own = cells.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("cell1"), col("cell2"))
+    val kept = seqscanKeptCells(s0.join(s1, "qid"), pop, own, SeqScanCandBudget)
     val qfull = qs.select(col("vec_id").as("qid"),
       col("qe").as("qqe"), col("n2").as("n2_q"))
     cells.join(broadcast(kept.join(qfull, "qid")), Seq("cell1", "cell2"))

@@ -89,13 +89,43 @@ private[ops] object TrainMemo {
     }
   }
 
+  /** A key with its fixture content hashes blanked: publish keys embed
+    * the input's content snapshot (`<root>@<md5>`, [[snapshotOf]]), so
+    * after a fixture mutation the NEW key differs from the stale one
+    * only in the hex digests. Two keys with equal stable identity are
+    * the same artifact (kind + session + fixture roots) at different
+    * fixture contents — the newer publication supersedes the older. */
+  private def stableIdOf(key: String): String =
+    key.replaceAll("@[0-9a-f]{32}", "@*")
+
   /** Unconditional publish — the write-back half of an incremental
     * index-maintenance loop (e.g. Dedup's merged band index REPLACES
     * the stored one). The replaced value is only dereferenced, never
     * unpersisted: a concurrent query planned against the old artifact
     * keeps it alive (and its checkpointed blocks valid) until it
-    * finishes, after which GC + ContextCleaner reclaim it. */
+    * finishes, after which GC + ContextCleaner reclaim it.
+    *
+    * Publications under a STALE fixture snapshot of the same artifact
+    * (same kind+session+roots, different content hash — the normal
+    * effect of an incremental-crawl loop mutating its fixture) are
+    * retired here: they are unreachable through [[memoKeyOf]] (which
+    * always yields the live snapshot) yet were permanently exempt from
+    * cap eviction, so without this sweep a long multi-fixture session
+    * pins exactly the checkpointed blocks [[MemoMaxEntries]] exists to
+    * bound. Dereference-only, same reclamation contract as above. */
   def publish(key: String, value: AnyRef): Unit = {
+    val stable = stableIdOf(key)
+    val it = published.iterator()
+    while (it.hasNext) {
+      val pk = it.next()
+      if (pk != key && stableIdOf(pk) == stable) {
+        it.remove()
+        memo.remove(pk)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"memo publish retired stale-snapshot artifact $pk " +
+            s"(superseded by $key)")
+      }
+    }
     published.add(key)
     val prev = memo.put(key, value)
     if (prev != null && !(prev eq value))
@@ -103,6 +133,9 @@ private[ops] object TrainMemo {
         .info(s"memo publish replaced artifact under $key " +
           "(predecessor reclaimed after readers finish)")
   }
+
+  /** Test hook: current count of published keys. */
+  private[graft] def publishedCount: Int = published.size
 
   def get[T <: AnyRef](key: String): Option[T] =
     Option(memo.get(key)).map(_.asInstanceOf[T])

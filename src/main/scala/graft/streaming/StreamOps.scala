@@ -320,13 +320,16 @@ object StreamOps {
     // residual is the honest limit of no-retraction streaming, and the
     // in-order-ingest spec case is unchanged.
     val minBefore = state.getOption.getOrElse(Long.MaxValue)
+    // the verdict is literally the batch rule: "∃ STRICTLY smaller-id
+    // doc with this band key" — over state (cross-batch) and this
+    // batch's own rows. Comparing against the combined MIN (not
+    // "any non-first row is a hit") keeps an at-least-once upstream's
+    // duplicate delivery of the same (doc_id, band) row from being
+    // flagged as a near-dup of itself: equal ids are not colliders.
+    val minSeen = math.min(minBefore, sorted.head._2)
     var maxTs = Long.MinValue
-    var first = true
     val out = sorted.map { case (ts, docId, band, _) =>
-      // ascending in-batch order ⇒ any non-first row has an in-batch
-      // smaller-id collider; cross-batch the state min decides
-      val hit = minBefore < docId || !first
-      first = false
+      val hit = minSeen < docId
       if (ts.getTime > maxTs) maxTs = ts.getTime
       (docId, band, hit)
     }

@@ -84,6 +84,35 @@ class SimilaritySpec extends AnyFunSuite {
     }, "seqscan never improved on the single-cell probe — budget too small to matter?")
   }
 
+  test("seqscan keeps the query's own cell on an exact s1+s2 tie that exhausts the budget") {
+    // the ADVICE-flagged dominance hole: scan order tie-breaks equal
+    // s1+s2 on (cell1, cell2), so a TIED foreign cell with smaller ids
+    // is visited first — if it holds ≥ budget members, the own cell's
+    // prev ≥ budget and the budget filter alone would drop it,
+    // breaking "seqscan ⊇ single-cell probe". The own-cell OR-arm must
+    // keep it; a non-own cell in the same position must still drop.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val budget = 5L
+    // query 1: own cell (1,1); foreign cell (0,0) ties at s1+s2=10 and
+    // holds exactly `budget` members. query 2: same geometry but its
+    // own cell is (0,0), so for IT the (1,1) row must drop.
+    val scores = Seq(
+      (1L, 0L, 0L, 4L, 6L), (1L, 1L, 1L, 7L, 3L),
+      (2L, 0L, 0L, 4L, 6L), (2L, 1L, 1L, 7L, 3L)
+    ).toDF("qid", "cell1", "cell2", "s1", "s2")
+    val pop = Seq((0L, 0L, budget), (1L, 1L, 3L)).toDF("cell1", "cell2", "cnt")
+    val own = Seq((1L, 1L, 1L), (2L, 0L, 0L)).toDF("qid", "cell1", "cell2")
+    val kept = Similarity.seqscanKeptCells(scores, pop, own, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept.contains((1L, 0L, 0L)), "first-visited tied cell must be kept")
+    assert(kept.contains((1L, 1L, 1L)),
+      "own cell dropped on an exact s1+s2 tie — dominance invariant broken")
+    assert(kept.contains((2L, 0L, 0L)))
+    assert(!kept.contains((2L, 1L, 1L)),
+      "non-own cell past the budget must still drop")
+  }
+
   test("graph-search results are reachable within the beam's hop budget") {
     // independent BFS over the materialized edge list: every neighbor
     // the beam returns must lie within 3 hops of its query in the
@@ -221,24 +250,43 @@ class SimilaritySpec extends AnyFunSuite {
     vs.count()
     val m0 = Similarity.kmeansModel(vs, "impart0", 32, 16)
     val m1 = Similarity.kmeansModel(vs, "impart1", 32, 16)
+    // STRUCTURAL assertion — the composition's whole point, derived
+    // from the actually-trained models (Lloyd can drop empty cells, so
+    // the counts are measured, not assumed): per-vector multiply work
+    // is Σ(model cells × subspace dims). Wall-clock at this fixture
+    // size is fixed-overhead-dominated and host-noise-prone (the
+    // repo's own notes measure ~1.35× in-window spread), so timing
+    // below is informational with a generous slack + retry, never a
+    // raw tImi < tFlat assert.
+    val flatMults = flatModel.size.toLong * 64
+    val imiMults = (m0.size.toLong + m1.size.toLong) * 32
+    info(s"per-vector multiplies: flat=$flatMults imi=$imiMults " +
+      f"(${flatMults.toDouble / imiMults}%.1f× — theory 16× at full models)")
+    assert(imiMults * 8 <= flatMults,
+      s"two-level multiply work ($imiMults) not ≥8× under flat ($flatMults)")
     def timed(f: => Long): (Long, Double) = {
       val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
     }
-    // warm both paths once (codegen/JIT), then measure
+    // warm both paths once (codegen/JIT), then measure; retry because
+    // a GC pause or host-noise spike can transiently invert the 16×
+    // theoretical advantage at this small fixture size
     Similarity.assignCellsBroadcast(v, "qe", flatModel).count()
     vs.select(Similarity.assignCellOn("impart0", m0),
       Similarity.assignCellOn("impart1", m1)).count()
-    val (nFlat, tFlat) = timed(
-      Similarity.assignCellsBroadcast(v, "qe", flatModel).count())
-    val (nImi, tImi) = timed(vs.select(
-      Similarity.assignCellOn("impart0", m0).as("c1"),
-      Similarity.assignCellOn("impart1", m1).as("c2")).count())
-    assert(nFlat == 20000 && nImi == 20000)
-    info(f"flat k=256 assignment: $tFlat%.2f s; IMI 16×16: $tImi%.2f s " +
-      f"(${tFlat / tImi}%.1f× — theory 16× on multiplies, minus fixed overheads)")
-    // loose bound (timing): the two-level pass must not LOSE to flat
-    // at equal cell count — the composition's whole point
-    assert(tImi < tFlat, f"IMI $tImi%.2f s not faster than flat $tFlat%.2f s")
+    val attempts = (1 to 3).iterator.map { i =>
+      val (nFlat, tFlat) = timed(
+        Similarity.assignCellsBroadcast(v, "qe", flatModel).count())
+      val (nImi, tImi) = timed(vs.select(
+        Similarity.assignCellOn("impart0", m0).as("c1"),
+        Similarity.assignCellOn("impart1", m1).as("c2")).count())
+      assert(nFlat == 20000 && nImi == 20000)
+      info(f"attempt $i: flat k=256 assignment $tFlat%.2f s; IMI 16×16 " +
+        f"$tImi%.2f s (${tFlat / tImi}%.1f×)")
+      tImi < tFlat * 1.25
+    }
+    assert(attempts.exists(identity),
+      "IMI assignment slower than flat×1.25 on all 3 attempts — " +
+        "beyond host noise, investigate")
     // and the joint cells really use the k² space (more occupied joint
     // cells than either level alone could provide)
     val joint = vs.select(

@@ -727,6 +727,42 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("neardupCandidates does not self-flag duplicate deliveries of the same doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // at-least-once upstreams re-deliver: the same (doc_id, band) row
+    // twice in ONE micro-batch (batch 1), and again across batches
+    // (batch 2). Equal ids are not colliders — the verdict rule is
+    // "∃ STRICTLY smaller-id doc", so a doc must never be flagged as a
+    // near-dup of itself (the round-7 ADVICE hole: "any non-first
+    // sorted row is a hit" flagged the in-batch duplicate). A
+    // genuinely smaller doc arriving later must still flag re-deliveries.
+    val t = "alpha beta gamma delta epsilon zeta"
+    def d(id: Long) = Doc(id, ts(id), t, "en", "web")
+    val input = MemoryStream[Doc]
+    val q = StreamOps.neardupCandidates(input.toDF(), lateness = "1 hour",
+        horizonSeconds = 86400L)
+      .toDF("doc_id", "band", "hit")
+      .writeStream.format("memory").queryName("nd_dup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(d(10), d(10)); q.processAllAvailable() // in-batch dup
+      input.addData(d(10)); q.processAllAvailable()        // cross-batch dup
+      val afterDups = spark.table("nd_dup")
+        .as[(Long, Int, Boolean)].collect()
+      assert(afterDups.length == 12, s"3 deliveries × 4 bands, got ${afterDups.length}")
+      assert(afterDups.forall(!_._3),
+        s"duplicate delivery self-flagged: ${afterDups.filter(_._3).take(3).toSeq}")
+      // a smaller collider still flags a subsequent re-delivery
+      input.addData(d(3)); q.processAllAvailable()
+      input.addData(d(10)); q.processAllAvailable()
+      val verdicts = spark.table("nd_dup")
+        .groupBy($"doc_id").agg(org.apache.spark.sql.functions.max($"hit").as("hit"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdicts == Map(10L -> true, 3L -> false))
+    } finally q.stop()
+  }
+
   test("neardupCandidates state and horizon timeouts survive a stop/restart") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-nd-restart-")
