@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, SimHash16, TokenCounts, TrigramCodes, WordShingleArray, WordShingles}
+import graft.functions.{DotProduct, RollingHash, SimHash16, TokenCounts, TrigramCodes, WordShingleArray, WordShingles, ZOrderKey}
 
 /** Session extension installing graft's native expressions, so SQL can
   * call them by name:
@@ -50,7 +50,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => TokenCounts(args.head)),
     (FunctionIdentifier("graft_trigram_codes"),
       new ExpressionInfo(classOf[TrigramCodes].getName, "graft_trigram_codes"),
-      (args: Seq[Expression]) => TrigramCodes(args.head)))
+      (args: Seq[Expression]) => TrigramCodes(args.head)),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (args: Seq[Expression]) => ZOrderKey(args.head, args(1))))
 
   private def literalWidth(e: Expression): Int = e.eval(null) match {
     case i: Int => i

@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic md5-derived Bloom filter over strings — the
+  * constant-size transport for membership prefilters whose reference
+  * set is too large to broadcast as a hash relation (benchmark n-gram
+  * decontamination at web scale: the eval-suite n-gram set can reach
+  * 10⁹ entries ≈ tens of GB as a join side, while this bitmap is a
+  * FIXED 2 MiB whatever the set's cardinality).
+  *
+  * The hash is deliberately md5-hex-substring-shaped so the SAME
+  * positions are computable in ANY SQL engine: position i of gram g is
+  * the first 6 hex chars of `md5(i || ':' || g)` read as an integer —
+  * in SQL, `conv(substring(md5(concat(CAST(i AS STRING), ':', g)), 1,
+  * 6), 16, 10)`. The DuckDB oracle replays membership at the hex-
+  * STRING level (bijective to the bit index), so the whole prefilter —
+  * not just the final verified answer — is oracle-checkable, and a
+  * drift between this JVM kernel and the SQL build side would fail
+  * the EXACT gate (a lost true positive changes `shared_ngrams`).
+  *
+  * Standard Bloom guarantee: NO false negatives ever (BloomPropSpec's
+  * ScalaCheck property); false positives at rate ≈ (1-e^{-kn/m})^k —
+  * with k=3, m=2²⁴ and a 10⁵-gram benchmark that is ~10⁻⁷, and every
+  * positive is exact-verified downstream anyway.
+  */
+object BloomImpl {
+
+  /** 2²⁴ bits = 6 hex chars of position space = a 2 MiB long[]. */
+  val NumBits: Int = 1 << 24
+  val Words: Int = NumBits / 64
+  val NumHashes: Int = 3
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** Bit position of hash `i` for gram `g`: first 3 md5 bytes of the
+    * UTF-8 of "i:g" — exactly the integer value of the first 6 hex
+    * chars SQL's md5 prints. */
+  def position(i: Int, g: UTF8String): Int = {
+    val md = digests.get()
+    md.reset()
+    md.update(s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(g.getBytes)
+    val d = md.digest()
+    ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+  }
+
+  def setBit(bits: Array[Long], pos: Int): Unit =
+    bits(pos >>> 6) |= 1L << (pos & 63)
+
+  def testBit(bits: Array[Long], pos: Int): Boolean =
+    (bits(pos >>> 6) & (1L << (pos & 63))) != 0L
+
+  /** All-k-positions-set membership test, the probe kernel. */
+  def contains(g: UTF8String, bits: Array[Long]): Boolean = {
+    var i = 0
+    while (i < NumHashes) {
+      if (!testBit(bits, position(i, g))) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Distributed Bloom-bitmap construction: positions (BIGINT) in, one
+  * 2 MiB long[] out. The buffer is CONSTANT-size regardless of input
+  * cardinality — partial aggregation gives one bitmap per map task and
+  * a bitwise-OR merge tree, so building from 10⁹ reference grams
+  * shuffles megabytes, not the grams. */
+object BloomBitsAgg
+  extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+  override def zero: Array[Long] = new Array[Long](BloomImpl.Words)
+  override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+    BloomImpl.setBit(b, pos.toInt); b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** Native probe expression: `BloomMightContain(gram, bits)` → BOOLEAN.
+  * Carries the trained bitmap as an opaque payload (shipped to
+  * executors via `addReferenceObj`, once per task — NOT inlined into
+  * generated source), so it cannot be a registry function; construct
+  * it with [[org.apache.spark.sql.GraftShim.column]]. Runs per
+  * corpus gram ⇒ native expression inside whole-stage codegen, same
+  * hot-path policy as [[DotProduct]]. */
+final case class BloomMightContain(child: Expression, bits: Array[Long])
+  extends UnaryExpression {
+
+  require(bits.length == BloomImpl.Words,
+    s"bitmap must be ${BloomImpl.Words} words, got ${bits.length}")
+
+  override def dataType: DataType = BooleanType
+
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects a STRING gram, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BloomImpl.contains(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomImpl.contains($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

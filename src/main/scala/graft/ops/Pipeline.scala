@@ -121,5 +121,83 @@ object Pipeline {
           col("start_tok"),
           expr("CAST(start_tok div 256 AS BIGINT)").as("bin"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Z-order data-layout manifest (the Delta/Iceberg `OPTIMIZE
+    // ZORDER BY` shape): interleave the bits of two predicate columns
+    // (l_partkey × l_suppkey) into one Morton key, carve the key space
+    // into Z-PREFIX cells, and report each cell's row count and
+    // min/max RECTANGLE — the file-level statistics a writer lays down
+    // so that a later predicate on EITHER column prunes files. Cells
+    // are adaptive: coarse cells (top 8 bits of the occupied key
+    // width) holding > 4× the average (cnt·64 > total over 256 cells)
+    // split 4 bits deeper — the quadtree-style response to skew.
+    //
+    // Scale shape — the whole point vs a sort-based layout: NO global
+    // sort and NO window anywhere; the key is 10 ALU ops in codegen
+    // (graft_zorder), the layout is derived from one 1-row aggregate
+    // (occupied key width) and one ≤256-row aggregate (coarse
+    // occupancy), both broadcast back. A 1000-executor writer computes
+    // the same manifest with three map passes + two tiny shuffles,
+    // then `repartitionByRange($"cell")` to land the files; at 100 TB
+    // the sort-based alternative (NTILE over zkey) would be one
+    // all-data range sort on a single window. ----
+    sql("pipe_zorder_layout",
+      """WITH z AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+        |         CAST(list_sum(list_transform(range(0, 31), i ->
+        |           (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2*i))
+        |           + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2*i + 1))))
+        |          AS BIGINT) AS zkey
+        |  FROM lineitem),
+        |mz AS (SELECT MAX(zkey) AS maxz, COUNT(*) AS total FROM z),
+        |b AS (SELECT total,
+        |        CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
+        |          AS BIGINT) AS nbits
+        |      FROM mz),
+        |zc AS (SELECT z.x, z.y,
+        |        z.zkey >> greatest(b.nbits - 8, 0) AS c8,
+        |        z.zkey >> greatest(b.nbits - 12, 0) AS c12,
+        |        b.total
+        |       FROM z, b),
+        |cc AS (SELECT c8, COUNT(*) AS cnt FROM zc GROUP BY c8),
+        |fin AS (SELECT
+        |          CASE WHEN cc.cnt * 64 > zc.total THEN 12 ELSE 8 END AS depth,
+        |          CASE WHEN cc.cnt * 64 > zc.total THEN zc.c12 ELSE zc.c8 END AS cell,
+        |          zc.x, zc.y
+        |        FROM zc JOIN cc USING (c8))
+        |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+        |       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+        |FROM fin GROUP BY depth, cell
+        |ORDER BY depth, cell""") { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      val z = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"))
+        .withColumn("zkey", expr("graft_zorder(x, y)"))
+      // occupied key width: integer bit logic (never float log2 — an
+      // exact power of two must round the same way in both engines)
+      val b = z.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
+        .withColumn("nbits", expr(
+          "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
+        .select(col("total"), col("nbits"))
+      val zc = z.crossJoin(broadcast(b))
+        .withColumn("c8",
+          expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
+        .withColumn("c12",
+          expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
+      val cc = zc.groupBy(col("c8")).agg(count(lit(1)).as("cnt"))
+      val refine = col("cnt") * 64 > col("total")
+      zc.join(broadcast(cc), Seq("c8"))
+        .select(when(refine, 12).otherwise(8).cast("int").as("depth"),
+          when(refine, col("c12")).otherwise(col("c8")).as("cell"),
+          col("x"), col("y"))
+        .groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("depth"), col("cell"))
     })
 }

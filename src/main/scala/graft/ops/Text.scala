@@ -122,6 +122,26 @@ object Text {
         |  ELSE array()
         |END""".stripMargin)).as("g"))
 
+  /** Build the 2 MiB Bloom bitmap over a reference gram column `g` —
+    * positions computed with the SAME md5-hex formula the probe kernel
+    * and the DuckDB oracle use ([[graft.functions.BloomImpl.position]]
+    * scaladoc), aggregated distributively by
+    * [[graft.functions.BloomBitsAgg]] (constant-size partials,
+    * bitwise-OR merge). The result is model-sized (2 MiB regardless of
+    * reference-set cardinality), the same driver-side footprint class
+    * as a trained k-means model. */
+  private[ops] def bloomBitsOf(reference: DataFrame): Array[Long] = {
+    import reference.sparkSession.implicits._
+    reference
+      .select(explode(expr(
+        """transform(sequence(0, 2), i ->
+          |  CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', g)), 1, 6),
+          |            16, 10) AS BIGINT))""".stripMargin)).as("pos"))
+      .as[Long]
+      .select(graft.functions.BloomBitsAgg.toColumn)
+      .head()
+  }
+
   /** English-ish stopwords for the quality score. */
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -742,6 +762,74 @@ object Text {
         .select(col("doc_id"),
           coalesce(col("shared"), lit(0L)).cast("long").as("shared_ngrams"),
           when(col("hid").isNull, 0).otherwise(1).cast("int").as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Bloom-prefiltered decontamination — the 100 TB path for the
+    // same contamination rule as tx_decontaminate. tx_decontaminate
+    // broadcasts the benchmark n-gram SET as a hash-join side, which
+    // stops working when the eval suite reaches 10⁸-10⁹ n-grams (tens
+    // of GB per executor); here the benchmark side is folded into a
+    // CONSTANT 2 MiB Bloom bitmap ([[graft.functions.BloomBitsAgg]] —
+    // partial bitmaps OR-merged, so even a 10⁹-gram build shuffles
+    // megabytes) probed by a native codegen expression map-side, and
+    // ONLY the bloom-positive grams (contamination-sized, not
+    // corpus-sized) reach the exact verification join. No false
+    // negatives by construction (BloomPropSpec), so the verified
+    // output is IDENTICAL to the exact rule; bloom_grams vs
+    // shared_ngrams exposes the false-positive overhead the verify
+    // tail paid. The oracle replays the bloom at the hex-position
+    // level (bijective to the bit index), so the prefilter itself is
+    // oracle-gated, not just the final answer. ----
+    sql("tx_bloom_decontaminate",
+      s"""WITH $ng5CtesSql,
+        |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 0),
+        |hs AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+        |bbits AS (SELECT DISTINCT substring(md5(CAST(i AS VARCHAR) || ':' || g), 1, 6) AS pos
+        |          FROM bench CROSS JOIN hs),
+        |cand AS (
+        |  SELECT n.doc_id, n.g
+        |  FROM ng n CROSS JOIN hs
+        |  JOIN bbits b
+        |    ON b.pos = substring(md5(CAST(hs.i AS VARCHAR) || ':' || n.g), 1, 6)
+        |  WHERE n.doc_id % 10 != 0
+        |  GROUP BY n.doc_id, n.g
+        |  HAVING COUNT(*) = 3),
+        |perdoc AS (
+        |  SELECT c.doc_id, COUNT(*) AS blm,
+        |         SUM(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS shared
+        |  FROM cand c LEFT JOIN bench b USING (g) GROUP BY c.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.blm, 0) AS BIGINT) AS bloom_grams,
+        |       CAST(coalesce(p.shared, 0) AS BIGINT) AS shared_ngrams,
+        |       CAST(CASE WHEN coalesce(p.shared, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |         AS contaminated
+        |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 != 0
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.GraftShim
+      import graft.functions.BloomMightContain
+      val ng = ng5(docs(s, dir))
+      val bench = ng.filter(col("doc_id") % 10 === 0).select(col("g")).distinct()
+      val bits = bloomBitsOf(bench)
+      val probe = GraftShim.column(
+        BloomMightContain(GraftShim.expression(col("g")), bits))
+      // ONE pass over the bloom survivors computes both counters (no
+      // cached derived table — the round-7 bench-minimum lesson)
+      val perDoc = ng.filter(col("doc_id") % 10 =!= 0)
+        .filter(probe)
+        .join(broadcast(bench.withColumn("bhit", lit(1))), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("blm"),
+          lsum(coalesce(col("bhit"), lit(0))).as("shared"))
+      docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .join(perDoc.withColumnRenamed("doc_id", "pid"),
+          col("doc_id") === col("pid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("blm"), lit(0L)).cast("long").as("bloom_grams"),
+          coalesce(col("shared"), lit(0L)).cast("long").as("shared_ngrams"),
+          when(coalesce(col("shared"), lit(0L)) > 0, 1).otherwise(0)
+            .cast("int").as("contaminated"))
         .orderBy(col("doc_id"))
     },
 

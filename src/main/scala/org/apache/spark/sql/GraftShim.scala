@@ -14,6 +14,13 @@ object GraftShim {
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Column over a raw Catalyst expression — for graft's native
+    * expressions that carry a non-literal payload (e.g. a trained
+    * Bloom bitmap) and therefore cannot go through the SQL function
+    * registry. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Collision-free per-session identity (`private[sql]` upstream);
     * graft's training memos key on it instead of identityHashCode. */
   def sessionUUID(s: SparkSession): String =

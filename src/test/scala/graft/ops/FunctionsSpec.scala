@@ -111,6 +111,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("graft_zorder through SQL (codegen path) matches the kernel, nulls propagate") {
+    graft.GraftExtensions.register(spark)
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 3L),
+      ((1L << 31) - 1, (1L << 31) - 1), (123456789L, 987654321L))
+    val got = rows.toDF("x", "y").selectExpr("graft_zorder(x, y)")
+      .as[Long].collect().toSeq
+    assert(got == rows.map { case (x, y) =>
+      graft.functions.ZOrderImpl.interleave(x, y) })
+    // bit placement: x bit i → 2i (even), y bit i → 2i+1 (odd)
+    assert(graft.functions.ZOrderImpl.interleave(1L, 0L) == 1L)
+    assert(graft.functions.ZOrderImpl.interleave(0L, 1L) == 2L)
+    assert(graft.functions.ZOrderImpl.interleave((1L << 31) - 1, (1L << 31) - 1)
+      == (1L << 62) - 1)
+    val nulls = Seq((Some(1L), Option.empty[Long])).toDF("x", "y")
+      .selectExpr("graft_zorder(x, y)").collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("bloom probe expression through codegen agrees with interpreted eval") {
+    import org.apache.spark.sql.GraftShim
+    import graft.functions.{BloomImpl, BloomMightContain}
+    import spark.implicits._
+    val inserted = Seq("alpha bravo", "charlie delta", "écho ζeta")
+    val bits = new Array[Long](BloomImpl.Words)
+    inserted.foreach { g =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+      (0 until BloomImpl.NumHashes)
+        .foreach(i => BloomImpl.setBit(bits, BloomImpl.position(i, u)))
+    }
+    val probeGrams = inserted ++ Seq("not inserted", "also absent")
+    val got = probeGrams.toDF("g")
+      .withColumn("hit", GraftShim.column(
+        BloomMightContain(GraftShim.expression(col("g")), bits)))
+      .as[(String, Boolean)].collect().toMap
+    inserted.foreach(g => assert(got(g), s"false negative on '$g'"))
+    // absent strings are ALLOWED to false-positive in principle, but at
+    // 3 set grams in 2^24 bits the probability is ~1e-20 — a hit here
+    // means the probe is reading the wrong bits
+    assert(!got("not inserted") && !got("also absent"))
+  }
+
   test("graft_shingle_array propagates null text as null") {
     graft.GraftExtensions.register(spark)
     val row = spark.sql("SELECT graft_shingle_array(CAST(NULL AS STRING), 3) AS shs")

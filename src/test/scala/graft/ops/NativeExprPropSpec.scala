@@ -134,4 +134,54 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
       val other = count("[^A-Za-z0-9 ]")
       got == (alpha + digit + other, alpha, digit, other)
     }
+
+  property("graft_zorder mask ladder equals the naive per-bit interleave") =
+    Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (x, y) =>
+      // the model is the literal formula the DuckDB oracle evaluates:
+      // Σ_i ((x>>i)&1)<<2i + ((y>>i)&1)<<(2i+1) over the low 31 bits
+      val model = (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+      graft.functions.ZOrderImpl.interleave(x, y) == model
+    }
+
+  private val dim31: Gen[Long] = Gen.chooseNum(0L, (1L << 31) - 1)
+
+  property("graft_zorder prefixes are rectangles: equal 2j-bit z-prefix ⟺ equal j-bit x and y prefixes") =
+    Prop.forAll(dim31, dim31, dim31, dim31, Gen.choose(0, 31)) { (x1, y1, x2, y2, j) =>
+      // the property that makes Z-prefix cells PRUNABLE: a cell is
+      // exactly an axis-aligned rectangle, so per-cell min/max bounds
+      // both dimensions tightly
+      val zEq = (graft.functions.ZOrderImpl.interleave(x1, y1) >>> (62 - 2 * j)) ==
+        (graft.functions.ZOrderImpl.interleave(x2, y2) >>> (62 - 2 * j))
+      val xyEq = (x1 >>> (31 - j)) == (x2 >>> (31 - j)) &&
+        (y1 >>> (31 - j)) == (y2 >>> (31 - j))
+      zEq == xyEq
+    }
+
+  property("bloom membership has NO false negatives over any inserted set") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(text, utf8Text))) { grams =>
+      import graft.functions.BloomImpl
+      val bits = new Array[Long](BloomImpl.Words)
+      val u = grams.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      u.foreach { g =>
+        (0 until BloomImpl.NumHashes)
+          .foreach(i => BloomImpl.setBit(bits, BloomImpl.position(i, g)))
+      }
+      u.forall(g => BloomImpl.contains(g, bits))
+    }
+
+  property("bloom positions equal the SQL md5-hex-substring formula") =
+    Prop.forAll(Gen.oneOf(text, utf8Text), Gen.choose(0, 2)) { (g, i) =>
+      // the cross-engine contract: position i is the integer value of
+      // the first 6 hex chars of md5('i:' || g) — the exact expression
+      // the DuckDB oracle and the Spark-side bitmap build evaluate
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i:$g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val model = Integer.parseInt(hex.substring(0, 6), 16)
+      graft.functions.BloomImpl.position(i,
+        org.apache.spark.unsafe.types.UTF8String.fromString(g)) == model
+    }
 }
