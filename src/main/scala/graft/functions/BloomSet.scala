@@ -16,14 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * FIXED 2 MiB whatever the set's cardinality).
   *
   * The hash is deliberately md5-hex-substring-shaped so the SAME
-  * positions are computable in ANY SQL engine: position i of gram g is
-  * the first 6 hex chars of `md5(i || ':' || g)` read as an integer —
-  * in SQL, `conv(substring(md5(concat(CAST(i AS STRING), ':', g)), 1,
-  * 6), 16, 10)`. The DuckDB oracle replays membership at the hex-
-  * STRING level (bijective to the bit index), so the whole prefilter —
-  * not just the final verified answer — is oracle-checkable, and a
-  * drift between this JVM kernel and the SQL build side would fail
-  * the EXACT gate (a lost true positive changes `shared_ngrams`).
+  * positions are computable in ANY SQL engine: all k positions come
+  * from ONE md5 of the gram (the Kirsch-Mitzenmacher observation that
+  * k independent-enough hashes can be sliced from one strong digest —
+  * 3 × 24 = 72 of md5's 128 bits, disjoint slices): position i is hex
+  * chars [6i+1, 6i+6] of `md5(g)` read as an integer — in SQL,
+  * `conv(substring(md5(g), 6*i + 1, 6), 16, 10)`. One digest per gram
+  * instead of k (measured 1.5× on the whole query at sf1). The DuckDB
+  * oracle replays membership at the hex-STRING level (bijective to
+  * the bit index), so the whole prefilter — not just the final
+  * verified answer — is oracle-checkable, and a drift between this
+  * JVM kernel and the SQL build side would fail the EXACT gate (a
+  * lost true positive changes `shared_ngrams`).
   *
   * Standard Bloom guarantee: NO false negatives ever (BloomPropSpec's
   * ScalaCheck property); false positives at rate ≈ (1-e^{-kn/m})^k —
@@ -42,17 +46,22 @@ object BloomImpl {
       MessageDigest.getInstance("MD5")
   }
 
-  /** Bit position of hash `i` for gram `g`: first 3 md5 bytes of the
-    * UTF-8 of "i:g" — exactly the integer value of the first 6 hex
-    * chars SQL's md5 prints. */
-  def position(i: Int, g: UTF8String): Int = {
+  private def digestOf(g: UTF8String): Array[Byte] = {
     val md = digests.get()
     md.reset()
-    md.update(s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.update(g.getBytes)
-    val d = md.digest()
-    ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    md.digest()
   }
+
+  /** Position `i` from a digest: md5 bytes [3i, 3i+2] — exactly the
+    * integer value of hex chars [6i+1, 6i+6] that SQL's md5 prints. */
+  private def posFromDigest(d: Array[Byte], i: Int): Int =
+    ((d(3 * i) & 0xff) << 16) | ((d(3 * i + 1) & 0xff) << 8) | (d(3 * i + 2) & 0xff)
+
+  /** Bit position of hash `i` for gram `g` (one-digest form — see the
+    * object scaladoc for the SQL twin). */
+  def position(i: Int, g: UTF8String): Int =
+    posFromDigest(digestOf(g), i)
 
   def setBit(bits: Array[Long], pos: Int): Unit =
     bits(pos >>> 6) |= 1L << (pos & 63)
@@ -60,11 +69,13 @@ object BloomImpl {
   def testBit(bits: Array[Long], pos: Int): Boolean =
     (bits(pos >>> 6) & (1L << (pos & 63))) != 0L
 
-  /** All-k-positions-set membership test, the probe kernel. */
+  /** All-k-positions-set membership test, the probe kernel: ONE md5
+    * per gram, k slice reads. */
   def contains(g: UTF8String, bits: Array[Long]): Boolean = {
+    val d = digestOf(g)
     var i = 0
     while (i < NumHashes) {
-      if (!testBit(bits, position(i, g))) return false
+      if (!testBit(bits, posFromDigest(d, i))) return false
       i += 1
     }
     true

@@ -135,8 +135,8 @@ object Text {
     reference
       .select(explode(expr(
         """transform(sequence(0, 2), i ->
-          |  CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', g)), 1, 6),
-          |            16, 10) AS BIGINT))""".stripMargin)).as("pos"))
+          |  CAST(conv(substring(md5(g), 6 * i + 1, 6), 16, 10) AS BIGINT))"""
+          .stripMargin)).as("pos"))
       .as[Long]
       .select(graft.functions.BloomBitsAgg.toColumn)
       .head()
@@ -780,18 +780,25 @@ object Text {
     // shared_ngrams exposes the false-positive overhead the verify
     // tail paid. The oracle replays the bloom at the hex-position
     // level (bijective to the bit index), so the prefilter itself is
-    // oracle-gated, not just the final answer. ----
+    // oracle-gated, not just the final answer.
+    //
+    // Measured honestly (sf10 derived, min-of-2): 9.9 s vs
+    // tx_decontaminate's 8.4 s — at THESE benchmark sizes the set
+    // broadcast is cheap and the bloom's md5-per-gram makes it ~1.2×
+    // SLOWER, so this op is not a speedup; it is the transport that
+    // still exists when the benchmark side outgrows broadcast. The
+    // one-digest-sliced-k-ways hash (BloomImpl scaladoc) already cut
+    // the original 3-md5 probe from 11.1 s. ----
     sql("tx_bloom_decontaminate",
       s"""WITH $ng5CtesSql,
         |bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 0),
         |hs AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
-        |bbits AS (SELECT DISTINCT substring(md5(CAST(i AS VARCHAR) || ':' || g), 1, 6) AS pos
+        |bbits AS (SELECT DISTINCT substring(md5(g), 6 * i + 1, 6) AS pos
         |          FROM bench CROSS JOIN hs),
         |cand AS (
         |  SELECT n.doc_id, n.g
         |  FROM ng n CROSS JOIN hs
-        |  JOIN bbits b
-        |    ON b.pos = substring(md5(CAST(hs.i AS VARCHAR) || ':' || n.g), 1, 6)
+        |  JOIN bbits b ON b.pos = substring(md5(n.g), 6 * hs.i + 1, 6)
         |  WHERE n.doc_id % 10 != 0
         |  GROUP BY n.doc_id, n.g
         |  HAVING COUNT(*) = 3),

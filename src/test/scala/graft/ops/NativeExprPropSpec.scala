@@ -175,12 +175,13 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
   property("bloom positions equal the SQL md5-hex-substring formula") =
     Prop.forAll(Gen.oneOf(text, utf8Text), Gen.choose(0, 2)) { (g, i) =>
       // the cross-engine contract: position i is the integer value of
-      // the first 6 hex chars of md5('i:' || g) — the exact expression
-      // the DuckDB oracle and the Spark-side bitmap build evaluate
+      // hex chars [6i+1, 6i+6] of md5(g) — the exact expression the
+      // DuckDB oracle and the Spark-side bitmap build evaluate (one
+      // digest sliced k ways, Kirsch-Mitzenmacher style)
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$i:$g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
-      val model = Integer.parseInt(hex.substring(0, 6), 16)
+      val model = Integer.parseInt(hex.substring(6 * i, 6 * i + 6), 16)
       graft.functions.BloomImpl.position(i,
         org.apache.spark.unsafe.types.UTF8String.fromString(g)) == model
     }
