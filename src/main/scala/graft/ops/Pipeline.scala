@@ -24,6 +24,77 @@ import QuerySpec.sql
   */
 object Pipeline {
 
+  /** Z-order layout CTE chain ending in `zcells(depth, cell, n_rows,
+    * x_min, x_max, y_min, y_max)` — shared by pipe_zorder_layout and
+    * pipe_prune_eval so the manifest the pruning evaluator reads is
+    * BY CONSTRUCTION the manifest the layout op publishes. */
+  private val zLayoutCtesSql: String =
+    """z AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+      |         CAST(list_sum(list_transform(range(0, 31), i ->
+      |           (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2*i))
+      |           + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2*i + 1))))
+      |          AS BIGINT) AS zkey
+      |  FROM lineitem),
+      |mz AS (SELECT MAX(zkey) AS maxz, COUNT(*) AS total FROM z),
+      |b AS (SELECT total,
+      |        CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
+      |          AS BIGINT) AS nbits
+      |      FROM mz),
+      |zc AS (SELECT z.x, z.y,
+      |        z.zkey >> greatest(b.nbits - 8, 0) AS c8,
+      |        z.zkey >> greatest(b.nbits - 12, 0) AS c12,
+      |        b.total
+      |       FROM z, b),
+      |cc AS (SELECT c8, COUNT(*) AS cnt FROM zc GROUP BY c8),
+      |fin AS (SELECT
+      |          CASE WHEN cc.cnt * 64 > zc.total THEN 12 ELSE 8 END AS depth,
+      |          CASE WHEN cc.cnt * 64 > zc.total THEN zc.c12 ELSE zc.c8 END AS cell,
+      |          zc.x, zc.y
+      |        FROM zc JOIN cc USING (c8)),
+      |zcells AS (SELECT depth, cell, COUNT(*) AS n_rows,
+      |                  MIN(x) AS x_min, MAX(x) AS x_max,
+      |                  MIN(y) AS y_min, MAX(y) AS y_max
+      |           FROM fin GROUP BY depth, cell)""".stripMargin
+
+  /** Spark twin of [[zLayoutCtesSql]]: the adaptive Z-prefix cell
+    * manifest (depth, cell, n_rows, x/y min/max). See
+    * pipe_zorder_layout's comment for the scale rationale. */
+  private def zorderManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.register(s)
+    val z = zxy(s, dir)
+    // occupied key width: integer bit logic (never float log2 — an
+    // exact power of two must round the same way in both engines)
+    val b = z.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
+      .withColumn("nbits", expr(
+        "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
+      .select(col("total"), col("nbits"))
+    val zc = z.crossJoin(broadcast(b))
+      .withColumn("c8",
+        expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
+      .withColumn("c12",
+        expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
+    val cc = zc.groupBy(col("c8")).agg(count(lit(1)).as("cnt"))
+    val refine = col("cnt") * 64 > col("total")
+    zc.join(broadcast(cc), Seq("c8"))
+      .select(when(refine, 12).otherwise(8).cast("int").as("depth"),
+        when(refine, col("c12")).otherwise(col("c8")).as("cell"),
+        col("x"), col("y"))
+      .groupBy(col("depth"), col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  /** The two layout dimensions: lineitem's part and supplier keys. */
+  private def zxy(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("x"),
+        col("l_suppkey").cast("long").as("y"))
+      .withColumn("zkey", expr("graft_zorder(x, y)"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     sql("pipe_curated_corpus",
@@ -143,61 +214,122 @@ object Pipeline {
     // the sort-based alternative (NTILE over zkey) would be one
     // all-data range sort on a single window. ----
     sql("pipe_zorder_layout",
-      """WITH z AS (
-        |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
-        |         CAST(list_sum(list_transform(range(0, 31), i ->
-        |           (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2*i))
-        |           + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2*i + 1))))
-        |          AS BIGINT) AS zkey
-        |  FROM lineitem),
-        |mz AS (SELECT MAX(zkey) AS maxz, COUNT(*) AS total FROM z),
-        |b AS (SELECT total,
-        |        CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
-        |          AS BIGINT) AS nbits
-        |      FROM mz),
-        |zc AS (SELECT z.x, z.y,
-        |        z.zkey >> greatest(b.nbits - 8, 0) AS c8,
-        |        z.zkey >> greatest(b.nbits - 12, 0) AS c12,
-        |        b.total
-        |       FROM z, b),
-        |cc AS (SELECT c8, COUNT(*) AS cnt FROM zc GROUP BY c8),
-        |fin AS (SELECT
-        |          CASE WHEN cc.cnt * 64 > zc.total THEN 12 ELSE 8 END AS depth,
-        |          CASE WHEN cc.cnt * 64 > zc.total THEN zc.c12 ELSE zc.c8 END AS cell,
-        |          zc.x, zc.y
-        |        FROM zc JOIN cc USING (c8))
+      s"""WITH $zLayoutCtesSql
         |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
-        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
-        |       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
-        |FROM fin GROUP BY depth, cell
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(x_min AS BIGINT) AS x_min, CAST(x_max AS BIGINT) AS x_max,
+        |       CAST(y_min AS BIGINT) AS y_min, CAST(y_max AS BIGINT) AS y_max
+        |FROM zcells
         |ORDER BY depth, cell""") { (s, dir) =>
-      graft.GraftExtensions.register(s)
-      val z = t(s, dir, "lineitem")
-        .select(col("l_partkey").cast("long").as("x"),
-          col("l_suppkey").cast("long").as("y"))
-        .withColumn("zkey", expr("graft_zorder(x, y)"))
-      // occupied key width: integer bit logic (never float log2 — an
-      // exact power of two must round the same way in both engines)
-      val b = z.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
-        .withColumn("nbits", expr(
-          "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
-        .select(col("total"), col("nbits"))
-      val zc = z.crossJoin(broadcast(b))
-        .withColumn("c8",
-          expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
-        .withColumn("c12",
-          expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
-      val cc = zc.groupBy(col("c8")).agg(count(lit(1)).as("cnt"))
-      val refine = col("cnt") * 64 > col("total")
-      zc.join(broadcast(cc), Seq("c8"))
-        .select(when(refine, 12).otherwise(8).cast("int").as("depth"),
-          when(refine, col("c12")).otherwise(col("c8")).as("cell"),
-          col("x"), col("y"))
-        .groupBy(col("depth"), col("cell"))
+      zorderManifest(s, dir).orderBy(col("depth"), col("cell"))
+    },
+
+    // ---- pruning-benefit evaluator — the measured WHY of the Z-order
+    // layout. A deterministic workload of range predicates (4 on x, 4
+    // on y, spans derived from the data's own max) is run against the
+    // min/max statistics of two layouts: the Z-prefix cells above, and
+    // `xonly` — the cells a layout sorted/binned on x ALONE would
+    // publish (8-bit x-prefix bins: tight x bounds, y bounds spanning
+    // everything). A cell must be READ iff its min/max interval
+    // intersects the predicate — exactly the file-skipping decision a
+    // scan planner makes from footer stats. The table shows, per
+    // predicate × layout, cells_read / rows_read next to rows_match:
+    // on x-predicates both layouts prune; on y-predicates the x-only
+    // layout reads ~the whole table while Z-order still prunes — the
+    // multi-dimension clustering argument, as data, oracle-EXACT.
+    // Everything is integer arithmetic on the two manifests (hundreds
+    // of rows) plus one broadcast-predicate scan for rows_match; at
+    // 100 TB this evaluator costs one pass over FOOTER-scale stats,
+    // which is why a writer can afford to re-run it per layout
+    // decision. ----
+    sql("pipe_prune_eval",
+      s"""WITH $zLayoutCtesSql,
+        |mx AS (SELECT MAX(x) AS maxx, MAX(y) AS maxy FROM z),
+        |xb AS (SELECT maxx, maxy,
+        |         CAST(len(list_filter(range(0, 63), i -> (maxx >> i) > 0))
+        |           AS BIGINT) AS xbits
+        |       FROM mx),
+        |xcells AS (SELECT x >> greatest(xb.xbits - 8, 0) AS cell,
+        |                  COUNT(*) AS n_rows,
+        |                  MIN(x) AS x_min, MAX(x) AS x_max,
+        |                  MIN(y) AS y_min, MAX(y) AS y_max
+        |           FROM z, xb GROUP BY 1),
+        |preds AS (
+        |  SELECT 'x' AS dim, k AS pred_id,
+        |         k * maxx // 4 AS lo, k * maxx // 4 + maxx // 8 AS hi
+        |  FROM xb, UNNEST(range(0, 4)) t(k)
+        |  UNION ALL
+        |  SELECT 'y', k, k * maxy // 4, k * maxy // 4 + maxy // 8
+        |  FROM xb, UNNEST(range(0, 4)) t(k)),
+        |lay AS (
+        |  SELECT 'zorder' AS layout, n_rows, x_min, x_max, y_min, y_max
+        |  FROM zcells
+        |  UNION ALL
+        |  SELECT 'xonly', n_rows, x_min, x_max, y_min, y_max FROM xcells),
+        |reads AS (
+        |  SELECT p.dim, p.pred_id, p.lo, p.hi, l.layout,
+        |         COUNT(*) AS cells_read, SUM(l.n_rows) AS rows_read
+        |  FROM preds p JOIN lay l
+        |    ON (p.dim = 'x' AND l.x_max >= p.lo AND l.x_min <= p.hi)
+        |    OR (p.dim = 'y' AND l.y_max >= p.lo AND l.y_min <= p.hi)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |m AS (
+        |  SELECT p.dim, p.pred_id, COUNT(*) AS rows_match
+        |  FROM preds p JOIN z
+        |    ON (p.dim = 'x' AND z.x BETWEEN p.lo AND p.hi)
+        |    OR (p.dim = 'y' AND z.y BETWEEN p.lo AND p.hi)
+        |  GROUP BY 1, 2)
+        |SELECT r.dim, CAST(r.pred_id AS INT) AS pred_id,
+        |       CAST(r.lo AS BIGINT) AS lo, CAST(r.hi AS BIGINT) AS hi,
+        |       r.layout, CAST(r.cells_read AS BIGINT) AS cells_read,
+        |       CAST(r.rows_read AS BIGINT) AS rows_read,
+        |       CAST(coalesce(m.rows_match, 0) AS BIGINT) AS rows_match
+        |FROM reads r LEFT JOIN m
+        |  ON m.dim = r.dim AND m.pred_id = r.pred_id
+        |ORDER BY r.dim, r.pred_id, r.layout""") { (s, dir) =>
+      val z = zxy(s, dir)
+      val zcells = zorderManifest(s, dir)
+        .select(lit("zorder").as("layout"), col("n_rows"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      val xb = z.agg(max(col("x")).as("maxx"), max(col("y")).as("maxy"))
+        .withColumn("xbits", expr(
+          "CAST(size(filter(sequence(0, 62), i -> shiftright(maxx, i) > 0)) AS BIGINT)"))
+      val xcells = z.crossJoin(broadcast(xb))
+        .withColumn("cell",
+          expr("shiftright(x, CAST(greatest(xbits - 8, 0L) AS INT))"))
+        .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
-        .orderBy(col("depth"), col("cell"))
+        .select(lit("xonly").as("layout"), col("n_rows"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      val preds = xb.select(explode(expr("sequence(0, 3)")).as("k"),
+          col("maxx"), col("maxy"))
+        .select(explode(array(
+          struct(lit("x").as("dim"), col("k").cast("int").as("pred_id"),
+            expr("k * maxx div 4").as("lo"),
+            expr("k * maxx div 4 + maxx div 8").as("hi")),
+          struct(lit("y").as("dim"), col("k").cast("int").as("pred_id"),
+            expr("k * maxy div 4").as("lo"),
+            expr("k * maxy div 4 + maxy div 8").as("hi")))).as("p"))
+        .select(col("p.*"))
+      val lay = zcells.unionAll(xcells)
+      val intersects =
+        (col("dim") === "x" && col("x_max") >= col("lo") && col("x_min") <= col("hi")) ||
+          (col("dim") === "y" && col("y_max") >= col("lo") && col("y_min") <= col("hi"))
+      val reads = lay.join(broadcast(preds), intersects)
+        .groupBy(col("dim"), col("pred_id"), col("lo"), col("hi"), col("layout"))
+        .agg(count(lit(1)).as("cells_read"), lsum(col("n_rows")).as("rows_read"))
+      val matches = z.join(broadcast(preds),
+          (col("dim") === "x" && col("x").between(col("lo"), col("hi"))) ||
+            (col("dim") === "y" && col("y").between(col("lo"), col("hi"))))
+        .groupBy(col("dim").as("mdim"), col("pred_id").as("mpid"))
+        .agg(count(lit(1)).as("rows_match"))
+      reads.join(matches,
+          col("dim") === col("mdim") && col("pred_id") === col("mpid"), "left")
+        .select(col("dim"), col("pred_id"), col("lo"), col("hi"), col("layout"),
+          col("cells_read"), col("rows_read"),
+          coalesce(col("rows_match"), lit(0L)).as("rows_match"))
+        .orderBy(col("dim"), col("pred_id"), col("layout"))
     })
 }
