@@ -979,6 +979,43 @@ object Similarity {
     v.select(col("vec_id") +: col("qe") +: col("n2") +: (0 until PqM).map(m =>
       expr(s"slice(qe, ${m * PqSub + 1}, $PqSub)").as(s"sub$m")): _*)
 
+  /** RESIDUAL sub-vector slices: each vector minus its assigned coarse
+    * centroid (exact integers — centroids are floor-division means),
+    * sliced into the PqM subspaces. The input to residual-PQ training
+    * and coding (ss_ivfadc_residual): residuals concentrate around 0
+    * with far less variance than raw vectors, so the same M×k codebook
+    * budget quantizes them with less error — the reason FAISS defaults
+    * IndexIVFPQ to by_residual=true. One interpreted zip_with per
+    * VECTOR (the one-off encode pass, not the per-pair hot path); the
+    * centroid table is a broadcast k-row join. */
+  /** Residual-PQ codes + query LUTs, memoized per fixture — shared by
+    * ss_ivfadc_residual and ss_residual_recall. Keyed on the FIXTURE
+    * (v's file scan): the residual stream derives from the
+    * checkpointed index, whose plan carries no file relation, so
+    * memoKeyOf of the residual frame itself would be None and every
+    * run would re-train. */
+  private def residualCodesAndLuts(s: SparkSession,
+      v: DataFrame): (DataFrame, DataFrame) = memoKeyOf(v) match {
+    case Some(k) => getOrTrain(
+      s"pqcodesres:$PqM:$PqSub:${sessionKeyOf(s)}:$k")({
+      val (c, l) = pqCodesAndLutsUncached(s, residualSubs(v), "res")
+      (checkpointReleasing(c), l)
+    })
+    case None => pqCodesAndLutsUncached(s, residualSubs(v), "res")
+  }
+
+  private def residualSubs(v: DataFrame): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val centDf = scaledKmeansModel(v).map { case (cid, ce) => (cid, ce) }
+      .toDF("cell", "ce")
+    trainedCells(v)
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("rqe", expr("zip_with(qe, ce, (a, b) -> a - b)"))
+      .select(col("vec_id") +: col("cell") +: (0 until PqM).map(m =>
+        expr(s"slice(rqe, ${m * PqSub + 1}, $PqSub)").as(s"sub$m")): _*)
+  }
+
   /** Trains the PqM per-subspace codebooks on `v` (must carry the
     * [[withSubs]] slice columns), returning
     *  - the coded corpus (vec_id, code0..code{PqM-1}) — the encode is
@@ -996,8 +1033,11 @@ object Similarity {
     * key). Same math as [[kmeansModel]] per subspace — deterministic
     * init, floor-division means — so the per-subspace oracle replay
     * is unchanged; only the job count drops from 3M to 3. */
-  private def pqModels(v: DataFrame): Seq[Seq[(Long, Array[Long])]] =
-    memoized(s"pq:$PqM:$PqSub", v)(pqModelsUncached(v))
+  private def pqModels(v: DataFrame, tag: String = ""): Seq[Seq[(Long, Array[Long])]] =
+    // `tag` separates memo entries for PQ variants trained over the
+    // same fixture (raw-vector vs residual): memoKeyOf sees only the
+    // file scan, which is identical for both
+    memoized(s"pq$tag:$PqM:$PqSub", v)(pqModelsUncached(v))
 
   private def pqModelsUncached(v: DataFrame): Seq[Seq[(Long, Array[Long])]] = {
     var cents: Seq[Seq[(Long, Array[Long])]] = {
@@ -1034,22 +1074,23 @@ object Similarity {
     cents
   }
 
-  private def pqCodesAndLuts(s: SparkSession, v: DataFrame): (DataFrame, DataFrame) =
+  private def pqCodesAndLuts(s: SparkSession, v: DataFrame,
+      tag: String = ""): (DataFrame, DataFrame) =
     memoKeyOf(v) match {
       // the coded corpus IS the stored PQ index (5 longs/vector);
       // materialize once per fixture, lineage-truncated. The LUT frame
       // is query-sized literal data — no checkpoint needed.
       case Some(k) => getOrTrain(
-        s"pqcodes:$PqM:$PqSub:${sessionKeyOf(s)}:$k")({
-        val (coded, lut) = pqCodesAndLutsUncached(s, v)
+        s"pqcodes$tag:$PqM:$PqSub:${sessionKeyOf(s)}:$k")({
+        val (coded, lut) = pqCodesAndLutsUncached(s, v, tag)
         (checkpointReleasing(coded), lut)
       })
-      case None => pqCodesAndLutsUncached(s, v)
+      case None => pqCodesAndLutsUncached(s, v, tag)
     }
 
-  private def pqCodesAndLutsUncached(s: SparkSession, v: DataFrame)
-      : (DataFrame, DataFrame) = {
-    val models = pqModels(v)
+  private def pqCodesAndLutsUncached(s: SparkSession, v: DataFrame,
+      tag: String = ""): (DataFrame, DataFrame) = {
+    val models = pqModels(v, tag)
     val coded = (0 until PqM).foldLeft(v.toDF)((df, m) =>
       df.withColumn(s"code$m", assignCellOn(s"sub$m", models(m))))
       .select(col("vec_id") +: (0 until PqM).map(m => col(s"code$m")): _*)
@@ -1117,24 +1158,30 @@ object Similarity {
     * training rounds then read the hash-sampled `ksv$m`, the final
     * (coding) assignment stays over the full `sv$m`. */
   private def pqSubspaceSql(m: Int, subDims: Int, k: Int = KmeansK,
-      sampleThr: Option[String] = None): String = {
+      sampleThr: Option[String] = None, srcCte: String = "qv",
+      pfx: String = ""): String = {
+    // `srcCte`: the exploded (vec_id, dim, qe) stream the codebooks
+    // train on — `qv` for raw-vector PQ, `rv` for the residual PQ of
+    // ss_ivfadc_residual. `pfx` disambiguates CTE names when two PQ
+    // chains coexist in one oracle (ss_residual_recall); the defaults
+    // reproduce the historical names byte-for-byte.
     val lo = m * subDims
-    val src = if (sampleThr.isDefined) s"ksv$m" else s"sv$m"
+    val src = if (sampleThr.isDefined) s"${pfx}ksv$m" else s"${pfx}sv$m"
     val sampleCte = sampleThr
-      .map(t => s"ksv$m AS MATERIALIZED (SELECT * FROM sv$m WHERE ${trainSamplePredSql(t)}),\n")
+      .map(t => s"${pfx}ksv$m AS MATERIALIZED (SELECT * FROM ${pfx}sv$m WHERE ${trainSamplePredSql(t)}),\n")
       .getOrElse("")
     val iters = (0 until KmeansRounds)
-      .map(i => s"${kmeansAssignSqlFor(s"p$m", src, i)},\n${kmeansUpdateSqlFor(s"p$m", src, i)}")
+      .map(i => s"${kmeansAssignSqlFor(s"${pfx}p$m", src, i)},\n${kmeansUpdateSqlFor(s"${pfx}p$m", src, i)}")
       .mkString(",\n")
-    s"""sv$m AS (SELECT vec_id, dim - $lo AS dim, qe FROM qv
+    s"""${pfx}sv$m AS (SELECT vec_id, dim - $lo AS dim, qe FROM $srcCte
        |          WHERE dim >= $lo AND dim < ${lo + subDims}),
-       |${sampleCte}p${m}c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM sv$m WHERE vec_id < $k),
+       |$sampleCte${pfx}p${m}c0 AS (SELECT vec_id AS cid, dim, qe AS ce FROM ${pfx}sv$m WHERE vec_id < $k),
        |$iters,
-       |${kmeansAssignSqlFor(s"p$m", s"sv$m", KmeansRounds)},
-       |codes$m AS (SELECT vec_id, cid FROM p${m}a$KmeansRounds),
-       |lut$m AS (SELECT q.vec_id AS qid, c.cid,
+       |${kmeansAssignSqlFor(s"${pfx}p$m", s"${pfx}sv$m", KmeansRounds)},
+       |${pfx}codes$m AS (SELECT vec_id, cid FROM ${pfx}p${m}a$KmeansRounds),
+       |${pfx}lut$m AS (SELECT q.vec_id AS qid, c.cid,
        |                 CAST(SUM((q.qe - c.ce) * (q.qe - c.ce)) AS BIGINT) AS t
-       |          FROM sv$m q JOIN p${m}c$KmeansRounds c ON c.dim = q.dim
+       |          FROM ${pfx}sv$m q JOIN ${pfx}p${m}c$KmeansRounds c ON c.dim = q.dim
        |          WHERE q.vec_id < 10 GROUP BY q.vec_id, c.cid)""".stripMargin
   }
 
@@ -2111,6 +2158,182 @@ object Similarity {
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("cell"), col("adc"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- IVFADC with RESIDUAL encoding (FAISS IndexIVFPQ's default,
+    // by_residual=true): the PQ codebooks train on and encode each
+    // vector's residual to its assigned coarse centroid instead of the
+    // raw vector. Residuals concentrate around the origin with much
+    // smaller variance, so the same M×k code budget quantizes them
+    // with less error — measured on this fixture by ss_residual_recall.
+    // The query side needs NO extra work at nprobe=1: the query's
+    // residual w.r.t. its own (probed) cell is already in the residual
+    // stream, so the LUT build is unchanged. The oracle replays the
+    // coarse training, the exact-integer residual join (qe − ce — the
+    // floor-division centroids make residuals integers, so EXACT
+    // parity survives), the 4 residual codebooks, coding, LUTs, and
+    // the ranking verbatim. Scale shape identical to ss_ivfadc_topk:
+    // the residual join is one broadcast k-row join during the one-off
+    // encode; serving still touches 1/N_cells of the corpus at 4 bytes
+    // of codes per vector. ----
+    sqlN("ss_ivfadc_residual") { n =>
+      val pqSubs = (0 until PqM)
+        .map(m => pqSubspaceSql(m, PqSub, srcCte = "rv")).mkString(",\n")
+      val codeJoins = (0 until PqM)
+        .map(m => s"  JOIN codes$m k$m ON k$m.vec_id = cp.vec_id").mkString("\n")
+      val lutJoins = (0 until PqM)
+        .map(m => s"  JOIN lut$m l$m ON l$m.qid = cp.qid AND l$m.cid = k$m.cid")
+        .mkString("\n")
+      val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
+      s"""WITH qv AS ($qvSql),
+         |${kmeansCellsCtesSqlFor(n)},
+         |rv AS MATERIALIZED (SELECT v.vec_id, v.dim, v.qe - c.ce AS qe
+         |       FROM qv v JOIN cells ON cells.vec_id = v.vec_id
+         |       JOIN c$KmeansRounds c ON c.cid = cells.cell AND c.dim = v.dim),
+         |$pqSubs,
+         |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
+         |cp AS (SELECT q.qid, c.vec_id, c.cell FROM qq q
+         |       JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid),
+         |adcw AS (
+         |  SELECT cp.qid, cp.vec_id, cp.cell, $adcSum AS adc
+         |  FROM cp
+         |$codeJoins
+         |$lutJoins),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY adc, vec_id) AS rk FROM adcw)
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id,
+         |       cell, adc
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk"""
+    } { (s, dir) =>
+      val v = varr(s, dir).cache()
+      v.count() // shared by the coarse training + residual + encode
+      val cells = trainedCells(v).select(col("vec_id"), col("cell"))
+      val (coded, lutDf) = residualCodesAndLuts(s, v)
+      val corpus = coded.join(cells, Seq("vec_id"))
+      val qcells = cells.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("cell"))
+      corpus.join(broadcast(lutDf.join(qcells, Seq("qid"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("cell"), col("adc"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- residual-coding quality eval: recall@3 of plain-PQ ADC vs
+    // residual-PQ ADC against the EXACT integer-L2 top-3 WITHIN the
+    // probed cell — both variants share the identical coarse step and
+    // candidate set, so the delta isolates pure quantization error,
+    // the number FAISS's by_residual default is built on (the
+    // ss_nprobe_recall / ss_imi_recall pricing discipline). Truth is
+    // bounded (query set × own-cell members), all-integer, oracle
+    // exact.
+    //
+    // Measured, both oracle-gated: at sf0.01 (n=500, k=8 — loose
+    // ~62-member cells) residual RECALLS LESS (7/30 vs plain's 9/30):
+    // with a weak coarse quantizer the residuals don't concentrate,
+    // and centering costs more than it buys. At the derived 10×
+    // fixture (n=20k, k=80, sampled training — cells near the ~250
+    // target occupancy) residual wins decisively, 13/30 vs 8/30. The
+    // crossover is the honest story: by_residual pays exactly when
+    // the coarse quantizer is doing its job, i.e. in the at-scale
+    // regime this engine targets. ----
+    sqlN("ss_residual_recall") { n =>
+      val pqPlain = (0 until PqM).map(m => pqSubspaceSql(m, PqSub)).mkString(",\n")
+      val pqRes = (0 until PqM)
+        .map(m => pqSubspaceSql(m, PqSub, srcCte = "rv", pfx = "r")).mkString(",\n")
+      def adcwFor(name: String, pfx: String) = {
+        val codeJoins = (0 until PqM)
+          .map(m => s"  JOIN ${pfx}codes$m k$m ON k$m.vec_id = cp.vec_id").mkString("\n")
+        val lutJoins = (0 until PqM)
+          .map(m => s"  JOIN ${pfx}lut$m l$m ON l$m.qid = cp.qid AND l$m.cid = k$m.cid")
+          .mkString("\n")
+        val adcSum = (0 until PqM).map(m => s"l$m.t").mkString(" + ")
+        s"""$name AS (
+           |  SELECT cp.qid, cp.vec_id, $adcSum AS adc
+           |  FROM cp
+           |$codeJoins
+           |$lutJoins)""".stripMargin
+      }
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |${kmeansCellsCtesSqlFor(n)},
+         |rv AS MATERIALIZED (SELECT v.vec_id, v.dim, v.qe - c.ce AS qe
+         |       FROM qv v JOIN cells ON cells.vec_id = v.vec_id
+         |       JOIN c$KmeansRounds c ON c.cid = cells.cell AND c.dim = v.dim),
+         |$pqPlain,
+         |$pqRes,
+         |qq AS (SELECT vec_id AS qid, cell FROM cells WHERE $QuerySetSql),
+         |cp AS MATERIALIZED (SELECT q.qid, c.vec_id FROM qq q
+         |       JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.qid),
+         |${adcwFor("padcw", "")},
+         |${adcwFor("radcw", "r")},
+         |ptop AS (SELECT qid, vec_id FROM (
+         |           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY adc, vec_id) AS rk FROM padcw) t WHERE rk <= 3),
+         |rtop AS (SELECT qid, vec_id FROM (
+         |           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY adc, vec_id) AS rk FROM radcw) t WHERE rk <= 3),
+         |tdots AS (SELECT cp.qid, cp.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |          FROM cp JOIN qv a ON a.vec_id = cp.qid
+         |          JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+         |          GROUP BY cp.qid, cp.vec_id),
+         |truth AS (SELECT qid, vec_id FROM (
+         |            SELECT d.qid, d.vec_id,
+         |                   ROW_NUMBER() OVER (PARTITION BY d.qid
+         |                     ORDER BY nq.n2 - 2 * d.dot + nv.n2, d.vec_id) AS rk
+         |            FROM tdots d
+         |            JOIN norms nq ON nq.vec_id = d.qid
+         |            JOIN norms nv ON nv.vec_id = d.vec_id) t WHERE rk <= 3),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+         |SELECT u.variant,
+         |       CAST(u.recalled AS BIGINT) AS recalled,
+         |       CAST(nt.n_truth AS BIGINT) AS n_truth
+         |FROM (
+         |  SELECT 'plain' AS variant, COUNT(*) AS recalled
+         |  FROM ptop JOIN truth USING (qid, vec_id)
+         |  UNION ALL
+         |  SELECT 'residual', COUNT(*) FROM rtop JOIN truth USING (qid, vec_id)) u,
+         |nt
+         |ORDER BY u.variant"""
+    } { (s, dir) =>
+      val v = withSubs(varr(s, dir)).cache()
+      v.count() // shared by coarse training + both PQ variants + truth
+      val cells = trainedCells(v).select(col("vec_id"), col("cell"))
+      val qcells = cells.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cp = cells.join(broadcast(qcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+      val (pc, pl) = pqCodesAndLuts(s, v)
+      val (rc, rl) = residualCodesAndLuts(s, v)
+      def top3(coded: DataFrame, lut: DataFrame): DataFrame =
+        cp.join(coded, Seq("vec_id")).join(broadcast(lut), Seq("qid"))
+          .withColumn("adc", adcCol)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val qside = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+      val truth = cp.join(broadcast(qside), Seq("qid"))
+        .join(v.select(col("vec_id"), col("qe"), col("n2").as("n2_v")), Seq("vec_id"))
+        .withColumn("l2", col("n2_q") - lit(2L) * dot("qqe", "qe") + col("n2_v"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))))
+        .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      def recallRow(variant: String, top: DataFrame): DataFrame =
+        top.join(truth, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("recalled"))
+          .select(lit(variant).as("variant"), col("recalled"))
+      recallRow("plain", top3(pc, pl)).unionAll(recallRow("residual", top3(rc, rl)))
+        .crossJoin(broadcast(nt))
+        .select(col("variant"), col("recalled").cast("long").as("recalled"),
+          col("n_truth").cast("long").as("n_truth"))
+        .orderBy(col("variant"))
     },
 
     // ---- PQ quality eval: recall@3 of the ADC ranking against exact

@@ -34,7 +34,8 @@ class OracleScaleSpec extends AnyFunSuite {
     "ss_lsh_neardups", "ss_lsh_multiprobe", "ss_ivf_trained",
     "ss_ivf_nprobe", "ss_nprobe_recall", "ss_cells_broadcast",
     "ss_recall_eval", "ss_knn_graph", "ss_graph_search",
-    "ss_graph_recall", "ss_ivfadc_topk", "ss_cluster_profile",
+    "ss_graph_recall", "ss_ivfadc_topk", "ss_ivfadc_residual",
+    "ss_residual_recall", "ss_cluster_profile",
     "pipe_index_manifest", "dd_semantic_neardups", "dd_semdedup",
     "ss_imi_cells", "ss_imi_topk", "ss_imi_seqscan", "ss_imi_recall")
 
