@@ -239,15 +239,22 @@ object Dedup {
     pairs
   }
 
-  private[ops] def neardupPairs(s: SparkSession, dir: String,
-      g: LshGeometry = DefaultGeometry): DataFrame = {
-    val sh = shArr(s, dir).cache() // band side + both verify sides
+  /** The full-corpus LSH candidate set: (doc_a < doc_b) pairs sharing
+    * at least one kept band bucket — ONE definition shared by the
+    * Jaccard near-dup verify and the containment verify, so the two
+    * acceptance rules always score the identical candidate stream. */
+  private def candidatePairs(sh: DataFrame, g: LshGeometry): DataFrame = {
     val kept = keptBands(sh, g)
     val a = kept.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = kept.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    verifiedNeardupPairs(sh, cand)
+  }
+
+  private[ops] def neardupPairs(s: SparkSession, dir: String,
+      g: LshGeometry = DefaultGeometry): DataFrame = {
+    val sh = shArr(s, dir).cache() // band side + both verify sides
+    verifiedNeardupPairs(sh, candidatePairs(sh, g))
   }
 
   /** Incremental (daily-crawl) variant: only the DELTA batch's band
@@ -362,6 +369,66 @@ object Dedup {
       neardupPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- asymmetric CONTAINMENT dedup (Broder's containment
+    // coefficient C(A,B) = |A∩B| / min(|A|,|B|)): the quote/expansion
+    // duplicate class symmetric Jaccard structurally misses — a short
+    // doc wholly embedded in a much longer one has J ≈ |A|/|B| → 0
+    // while C ≈ 1. Same candidate stream as dd_minhash_neardups (ONE
+    // shared candidatePairs definition / `cand` CTE, so the two
+    // acceptance rules can never drift); only the acceptance changes:
+    // 5·|A∩B| ≥ 4·min(|A|,|B|) (C ≥ 0.8, exact integer arithmetic).
+    // `jaccard_pass` marks which survivors the symmetric rule would
+    // ALSO have accepted — rows with jaccard_pass = 0 are the pairs
+    // only this operator catches.
+    //
+    // Honest scale note: candidates still come from the symmetric
+    // MinHash index, whose collision probability tracks J, not C — a
+    // containment pair with a large size ratio collides with
+    // probability ~(|A|/|B|)^rowsPerBand per band and can be missed at
+    // the index stage even though the verify would accept it. That is
+    // the documented trade (the index is shared with the Jaccard
+    // family, zero extra state); the containment-targeted alternative
+    // at 100 TB is per-size-stratum band indexes probed with the
+    // smaller set's signature. ----
+    sql("dd_containment",
+      s"""WITH $neardupCtesSql,
+         |cont AS (
+         |  SELECT m.doc_a, m.doc_b, m.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM common m
+         |  JOIN counts ca ON ca.doc_id = m.doc_a
+         |  JOIN counts cb ON cb.doc_id = m.doc_b
+         |  WHERE 5 * m.n_common >= 4 * LEAST(ca.n_sh, cb.n_sh))
+         |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc,
+         |       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_doc,
+         |       CAST(n_common AS BIGINT) AS n_common,
+         |       CAST(LEAST(n_a, n_b) AS BIGINT) AS n_contained,
+         |       CAST(GREATEST(n_a, n_b) AS BIGINT) AS n_container,
+         |       CAST(CASE WHEN 2 * n_common >= n_a + n_b - n_common
+         |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
+         |FROM cont ORDER BY contained_doc, container_doc""") { (s, dir) =>
+      val sh = shArr(s, dir).cache()
+      val cand = candidatePairs(sh, DefaultGeometry)
+      val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n_sh").as("n_b"))
+      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("n_common",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .filter(col("n_common") * 5 >= least(col("n_a"), col("n_b")) * 4)
+        .select(
+          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+            .as("contained_doc"),
+          when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+            .as("container_doc"),
+          col("n_common"),
+          least(col("n_a"), col("n_b")).as("n_contained"),
+          greatest(col("n_a"), col("n_b")).as("n_container"),
+          when(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"), 1)
+            .otherwise(0).cast("int").as("jaccard_pass"))
+        .orderBy(col("contained_doc"), col("container_doc"))
     },
 
     // ---- duplicate-group clustering: connected components over the

@@ -31,6 +31,31 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(out.count() == 0) // no pairs -> no clustered nodes, no NPE
   }
 
+  test("dd_containment catches a quote-inclusion pair symmetric Jaccard rejects") {
+    // contained (12 words, 10 shingles) is a verbatim prefix of
+    // container (26 words): C = 10/10 = 1.0 but J = 10/24 ≈ 0.42 < 0.5.
+    // The tail words were chosen so the shared minhash structure
+    // produces a band collision (md5 is deterministic, so this fixture
+    // collides forever); Jaccard-rule dd_minhash_neardups must reject
+    // the SAME candidate that dd_containment accepts with
+    // jaccard_pass = 0 — the operator's distinctive class, as a test.
+    val contained = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val container = contained +
+      " quebec victor flint amber papa six uniform four cedar dune ember birch oscar whiskey"
+    val dir = corpusDir(Seq(contained, container,
+      "completely different words that share nothing with the others at all"))
+    val rows = SparkEntry.queries("dd_containment")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("contained_doc")) == 0L)
+    assert(r.getLong(r.fieldIndex("container_doc")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_common")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_contained")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_container")) == 24L)
+    assert(r.getInt(r.fieldIndex("jaccard_pass")) == 0)
+    assert(SparkEntry.queries("dd_minhash_neardups")(spark, dir).count() == 0)
+  }
+
   test("dd_minhash_neardups clusters verbatim duplicates") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
     val dir = corpusDir(Seq(dup, dup,
