@@ -466,6 +466,11 @@ object Similarity {
   private val PqM = 4
   private val PqSub = 16
 
+  /** ADC-shortlist size for the exact re-rank stage (ss_adc_rerank /
+    * ss_rerank_recall): 10 raw-vector reads per query — the FAISS
+    * IndexRefineFlat `k_factor` trade at k=3 (shortlist ≈ 3×k). */
+  private val RerankShortlist = 10
+
   /** Map-side nearest-centroid assignment: argmin over the k learned
     * centroids of ||v − c||², expanded to n2c − 2·dot(v, c) (the n2_v
     * term is constant per vector and drops out of the argmin). The
@@ -2108,6 +2113,65 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ---- exact re-ranking of the ADC shortlist (FAISS
+    // IndexRefineFlat / the "refine" stage of IVFADC+R, Jégou et al.
+    // 2011 §V): ADC ranks the WHOLE corpus from 4-byte codes, the top
+    // RerankShortlist=10 survivors are re-scored with the exact
+    // integer L2 (n2_q + n2_v − 2·dot — one codegen'd graft_dot per
+    // (query, survivor)), and the final top-3 is by exact distance.
+    // This is the standard accuracy/IO trade at 100 TB: the exact
+    // re-rank touches 10 raw vectors per query instead of the corpus,
+    // so the raw vectors can live in cold storage keyed by vec_id (a
+    // 10-row broadcast-hash lookup per query), while the scan-side
+    // state stays the 4-byte codes. ss_rerank_recall measures what the
+    // re-rank buys. ----
+    sql("ss_adc_rerank",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$pqAdcCtesSql,
+         |adcr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY adc, vec_id) AS adcrk FROM adcw),
+         |short AS (SELECT qid, vec_id, adc FROM adcr WHERE adcrk <= $RerankShortlist),
+         |exact AS (
+         |  SELECT s.qid, s.vec_id, s.adc,
+         |         CAST(nq.n2 + nv.n2 - 2 * d.dot AS BIGINT) AS l2
+         |  FROM short s
+         |  JOIN (SELECT s2.qid, s2.vec_id, CAST(SUM(q.qe * v.qe) AS BIGINT) AS dot
+         |        FROM short s2
+         |        JOIN qv q ON q.vec_id = s2.qid
+         |        JOIN qv v ON v.vec_id = s2.vec_id AND v.dim = q.dim
+         |        GROUP BY s2.qid, s2.vec_id) d
+         |    ON d.qid = s.qid AND d.vec_id = s.vec_id
+         |  JOIN norms nq ON nq.vec_id = s.qid
+         |  JOIN norms nv ON nv.vec_id = s.vec_id),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY l2, vec_id) AS rk FROM exact)
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk, vec_id AS neighbor_id,
+         |       l2, adc
+         |FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = withSubs(varr(s, dir)).cache()
+      v.count() // shared by 4 trainings + coding + LUTs + the re-rank reads
+      val (coded, lutDf) = pqCodesAndLuts(s, v)
+      val short = coded.join(broadcast(lutDf), col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .withColumn("adcrk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .filter(col("adcrk") <= RerankShortlist)
+        .select(col("qid"), col("vec_id"), col("adc"))
+      val qvecs = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+      short.join(broadcast(qvecs), Seq("qid"))
+        .join(v.select(col("vec_id"), col("qe"), col("n2").as("n2_v")), Seq("vec_id"))
+        .withColumn("l2",
+          (col("n2_q") + col("n2_v") - lit(2L) * dot("qqe", "qe")).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("l2"), col("adc"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- IVFADC: the production ANN composition (FAISS IndexIVFPQ
     // with by_residual=false) — the trained coarse quantizer restricts
     // the scan to the query's cell (ss_ivf_trained's cell-probe
@@ -2330,6 +2394,87 @@ object Similarity {
           .agg(count(lit(1)).as("recalled"))
           .select(lit(variant).as("variant"), col("recalled"))
       recallRow("plain", top3(pc, pl)).unionAll(recallRow("residual", top3(rc, rl)))
+        .crossJoin(broadcast(nt))
+        .select(col("variant"), col("recalled").cast("long").as("recalled"),
+          col("n_truth").cast("long").as("n_truth"))
+        .orderBy(col("variant"))
+    },
+
+    // ---- re-rank quality eval: recall@3 of the raw ADC top-3 vs the
+    // exact-re-ranked ADC top-10 shortlist, both against the full
+    // exact-L2 truth (the ss_residual_recall pricing discipline: same
+    // candidate machinery, one variable — here, whether the refine
+    // stage runs). The rerank variant can only contain the truth hits
+    // the shortlist already holds, so the delta prices EXACTLY the
+    // "ADC ordered the right neighbors wrongly inside the top-10"
+    // error class that 10 raw-vector reads per query repair. ----
+    sql("ss_rerank_recall",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |$pqAdcCtesSql,
+         |adcr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY adc, vec_id) AS adcrk FROM adcw),
+         |adctop AS (SELECT qid, vec_id FROM adcr WHERE adcrk <= 3),
+         |short AS (SELECT qid, vec_id FROM adcr WHERE adcrk <= $RerankShortlist),
+         |qq AS (SELECT vec_id AS qid, dim, qe AS qqe FROM qv WHERE $QuerySetSql),
+         |dots AS (SELECT q.qid, v.vec_id, CAST(SUM(q.qqe * v.qe) AS BIGINT) AS dot
+         |         FROM qq q JOIN qv v ON v.dim = q.dim GROUP BY q.qid, v.vec_id),
+         |l2s AS (SELECT d.qid, d.vec_id, nq.n2 - 2 * d.dot + nv.n2 AS l2
+         |        FROM dots d
+         |        JOIN norms nq ON nq.vec_id = d.qid
+         |        JOIN norms nv ON nv.vec_id = d.vec_id
+         |        WHERE d.vec_id <> d.qid),
+         |truth AS (SELECT qid, vec_id FROM (
+         |            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |              ORDER BY l2, vec_id) AS rk FROM l2s) t WHERE rk <= 3),
+         |rtop AS (SELECT qid, vec_id FROM (
+         |           SELECT s.qid, s.vec_id, l.l2,
+         |                  ROW_NUMBER() OVER (PARTITION BY s.qid
+         |                    ORDER BY l.l2, s.vec_id) AS rk
+         |           FROM short s
+         |           JOIN l2s l ON l.qid = s.qid AND l.vec_id = s.vec_id) t
+         |         WHERE rk <= 3),
+         |u AS (SELECT 'adc' AS variant, qid, vec_id FROM adctop
+         |      UNION ALL SELECT 'rerank', qid, vec_id FROM rtop),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+         |SELECT u.variant,
+         |       CAST(COUNT(t.vec_id) AS BIGINT) AS recalled,
+         |       CAST(nt.n_truth AS BIGINT) AS n_truth
+         |FROM u
+         |LEFT JOIN truth t ON t.qid = u.qid AND t.vec_id = u.vec_id, nt
+         |GROUP BY u.variant, nt.n_truth ORDER BY u.variant""") { (s, dir) =>
+      val v = withSubs(varr(s, dir)).cache()
+      v.count() // shared by training, coding, LUTs, truth and the re-rank
+      val (coded, lutDf) = pqCodesAndLuts(s, v)
+      val adcr = coded.join(broadcast(lutDf), col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcCol)
+        .withColumn("adcrk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+        .select(col("qid"), col("vec_id"), col("adcrk"))
+        .cache()
+      val adcTop = adcr.filter(col("adcrk") <= 3).select(col("qid"), col("vec_id"))
+      val short = adcr.filter(col("adcrk") <= RerankShortlist)
+        .select(col("qid"), col("vec_id"))
+      val qside = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
+      val l2Of = (cand: DataFrame) => cand.join(broadcast(qside), Seq("qid"))
+        .join(v.select(col("vec_id"), col("qe"), col("n2").as("n2_v")), Seq("vec_id"))
+        .withColumn("l2", col("n2_q") - lit(2L) * dot("qqe", "qe") + col("n2_v"))
+      val truth = v.join(broadcast(qside), col("vec_id") =!= col("qid"))
+        .withColumn("l2", col("n2_q") - lit(2L) * dot("qqe", "qe") + col("n2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))))
+        .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val rtop = l2Of(short)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("l2"), col("vec_id"))))
+        .filter(col("rk") <= 3).select(col("qid"), col("vec_id"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      def recallRow(variant: String, top: DataFrame): DataFrame =
+        top.join(truth, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("recalled"))
+          .select(lit(variant).as("variant"), col("recalled"))
+      recallRow("adc", adcTop).unionAll(recallRow("rerank", rtop))
         .crossJoin(broadcast(nt))
         .select(col("variant"), col("recalled").cast("long").as("recalled"),
           col("n_truth").cast("long").as("n_truth"))
