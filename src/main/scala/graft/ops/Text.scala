@@ -697,6 +697,95 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BM25 retrieval (Robertson & Spärck Jones / Okapi BM25,
+    // k1 = 1.2, b = 0.75) in FIXED-POINT integer arithmetic — the
+    // retrieval-based decontamination primitive: each benchmark doc
+    // (doc_id ≡ 0 mod 100) is a query whose top-8 terms (by tf, then
+    // word) retrieve the top-5 corpus docs most likely to leak it.
+    // Both BM25 factors are rationals of corpus integers, evaluated as
+    // scaled floor divisions (Lucene ships quantized norms for the
+    // same reason — exact FP-free scoring that is identical on every
+    // engine):
+    //   idf_fx = ⌊1024·(N − df + ½)/(df + ½)⌋
+    //          = (1024·(2(N−df)+1)) // (2df+1)      [log-free RSJ form]
+    //   sat_fx = ⌊1024·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))⌋ with
+    //            avgdl floored to milli-words A = (1000·ΣdL) // N, so
+    //          = (1024·220·A·tf) // (10·A·tf + 3·A + 9000·dl)
+    //   score  = Σ_terms idf_fx · sat_fx  (headroom: ≤ 3.7e18 even at
+    //            N = 10¹⁰ docs — see the Tables overflow convention).
+    // Scale shape: tf IS the inverted index (posting lists, built by
+    // one word-count aggregation); the query side (≤ N/100 × 8 terms)
+    // and its df row are broadcast; dl joins on doc_id (one equi-join
+    // of two doc-keyed sides); corpus stats are a 1-row broadcast. No
+    // per-query corpus scan — each query term touches its posting
+    // list only, exactly the inverted-index contract. ----
+    sql("tx_bm25_search",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |cw AS (SELECT * FROM w WHERE doc_id % 100 != 0),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM cw GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM cw GROUP BY doc_id),
+        |st AS (SELECT (1000 * SUM(dl)) // COUNT(*) AS a, COUNT(*) AS n FROM dl),
+        |qtf AS (SELECT doc_id AS qid, word, COUNT(*) AS qtf
+        |        FROM w WHERE doc_id % 100 = 0 GROUP BY doc_id, word),
+        |qterms AS (SELECT qid, word FROM (
+        |             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |               ORDER BY qtf DESC, word) AS trk FROM qtf) t
+        |           WHERE trk <= 8),
+        |dfq AS (SELECT t.word, COUNT(*) AS df
+        |        FROM tf t JOIN (SELECT DISTINCT word FROM qterms) q USING (word)
+        |        GROUP BY t.word),
+        |scored AS (
+        |  SELECT q.qid, t.doc_id,
+        |         ((1024 * (2 * (st.n - f.df) + 1)) // (2 * f.df + 1))
+        |         * ((1024 * 220 * st.a * t.tf)
+        |            // (10 * st.a * t.tf + 3 * st.a + 9000 * d.dl)) AS contrib
+        |  FROM qterms q
+        |  JOIN tf t USING (word)
+        |  JOIN dfq f USING (word)
+        |  JOIN dl d ON d.doc_id = t.doc_id, st),
+        |agg AS (SELECT qid, doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
+        |               CAST(COUNT(*) AS BIGINT) AS n_terms
+        |        FROM scored GROUP BY qid, doc_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |             ORDER BY score DESC, doc_id) AS rk FROM agg)
+        |SELECT qid AS query_id, CAST(rk AS INT) AS rk, doc_id, score, n_terms
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""") { (s, dir) =>
+      val w = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val cw = w.filter(col("doc_id") % 100 =!= 0)
+      val tf = cw.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .cache() // read twice: posting lists + the query-term df probe
+      val dl = cw.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = dl.agg(
+        expr("(1000 * sum(dl)) div count(*)").as("a"),
+        count(lit(1)).as("n"))
+      val qterms = w.filter(col("doc_id") % 100 === 0)
+        .groupBy(col("doc_id").as("qid"), col("word")).agg(count(lit(1)).as("qtf"))
+        .withColumn("trk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("qtf").desc, col("word"))))
+        .filter(col("trk") <= 8).select(col("qid"), col("word"))
+      val dfq = tf.join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(qterms), Seq("word"))
+        .join(broadcast(dfq), Seq("word"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .withColumn("contrib",
+          expr("((1024 * (2 * (n - df) + 1)) div (2 * df + 1))" +
+            " * ((1024 * 220 * a * tf) div (10 * a * tf + 3 * a + 9000 * dl))"))
+      scored.groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("contrib")).cast("long").as("score"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id")))
+          .cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("qid").as("query_id"), col("rk"), col("doc_id"),
+          col("score"), col("n_terms"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- TF-IDF top-3 terms per doc (bounded sample): tf and df are
     // exact integers; the tf/df score exists only as an ORDER BY key
     // (IEEE division of identical integers is bit-equal in both

@@ -27,6 +27,25 @@ class TextEdgeSpec extends AnyFunSuite {
     dir
   }
 
+  test("tx_bm25_search: rare query terms outrank common-term matches") {
+    // Query doc 100 carries the rare term "xenon" (df=1 in the corpus)
+    // and the ubiquitous "the" (df=4). The doc matching "xenon" must
+    // outrank docs matching only "the" — the IDF property that
+    // separates BM25 from raw term counting. Doc 3 repeats "the" 6×;
+    // tf saturation (k1) must keep it below the single rare-term hit.
+    val dir = corpusDir(Seq(
+      100L -> "xenon the lamp", // the query (doc_id % 100 == 0)
+      1L -> "xenon gas glows brightly inside the sealed tube",
+      2L -> "the cat sat on a mat",
+      3L -> "the the the the the the end",
+      4L -> "a dog ran to the park"))
+    val out = SparkEntry.queries("tx_bm25_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.head == ((100L, 1, 1L))) // rare-term doc ranks first
+    // every corpus doc contains "the", so all 4 score > 0
+    assert(out.length == 4)
+  }
+
   test("tx_trigram_langid: short and NULL docs yield no phantom trigrams") {
     val dir = corpusDir(Seq(
       0L -> "the cat sat on the mat near the hat and the rat",
