@@ -105,6 +105,39 @@ object BloomBitsAgg
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
 
+/** Per-cell (file-footer-sized) Bloom bitmap: 2¹² bits = 64 longs =
+  * 512 bytes per cell — the Parquet/Delta column-index bloom shape,
+  * small enough that a layout of thousands of cells ships its whole
+  * bloom manifest as broadcastable metadata (vs [[BloomImpl]]'s single
+  * 2 MiB corpus-wide bitmap). Positions are 3-hex-char (12-bit) md5
+  * slices — `conv(substr(md5(key), 3i+1, 3), 16, 10)` — so a SQL
+  * engine replays membership at the hex-string level exactly like the
+  * 2 MiB sibling. Used as a groupBy aggregator (`functions.udaf`):
+  * constant 512-byte partials per (task, cell), bitwise-OR merge. */
+object CellBloomImpl {
+  val NumBits: Int = 1 << 12
+  val Words: Int = NumBits / 64
+  val NumHashes: Int = 3
+}
+
+object CellBloomAgg
+  extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+  override def zero: Array[Long] = new Array[Long](CellBloomImpl.Words)
+  override def reduce(b: Array[Long], pos: Long): Array[Long] = {
+    BloomImpl.setBit(b, pos.toInt); b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 /** Native probe expression: `BloomMightContain(gram, bits)` → BOOLEAN.
   * Carries the trained bitmap as an opaque payload (shipped to
   * executors via `addReferenceObj`, once per task — NOT inlined into

@@ -31,6 +31,7 @@ object Pipeline {
   private val zLayoutCtesSql: String =
     """z AS (
       |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+      |         CAST(l_orderkey AS BIGINT) AS k,
       |         CAST(list_sum(list_transform(range(0, 31), i ->
       |           (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2*i))
       |           + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2*i + 1))))
@@ -41,7 +42,7 @@ object Pipeline {
       |        CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
       |          AS BIGINT) AS nbits
       |      FROM mz),
-      |zc AS (SELECT z.x, z.y,
+      |zc AS (SELECT z.x, z.y, z.k,
       |        z.zkey >> greatest(b.nbits - 8, 0) AS c8,
       |        z.zkey >> greatest(b.nbits - 12, 0) AS c12,
       |        b.total
@@ -50,17 +51,18 @@ object Pipeline {
       |fin AS (SELECT
       |          CASE WHEN cc.cnt * 64 > zc.total THEN 12 ELSE 8 END AS depth,
       |          CASE WHEN cc.cnt * 64 > zc.total THEN zc.c12 ELSE zc.c8 END AS cell,
-      |          zc.x, zc.y
+      |          zc.x, zc.y, zc.k
       |        FROM zc JOIN cc USING (c8)),
       |zcells AS (SELECT depth, cell, COUNT(*) AS n_rows,
       |                  MIN(x) AS x_min, MAX(x) AS x_max,
       |                  MIN(y) AS y_min, MAX(y) AS y_max
       |           FROM fin GROUP BY depth, cell)""".stripMargin
 
-  /** Spark twin of [[zLayoutCtesSql]]: the adaptive Z-prefix cell
-    * manifest (depth, cell, n_rows, x/y min/max). See
-    * pipe_zorder_layout's comment for the scale rationale. */
-  private def zorderManifest(s: org.apache.spark.sql.SparkSession,
+  /** Per-ROW adaptive Z-cell assignment — the Spark twin of the `fin`
+    * CTE: (depth, cell, x, y, k). Shared by the manifest aggregation
+    * and the per-cell Bloom family, so the cells the blooms index are
+    * BY CONSTRUCTION the cells the layout publishes. */
+  private def zAssigned(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     graft.GraftExtensions.register(s)
     val z = zxy(s, dir)
@@ -80,20 +82,54 @@ object Pipeline {
     zc.join(broadcast(cc), Seq("c8"))
       .select(when(refine, 12).otherwise(8).cast("int").as("depth"),
         when(refine, col("c12")).otherwise(col("c8")).as("cell"),
-        col("x"), col("y"))
+        col("x"), col("y"), col("k"))
+  }
+
+  /** Spark twin of [[zLayoutCtesSql]]: the adaptive Z-prefix cell
+    * manifest (depth, cell, n_rows, x/y min/max). See
+    * pipe_zorder_layout's comment for the scale rationale. */
+  private def zorderManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    zAssigned(s, dir)
       .groupBy(col("depth"), col("cell"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
-  }
 
-  /** The two layout dimensions: lineitem's part and supplier keys. */
+  /** The two layout dimensions (part/supplier key) plus the
+    * point-lookup column (order key) the per-cell blooms index. */
   private def zxy(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_partkey").cast("long").as("x"),
-        col("l_suppkey").cast("long").as("y"))
+        col("l_suppkey").cast("long").as("y"),
+        col("l_orderkey").cast("long").as("k"))
       .withColumn("zkey", expr("graft_zorder(x, y)"))
+
+  /** Shared bloom-position array for a BIGINT key column: three 12-bit
+    * md5-hex slices (see [[graft.functions.CellBloomImpl]]). */
+  private val keyPosSql =
+    "transform(sequence(0, 2), i -> CAST(conv(substring(md5(CAST(k AS STRING))," +
+      " 3 * i + 1, 3), 16, 10) AS BIGINT))"
+
+  /** Per-cell 512-byte Bloom bitmaps over the point-lookup key `k` —
+    * (depth, cell, bits: array<bigint>[64]). Constant-size partials
+    * per (task, cell), bitwise-OR merged: the build shuffles
+    * cells × 512 bytes, never the keys. */
+  private def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bloomU = udaf(graft.functions.CellBloomAgg)
+    rows
+      .select(col("depth"), col("cell"), explode(expr(keyPosSql)).as("pos"))
+      .groupBy(col("depth"), col("cell"))
+      .agg(bloomU(col("pos")).as("bits"))
+  }
+
+  /** DuckDB twin of the bloom membership state: the DISTINCT
+    * (depth, cell, 3-hex-slice) set — bijective to the set bits. */
+  private val kbCteSql =
+    """kb AS (SELECT DISTINCT f.depth, f.cell,
+      |         substr(md5(CAST(f.k AS VARCHAR)), 3 * CAST(t.i AS INT) + 1, 3) AS pos
+      |       FROM fin f, UNNEST(range(0, 3)) t(i))""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -242,6 +278,142 @@ object Pipeline {
     // 100 TB this evaluator costs one pass over FOOTER-scale stats,
     // which is why a writer can afford to re-run it per layout
     // decision. ----
+    // ---- per-cell Bloom manifest over the POINT-LOOKUP column
+    // (l_orderkey) — the Parquet/Delta footer-bloom shape, attached to
+    // the SAME adaptive Z-cells the layout op publishes (shared
+    // zAssigned / `fin` chain). Min/max rectangles answer range
+    // predicates on the two LAYOUT dimensions; a point lookup on a
+    // column uncorrelated with the layout gets nothing from rectangles
+    // — its selectivity lives in the 512-byte per-cell bitmaps, built
+    // here by a groupBy aggregator with constant-size partials (the
+    // build shuffles cells × 512 B regardless of corpus size). The
+    // bitmap semantics ("bit set ⟺ some row in the cell has that
+    // 12-bit md5 slice") are replayed by the oracle at the hex-string
+    // level — bits_set is COUNT(DISTINCT slice), so a drift between
+    // the JVM bitmap kernel and the SQL membership set fails EXACT.
+    // pipe_bloom_prune_eval below is the measured WHY. ----
+    sql("pipe_cell_blooms",
+      s"""WITH $zLayoutCtesSql,
+        |$kbCteSql,
+        |bl AS (SELECT depth, cell, COUNT(*) AS bits_set FROM kb
+        |       GROUP BY depth, cell),
+        |cs AS (SELECT depth, cell, COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys
+        |       FROM fin GROUP BY depth, cell)
+        |SELECT CAST(cs.depth AS INT) AS depth, CAST(cs.cell AS BIGINT) AS cell,
+        |       CAST(cs.n_rows AS BIGINT) AS n_rows,
+        |       CAST(cs.n_keys AS BIGINT) AS n_keys,
+        |       CAST(bl.bits_set AS BIGINT) AS bits_set
+        |FROM cs JOIN bl USING (depth, cell)
+        |ORDER BY depth, cell""") { (s, dir) =>
+      val rows = zAssigned(s, dir).select(col("depth"), col("cell"), col("k")).cache()
+      rows.count() // shared by the bitmap build and the cell stats
+      val blooms = cellBlooms(rows)
+        .withColumn("bits_set",
+          expr("aggregate(bits, 0L, (acc, w) -> acc + bit_count(w))"))
+        .select(col("depth"), col("cell"), col("bits_set"))
+      rows.groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"))
+        .join(blooms, Seq("depth", "cell"))
+        .select(col("depth").cast("int"), col("cell"), col("n_rows"),
+          col("n_keys"), col("bits_set"))
+        .orderBy(col("depth"), col("cell"))
+    },
+
+    // ---- point-lookup pruning evaluator — the measured WHY of the
+    // per-cell blooms, as an oracle-EXACT table (the pipe_prune_eval
+    // discipline). 8 deterministic probe keys (j·maxk // 7, j = 0..7:
+    // a mix of present and absent orderkeys) are answered from three
+    // strategies: `minmax` (read every cell whose [k_min, k_max]
+    // covers the key — what footer min/max alone gives: near-useless,
+    // since l_orderkey is uncorrelated with the Z-layout dims, every
+    // cell's range covers almost every key), `bloom` (read
+    // bloom-positive cells — the Spark side probes the REAL 512-byte
+    // bitmaps with three bit tests; the oracle replays the same
+    // decision from the distinct-slice set), and `true` (cells that
+    // actually hold the key — the floor). bloom ≈ true ≪ minmax is
+    // the claim, as data; absent keys show bloom pruning to ~0 cells
+    // where minmax still reads the world. ----
+    sql("pipe_bloom_prune_eval",
+      s"""WITH $zLayoutCtesSql,
+        |$kbCteSql,
+        |cs AS (SELECT depth, cell, COUNT(*) AS n_rows,
+        |              MIN(k) AS k_min, MAX(k) AS k_max
+        |       FROM fin GROUP BY depth, cell),
+        |mk AS (SELECT MAX(k) AS maxk FROM z),
+        |probes AS (SELECT CAST(t.j AS INT) AS probe_id, (t.j * mk.maxk) // 7 AS key
+        |           FROM mk, UNNEST(range(0, 8)) t(j)),
+        |ppos AS (SELECT p.probe_id, CAST(t.i AS INT) AS i,
+        |           substr(md5(CAST(p.key AS VARCHAR)), 3 * CAST(t.i AS INT) + 1, 3) AS pos
+        |         FROM probes p, UNNEST(range(0, 3)) t(i)),
+        |bloomhit AS (SELECT pp.probe_id, kb.depth, kb.cell
+        |             FROM ppos pp JOIN kb ON kb.pos = pp.pos
+        |             GROUP BY pp.probe_id, kb.depth, kb.cell
+        |             HAVING COUNT(DISTINCT pp.i) = 3),
+        |truehit AS (SELECT p.probe_id, f.depth, f.cell
+        |            FROM probes p JOIN fin f ON f.k = p.key
+        |            GROUP BY p.probe_id, f.depth, f.cell),
+        |r AS (
+        |  SELECT p.probe_id, 'minmax' AS strategy, cs.n_rows
+        |  FROM probes p JOIN cs ON p.key BETWEEN cs.k_min AND cs.k_max
+        |  UNION ALL
+        |  SELECT b.probe_id, 'bloom', cs.n_rows
+        |  FROM bloomhit b JOIN cs USING (depth, cell)
+        |  UNION ALL
+        |  SELECT tr.probe_id, 'true', cs.n_rows
+        |  FROM truehit tr JOIN cs USING (depth, cell)),
+        |grid AS (SELECT p.probe_id, p.key, s.strategy
+        |         FROM probes p, (VALUES ('minmax'), ('bloom'), ('true')) s(strategy)),
+        |agg AS (SELECT probe_id, strategy, COUNT(*) AS cells_read,
+        |               SUM(n_rows) AS rows_read
+        |        FROM r GROUP BY probe_id, strategy)
+        |SELECT g.probe_id, CAST(g.key AS BIGINT) AS key, g.strategy,
+        |       CAST(coalesce(a.cells_read, 0) AS BIGINT) AS cells_read,
+        |       CAST(coalesce(a.rows_read, 0) AS BIGINT) AS rows_read
+        |FROM grid g LEFT JOIN agg a
+        |  ON a.probe_id = g.probe_id AND a.strategy = g.strategy
+        |ORDER BY g.probe_id, g.strategy""") { (s, dir) =>
+      val rows = zAssigned(s, dir).select(col("depth"), col("cell"), col("k")).cache()
+      rows.count() // shared by blooms, stats, probes and the truth scan
+      val blooms = cellBlooms(rows)
+      val cs = rows.groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      val probes = rows.agg(max(col("k")).as("maxk"))
+        .select(explode(sequence(lit(0), lit(7))).as("j"), col("maxk"))
+        .select(col("j").cast("int").as("probe_id"),
+          expr("(j * maxk) div 7").as("key"))
+        .withColumn("ps", expr(
+          "transform(sequence(0, 2), i -> CAST(conv(substring(md5(CAST(key AS STRING))," +
+            " 3 * i + 1, 3), 16, 10) AS BIGINT))"))
+      // the REAL artifact probe: three bit tests against the 512-byte
+      // per-cell bitmap — semantics identical to the oracle's
+      // distinct-slice membership by the bijectivity of slice ↔ bit
+      val bloomhit = blooms.crossJoin(broadcast(probes))
+        .filter(expr("forall(ps, p -> (shiftright(element_at(bits," +
+          " CAST(p div 64 AS INT) + 1), CAST(p % 64 AS INT)) & 1) = 1)"))
+        .select(col("probe_id"), col("depth"), col("cell"))
+      val truehit = rows.join(broadcast(probes), col("k") === col("key"))
+        .select(col("probe_id"), col("depth"), col("cell")).distinct()
+      val minmax = cs.join(broadcast(probes),
+        col("key").between(col("k_min"), col("k_max")))
+      val nrows = cs.select(col("depth"), col("cell"), col("n_rows"))
+      val r = minmax.select(col("probe_id"), lit("minmax").as("strategy"), col("n_rows"))
+        .unionAll(bloomhit.join(nrows, Seq("depth", "cell"))
+          .select(col("probe_id"), lit("bloom").as("strategy"), col("n_rows")))
+        .unionAll(truehit.join(nrows, Seq("depth", "cell"))
+          .select(col("probe_id"), lit("true").as("strategy"), col("n_rows")))
+      val grid = probes.select(col("probe_id"), col("key"),
+        explode(array(lit("minmax"), lit("bloom"), lit("true"))).as("strategy"))
+      val agg = r.groupBy(col("probe_id"), col("strategy"))
+        .agg(count(lit(1)).as("cells_read"), lsum(col("n_rows")).as("rows_read"))
+      grid.join(agg, Seq("probe_id", "strategy"), "left")
+        .select(col("probe_id"), col("key"), col("strategy"),
+          coalesce(col("cells_read"), lit(0L)).cast("long").as("cells_read"),
+          coalesce(col("rows_read"), lit(0L)).as("rows_read"))
+        .orderBy(col("probe_id"), col("strategy"))
+    },
+
     sql("pipe_prune_eval",
       s"""WITH $zLayoutCtesSql,
         |mx AS (SELECT MAX(x) AS maxx, MAX(y) AS maxy FROM z),

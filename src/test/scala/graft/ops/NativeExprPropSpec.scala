@@ -172,6 +172,31 @@ object NativeExprPropSpec extends Properties("NativeExprs") {
       u.forall(g => BloomImpl.contains(g, bits))
     }
 
+  property("cell bloom (512 B) has NO false negatives and merge == sequential insert") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(0L, Long.MaxValue)),
+      Gen.listOf(Gen.chooseNum(0L, Long.MaxValue))) { (ka, kb) =>
+      import graft.functions.{BloomImpl, CellBloomAgg, CellBloomImpl}
+      // positions: the SQL twin formula — 3-hex-char slices of
+      // md5(CAST(key AS STRING)), the 12-bit analog of BloomImpl
+      def positions(k: Long): Seq[Int] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        (0 until CellBloomImpl.NumHashes)
+          .map(i => Integer.parseInt(hex.substring(3 * i, 3 * i + 3), 16))
+      }
+      // two map-task partials OR-merged must equal one sequential build
+      val pa = ka.flatMap(positions).foldLeft(CellBloomAgg.zero)((b, p) =>
+        CellBloomAgg.reduce(b, p.toLong))
+      val pb = kb.flatMap(positions).foldLeft(CellBloomAgg.zero)((b, p) =>
+        CellBloomAgg.reduce(b, p.toLong))
+      val merged = CellBloomAgg.merge(pa.clone(), pb)
+      val seq = (ka ++ kb).flatMap(positions).foldLeft(CellBloomAgg.zero)((b, p) =>
+        CellBloomAgg.reduce(b, p.toLong))
+      java.util.Arrays.equals(merged, seq) &&
+        (ka ++ kb).forall(k => positions(k).forall(p => BloomImpl.testBit(seq, p)))
+    }
+
   property("bloom positions equal the SQL md5-hex-substring formula") =
     Prop.forAll(Gen.oneOf(text, utf8Text), Gen.choose(0, 2)) { (g, i) =>
       // the cross-engine contract: position i is the integer value of
