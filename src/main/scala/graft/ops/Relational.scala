@@ -683,6 +683,79 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- SCD2 MERGE (the Delta/Iceberg `MERGE INTO` + slowly-
+    // changing-dimension type-2 shape): a deterministic change batch
+    // derived from the customer snapshot — deletes (key ≡ 0 mod 11),
+    // updates (≡ 0 mod 7, delete wins on overlap; +10.00 to acctbal),
+    // inserts (≡ 0 mod 13, re-keyed past max) — is merged into
+    // version-2 HISTORY rows: updates/deletes close the v1 row
+    // (end_v = 2), updates/inserts open a current v2 row, unchanged
+    // keys stay open (end_v = 0 marks "open" — integer, not NULL, so
+    // the row hashes identically everywhere). Execution shape is
+    // exactly production MERGE: ONE full-outer equi-join of snapshot
+    // and batch on the key, change classification and row fan-out
+    // map-side. At 100 TB the batch side is days-of-change sized —
+    // broadcast or bucket-co-located on the key — and the history is
+    // APPEND-only (closed rows are new rows, never in-place updates),
+    // which is what makes SCD2 the lakehouse-native update story. ----
+    sql("q28_scd2_merge",
+      """WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+        |v1 AS (SELECT c_custkey AS k,
+        |              CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |       FROM customer),
+        |batch AS (
+        |  SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS nbal FROM v1 WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', bal + 1000 FROM v1 WHERE k % 7 = 0 AND k % 11 != 0
+        |  UNION ALL
+        |  SELECT k + mx.mk, 'I', bal FROM v1, mx WHERE k % 13 = 0),
+        |m AS (SELECT coalesce(v.k, b.k) AS k, v.bal, b.op, b.nbal
+        |      FROM v1 v FULL JOIN batch b ON b.k = v.k),
+        |hist AS (
+        |  SELECT k, bal AS bal_cents, 1 AS start_v, 2 AS end_v, 0 AS is_current, op
+        |  FROM m WHERE op IN ('U', 'D')
+        |  UNION ALL
+        |  SELECT k, bal, 1, 0, 1, 'N' FROM m WHERE op IS NULL
+        |  UNION ALL
+        |  SELECT k, nbal, 2, 0, 1, 'U' FROM m WHERE op = 'U'
+        |  UNION ALL
+        |  SELECT k, nbal, 2, 0, 1, 'I' FROM m WHERE op = 'I')
+        |SELECT CAST(k AS BIGINT) AS c_custkey, CAST(bal_cents AS BIGINT) AS bal_cents,
+        |       CAST(start_v AS INT) AS start_v, CAST(end_v AS INT) AS end_v,
+        |       CAST(is_current AS INT) AS is_current, op
+        |FROM hist ORDER BY c_custkey, start_v""") { (s, dir) =>
+      val v1 = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal"))
+      val mx = v1.agg(max(col("k")).as("mk"))
+      val batch =
+        v1.filter(col("k") % 11 === 0)
+          .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
+          .unionAll(v1.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+            .select(col("k"), lit("U").as("op"), (col("bal") + 1000L).as("nbal")))
+          .unionAll(v1.crossJoin(broadcast(mx)).filter(col("k") % 13 === 0)
+            .select((col("k") + col("mk")).as("k"), lit("I").as("op"),
+              col("bal").as("nbal")))
+      val m = v1.join(batch.withColumnRenamed("k", "bk"),
+          col("k") === col("bk"), "full_outer")
+        .select(coalesce(col("k"), col("bk")).as("k"), col("bal"),
+          col("op"), col("nbal"))
+      val closed = m.filter(col("op").isin("U", "D"))
+        .select(col("k"), col("bal").as("bal_cents"), lit(1).as("start_v"),
+          lit(2).as("end_v"), lit(0).as("is_current"), col("op"))
+      val unchanged = m.filter(col("op").isNull)
+        .select(col("k"), col("bal"), lit(1), lit(0), lit(1), lit("N"))
+      val updated = m.filter(col("op") === "U")
+        .select(col("k"), col("nbal"), lit(2), lit(0), lit(1), lit("U"))
+      val inserted = m.filter(col("op") === "I")
+        .select(col("k"), col("nbal"), lit(2), lit(0), lit(1), lit("I"))
+      closed.unionAll(unchanged).unionAll(updated).unionAll(inserted)
+        .select(col("k").cast("long").as("c_custkey"),
+          col("bal_cents").cast("long").as("bal_cents"),
+          col("start_v").cast("int"), col("end_v").cast("int"),
+          col("is_current").cast("int"), col("op"))
+        .orderBy(col("c_custkey"), col("start_v"))
+    },
+
     // ---- correlated SCALAR subquery (TPC-H Q2's shape): richest
     // customer(s) per nation, the per-group-max-as-subquery idiom.
     // Catalyst de-correlates it to an aggregate + self-join on the
