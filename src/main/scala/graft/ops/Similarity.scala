@@ -2673,6 +2673,67 @@ object Similarity {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // ---- PageRank over the k-NN graph (graph analytics on the
+    // similarity structure — the centrality signal data-curation
+    // pipelines use to find "hub" documents/embeddings: representative
+    // cluster centers rank high, isolated outliers sink to the
+    // teleport floor). FIXED-POINT integer arithmetic end-to-end —
+    // ranks are 10¹²-scaled integers, one floor division per edge
+    // contribution (r // deg) and per damping step, so 5 Pregel-style
+    // supersteps produce bit-identical ranks in any engine (FP
+    // summation order can never drift a hash). Teleport = 15%/n,
+    // damping 85%; nodes without out-edges leak their damped mass
+    // (documented simplification — the dangling-redistribution term
+    // would add one 1-row broadcast per step), nodes without in-edges
+    // hold the teleport floor.
+    // Scale shape: the edge table is the memoized corpus×3-row kNN
+    // index (localCheckpoint leaf); each superstep is ONE equi-join of
+    // ranks⋈edges on src plus one hash-aggregate on dst — at 100 TB
+    // you bucket the edge table on src once and every superstep
+    // co-locates, the standard iterative-graph layout. Driver controls
+    // exactly 5 supersteps; state is one (vec_id, r) row per node. ----
+    sqlN("ss_knn_pagerank") { n =>
+      val S = 1000000000000L
+      val r0 = S / n
+      val tele = 3 * S / (20 * n) // (15% · S) / (100% · n), floor
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT i.vec_id, CAST($tele + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS r
+           |  FROM ids i LEFT JOIN (
+           |    SELECT e.dst AS vec_id, SUM(p.r // d.deg) AS acc
+           |    FROM e JOIN pr${i - 1} p ON p.vec_id = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.vec_id = i.vec_id)"""
+      }.mkString(",\n")
+      s"""WITH ${knnEdgesCtesSqlFor(n)},
+         |ids AS MATERIALIZED (SELECT vec_id FROM embeddings),
+         |e AS MATERIALIZED (SELECT vec_id AS src, nb AS dst FROM krnk WHERE rk <= 3),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |pr0 AS (SELECT vec_id, CAST($r0 AS BIGINT) AS r FROM ids),
+         |$iters
+         |SELECT vec_id, r AS rank_fx FROM pr5 ORDER BY vec_id"""
+    } { (s, dir) =>
+      val v = varr(s, dir).cache()
+      val nn = corpusCount(v)
+      val S = 1000000000000L
+      val tele = 3 * S / (20 * nn)
+      val edges = knnGraph(v).filter(col("rk") <= 3)
+        .select(col("vec_id").as("src"), col("nb").as("dst"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ids = t(s, dir, "embeddings").select(col("vec_id"))
+      var r = ids.withColumn("r", lit(S / nn))
+      for (_ <- 1 to 5) {
+        val acc = edges.join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("vec_id"), expr("r div deg").as("c"))
+          .groupBy(col("vec_id")).agg(sum(col("c")).as("acc"))
+        r = ids.join(acc, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(tele) + expr("(85 * coalesce(acc, 0L)) div 100")).cast("long").as("r"))
+      }
+      r.select(col("vec_id"), col("r").as("rank_fx")).orderBy(col("vec_id"))
+    },
+
     // ---- beam search OVER the k-NN graph (the NSW/HNSW serving
     // primitive, batch-expressed): start each query at its own node,
     // expand frontier → neighbors for a fixed number of hops, score

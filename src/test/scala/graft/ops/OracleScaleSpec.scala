@@ -33,7 +33,7 @@ class OracleScaleSpec extends AnyFunSuite {
   private val conditional = Set(
     "ss_lsh_neardups", "ss_lsh_multiprobe", "ss_ivf_trained",
     "ss_ivf_nprobe", "ss_nprobe_recall", "ss_cells_broadcast",
-    "ss_recall_eval", "ss_knn_graph", "ss_graph_search",
+    "ss_recall_eval", "ss_knn_graph", "ss_knn_pagerank", "ss_graph_search",
     "ss_graph_recall", "ss_ivfadc_topk", "ss_ivfadc_residual",
     "ss_residual_recall", "ss_cluster_profile",
     "pipe_index_manifest", "dd_semantic_neardups", "dd_semdedup",
