@@ -110,17 +110,22 @@ object Text {
       |              w[i+3] || ' ' || w[i+4] AS g
       |       FROM ws, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i))""".stripMargin
 
+  /** The distinct word-5-gram ARRAY of a split column `w` — the
+    * map-side kernel under [[ng5]], shared with the streaming
+    * decontamination op so batch and stream gram math cannot drift. */
+  private[graft] val ng5ArraySql: String =
+    """CASE WHEN size(w) >= 5
+      |  THEN array_distinct(transform(sequence(0, size(w) - 5),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+      |  ELSE array()
+      |END""".stripMargin
+
   /** Spark twin of [[ng5CtesSql]]'s `ng`: per-doc dedup happens
     * MAP-SIDE (array_distinct before the explode) — equivalent to the
     * oracle's SELECT DISTINCT without shuffling the n-gram stream. */
   private[ops] def ng5(d: DataFrame): DataFrame = d
     .select(col("doc_id"), split(col("text"), " ").as("w"))
-    .select(col("doc_id"), explode(expr(
-      """CASE WHEN size(w) >= 5
-        |  THEN array_distinct(transform(sequence(0, size(w) - 5),
-        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
-        |  ELSE array()
-        |END""".stripMargin)).as("g"))
+    .select(col("doc_id"), explode(expr(ng5ArraySql)).as("g"))
 
   /** Build the 2 MiB Bloom bitmap over a reference gram column `g` —
     * positions computed with the SAME md5-hex formula the probe kernel
@@ -130,7 +135,7 @@ object Text {
     * bitwise-OR merge). The result is model-sized (2 MiB regardless of
     * reference-set cardinality), the same driver-side footprint class
     * as a trained k-means model. */
-  private[ops] def bloomBitsOf(reference: DataFrame): Array[Long] = {
+  private[graft] def bloomBitsOf(reference: DataFrame): Array[Long] = {
     import reference.sparkSession.implicits._
     reference
       .select(explode(expr(

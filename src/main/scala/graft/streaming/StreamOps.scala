@@ -344,6 +344,40 @@ object StreamOps {
     out.iterator
   }
 
+  /** Streaming benchmark decontamination — tx_bloom_decontaminate's
+    * prefilter at ingest line rate: each arriving doc's distinct
+    * word-5-grams (the SAME [[graft.ops.Text.ng5ArraySql]] kernel as
+    * the batch op — one shared definition, so stream and batch gram
+    * math cannot drift) are probed against the PUBLISHED benchmark
+    * Bloom bitmap, emitting (ts, doc_id, n_grams, bloom_grams,
+    * flagged). STATELESS — a pure per-row projection: no watermark, no
+    * state store, restart is trivial; the 2 MiB bitmap is the only
+    * reference data, shipped once per executor via the expression's
+    * reference object exactly like the batch probe. No false
+    * negatives by the Bloom guarantee: a doc sharing ANY 5-gram with
+    * the benchmark always flags, so dropping `!flagged` rows at
+    * ingest never lets contamination through — bloom-positive
+    * survivors are what the batch exact-verify tail re-checks. The
+    * probe runs inside an array `filter` lambda (interpreted, not
+    * codegen — fine OFF the hot path: K gram evals per DOC, the
+    * [[bandKeys]] policy). Batch parity is asserted in StreamOpsSpec
+    * against the batch prefilter on the same rows. */
+  def decontaminateDocs(docs: DataFrame, bloomBits: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, LambdaFunction, UnresolvedNamedLambdaVariable}
+    val g = UnresolvedNamedLambdaVariable(Seq("g"))
+    val positive = GraftShim.column(ArrayFilter(
+      GraftShim.expression(col("gs")),
+      LambdaFunction(graft.functions.BloomMightContain(g, bloomBits), Seq(g))))
+    docs
+      .select(col("ts"), col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("gs", expr(graft.ops.Text.ng5ArraySql))
+      .select(col("ts"), col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(positive).cast("long").as("bloom_grams"))
+      .withColumn("flagged", col("bloom_grams") > 0)
+  }
+
   /** Stream-static enrichment: each event picks up its user's
     * dimension row (segment) via a BROADCAST left join — in a
     * streaming plan the static side is re-resolved every micro-batch

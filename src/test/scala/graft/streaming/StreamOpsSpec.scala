@@ -432,6 +432,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateDocs flags benchmark-overlapping docs statelessly, no false negatives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bits = graft.ops.Text.bloomBitsOf(Seq(
+      "alpha bravo charlie delta echo",
+      "bravo charlie delta echo foxtrot").toDF("g"))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.decontaminateDocs(input.toDF(), bits)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, ts(0), "alpha bravo charlie delta echo golf hotel", "en", "web"),
+        Doc(2, ts(1), "one two three four five six", "en", "web"),
+        Doc(3, ts(2), "tiny", "en", "web")) // < 5 words: zero grams
+      q.processAllAvailable()
+      input.addData( // second micro-batch: both benchmark grams present
+        Doc(4, ts(10), "x1 x2 alpha bravo charlie delta echo foxtrot", "en", "web"))
+      q.processAllAvailable()
+      val got = spark.table("decon")
+        .select($"doc_id", $"n_grams", $"bloom_grams", $"flagged")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, 3L, 1L, true), // "alpha bravo charlie delta echo" hits
+        (2L, 2L, 0L, false),
+        (3L, 0L, 0L, false),
+        (4L, 4L, 2L, true)))
+      // independent kernel replay: sliding-window grams + BloomImpl
+      val texts = Map(1L -> "alpha bravo charlie delta echo golf hotel",
+        2L -> "one two three four five six", 3L -> "tiny",
+        4L -> "x1 x2 alpha bravo charlie delta echo foxtrot")
+      got.foreach { case (id, _, blm, _) =>
+        val model = texts(id).split(" ").toSeq.sliding(5).filter(_.size == 5)
+          .map(_.mkString(" ")).toSet
+          .count(g => graft.functions.BloomImpl.contains(
+            org.apache.spark.unsafe.types.UTF8String.fromString(g), bits))
+        assert(blm == model.toLong, s"doc $id")
+      }
+    } finally q.stop()
+  }
+
   test("curateDocs quality gate agrees with the batch tx_gopher_rules gate") {
     import spark.implicits._
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
