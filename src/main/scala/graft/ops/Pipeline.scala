@@ -99,12 +99,14 @@ object Pipeline {
   /** The two layout dimensions (part/supplier key) plus the
     * point-lookup column (order key) the per-cell blooms index. */
   private def zxy(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.register(s)
     t(s, dir, "lineitem")
       .select(col("l_partkey").cast("long").as("x"),
         col("l_suppkey").cast("long").as("y"),
         col("l_orderkey").cast("long").as("k"))
       .withColumn("zkey", expr("graft_zorder(x, y)"))
+  }
 
   /** Shared bloom-position array for a BIGINT key column: three 12-bit
     * md5-hex slices (see [[graft.functions.CellBloomImpl]]). */
@@ -412,6 +414,108 @@ object Pipeline {
           coalesce(col("cells_read"), lit(0L)).cast("long").as("cells_read"),
           coalesce(col("rows_read"), lit(0L)).as("rows_read"))
         .orderBy(col("probe_id"), col("strategy"))
+    },
+
+    // ---- incremental layout maintenance (the `OPTIMIZE` analog of
+    // dd_index_merge): a delta batch (l_orderkey ≥ 80% of max — the
+    // same "today's data" predicate as the incremental dedup family)
+    // lands into a layout whose GEOMETRY — occupied key width and the
+    // set of refined cells — is FROZEN from the base data, exactly
+    // what an incremental writer does: new files are assigned to the
+    // existing cell grid (rows past the base key range land in new
+    // overflow cells — fresh files, not a re-layout), and the manifest
+    // is maintained by an ASSOCIATIVE stat merge: the base manifest
+    // and the delta manifest combine per cell by count-sum / min-min /
+    // max-max in one outer join — old data is never rescanned, which
+    // is the whole point at 100 TB (the oracle computes the merged
+    // manifest in one pass over all rows; associativity makes the two
+    // formulations provably equal, so EXACT parity IS the merge
+    // contract). `n_delta` reports each cell's share of new rows — the
+    // signal a compactor uses to decide which cells to rewrite; a
+    // FULL re-layout (pipe_zorder_layout on the union) would instead
+    // re-derive geometry from the grown corpus — the difference is
+    // the re-layout debt this manifest makes visible. ----
+    sql("pipe_layout_merge",
+      s"""WITH $zLayoutCtesSql,
+        |thr AS (SELECT (MAX(k) * 4) // 5 AS t FROM z),
+        |bz AS (SELECT z.* FROM z, thr WHERE z.k < thr.t),
+        |bmz AS (SELECT MAX(zkey) AS maxz, COUNT(*) AS total FROM bz),
+        |bnb AS (SELECT total,
+        |          CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
+        |            AS BIGINT) AS nbits
+        |        FROM bmz),
+        |bcc AS (SELECT bz.zkey >> greatest(bnb.nbits - 8, 0) AS c8,
+        |               COUNT(*) AS cnt
+        |        FROM bz, bnb GROUP BY 1),
+        |refined AS (SELECT bcc.c8 FROM bcc, bnb WHERE bcc.cnt * 64 > bnb.total),
+        |ac AS (SELECT z.x, z.y, z.k, thr.t,
+        |              z.zkey >> greatest(bnb.nbits - 8, 0) AS c8,
+        |              z.zkey >> greatest(bnb.nbits - 12, 0) AS c12
+        |       FROM z, bnb, thr),
+        |fin2 AS (SELECT
+        |           CASE WHEN r.c8 IS NOT NULL THEN 12 ELSE 8 END AS depth,
+        |           CASE WHEN r.c8 IS NOT NULL THEN ac.c12 ELSE ac.c8 END AS cell,
+        |           ac.x, ac.y,
+        |           CASE WHEN ac.k < ac.t THEN 0 ELSE 1 END AS is_delta
+        |         FROM ac LEFT JOIN refined r ON r.c8 = ac.c8)
+        |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+        |       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+        |       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+        |FROM fin2 GROUP BY depth, cell
+        |ORDER BY depth, cell""") { (s, dir) =>
+      val z = zxy(s, dir)
+      val thr = z.agg(expr("(MAX(k) * 4) div 5").as("t"))
+      val zt = z.crossJoin(broadcast(thr))
+      val bz = zt.filter(col("k") < col("t"))
+      val bnb = bz.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
+        .withColumn("nbits", expr(
+          "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
+        .select(col("total"), col("nbits"))
+      val refined = bz.crossJoin(broadcast(bnb))
+        .withColumn("c8",
+          expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
+        .groupBy(col("c8"), col("total")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 64 > col("total"))
+        .select(col("c8"), lit(1).as("refmark"))
+      // frozen-geometry assignment of EITHER side, then per-side manifests
+      def manifest(side: org.apache.spark.sql.DataFrame, delta: Int) = side
+        .crossJoin(broadcast(bnb))
+        .withColumn("c8",
+          expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
+        .withColumn("c12",
+          expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
+        .join(broadcast(refined), Seq("c8"), "left")
+        .select(when(col("refmark").isNotNull, 12).otherwise(8).cast("int").as("depth"),
+          when(col("refmark").isNotNull, col("c12")).otherwise(col("c8")).as("cell"),
+          col("x"), col("y"))
+        .groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .select(col("depth"), col("cell"), col("n_rows"),
+          (col("n_rows") * delta).as("n_delta"),
+          col("x_min"), col("x_max"), col("y_min"), col("y_max"))
+      val base = manifest(bz, 0)
+      val delta = manifest(zt.filter(col("k") >= col("t")), 1)
+      // the MERGE: associative per-cell combine — count-sum, min-min,
+      // max-max over the two manifests, never a rescan of base rows
+      base.select(base.columns.map(c => col(c).as(s"b_$c")): _*)
+        .join(delta.select(delta.columns.map(c => col(c).as(s"d_$c")): _*),
+          col("b_depth") === col("d_depth") && col("b_cell") === col("d_cell"),
+          "full_outer")
+        .select(
+          coalesce(col("b_depth"), col("d_depth")).as("depth"),
+          coalesce(col("b_cell"), col("d_cell")).as("cell"),
+          (coalesce(col("b_n_rows"), lit(0L)) + coalesce(col("d_n_rows"), lit(0L)))
+            .cast("long").as("n_rows"),
+          coalesce(col("d_n_delta"), lit(0L)).cast("long").as("n_delta"),
+          least(col("b_x_min"), col("d_x_min")).as("x_min"),
+          greatest(col("b_x_max"), col("d_x_max")).as("x_max"),
+          least(col("b_y_min"), col("d_y_min")).as("y_min"),
+          greatest(col("b_y_max"), col("d_y_max")).as("y_max"))
+        .orderBy(col("depth"), col("cell"))
     },
 
     sql("pipe_prune_eval",
