@@ -400,6 +400,122 @@ object Multimodal {
         .orderBy(col("asset_id"))
     },
 
+    // ---- perceptual-hash image NEAR-dup (average hash / aHash — the
+    // pHash-family baseline every image-dedup pipeline ships):
+    // mm_dup_assets catches byte-identical payloads; this catches
+    // VISUALLY-near duplicates. Per asset: REAL ImageIO decode, the
+    // mm_image_resize nearest-neighbor 8×4 thumbnail lattice, per-cell
+    // luminance g = r+g+b, aHash bit (y·8+x) set iff g > ⌊Σg/32⌋ — a
+    // 32-bit signature from real decoded pixels, all-integer, so the
+    // oracle replays it arithmetically from the payload hex (the BLOB
+    // discipline). Candidates via the 2-index Hamming LSH (pigeonhole:
+    // hamming ≤ 15 ⇒ the two 16-bit halves can't BOTH differ — any
+    // pair within the verify radius collides on at least one half;
+    // UNION of two equi-joins, never all-pairs), then exact verify
+    // bit_count(xor) ≤ 6. Decode cost is per-RECORD in the scan
+    // partition (mapPartitions, zero shuffle before the half-key
+    // exchange); the signature table the joins exchange is 12 bytes a
+    // row regardless of image size — at 100 TB the payloads never
+    // move, only hashes do. ----
+    sql("mm_phash_neardups",
+      """WITH h AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |         CAST(16 + doc_id % 16 AS BIGINT) AS w0,
+        |         CAST(8 + doc_id % 8 AS BIGINT) AS h0,
+        |         coalesce(octet_length(encode(text)), 0) AS n
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id, hx, n, x, y,
+        |         (3 * ((y * h0 // 4) * w0 + (x * w0 // 8)) + c)
+        |           % greatest(n, 1) AS idx
+        |  FROM h, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 4)) AS ty(y),
+        |       UNNEST(range(0, 3)) AS tc(c)),
+        |bv AS (
+        |  SELECT doc_id, x, y,
+        |         SUM(CASE WHEN n > 0 THEN
+        |           (strpos('0123456789ABCDEF',
+        |                   substring(hx, CAST(2 * idx + 1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF',
+        |                   substring(hx, CAST(2 * idx + 2 AS INT), 1)) - 1)
+        |         ELSE 0 END) AS g
+        |  FROM samp GROUP BY doc_id, x, y),
+        |mn AS (SELECT doc_id, SUM(g) // 32 AS mean FROM bv GROUP BY doc_id),
+        |ph AS MATERIALIZED (
+        |  SELECT b.doc_id,
+        |         CAST(SUM(CASE WHEN b.g > m.mean
+        |           THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT)
+        |           ELSE 0 END) AS BIGINT) AS ph
+        |  FROM bv b JOIN mn m USING (doc_id) GROUP BY b.doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS asset_a, b.doc_id AS asset_b
+        |  FROM ph a JOIN ph b ON (a.ph >> 16) = (b.ph >> 16)
+        |    AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM ph a JOIN ph b ON (a.ph % 65536) = (b.ph % 65536)
+        |    AND a.doc_id < b.doc_id)
+        |SELECT c.asset_a, c.asset_b,
+        |       CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
+        |FROM cand c
+        |JOIN ph pa ON pa.doc_id = c.asset_a
+        |JOIN ph pb ON pb.doc_id = c.asset_b
+        |WHERE bit_count(xor(pa.ph, pb.ph)) <= 6
+        |ORDER BY asset_a, asset_b""") { (s, dir) =>
+      import s.implicits._
+      val ph = t(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { docs =>
+          docs.map { case (id, payload) =>
+            val w0 = (16 + id % 16).toInt
+            val h0 = (8 + id % 8).toInt
+            val png = RealCodecs.encodePng(w0, h0, payload)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val g = new Array[Long](32)
+            var sum = 0L
+            var y = 0
+            while (y < 4) {
+              var x = 0
+              while (x < 8) {
+                val rgb = img.getRGB(x * w0 / 8, y * h0 / 4)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                  + (rgb & 0xff)).toLong
+                g(y * 8 + x) = lum
+                sum += lum
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum / 32
+            var hash = 0L
+            var i = 0
+            while (i < 32) { if (g(i) > mean) hash |= 1L << i; i += 1 }
+            (id, hash)
+          }
+        }
+        .toDF("doc_id", "ph")
+        .cache() // three self-join sides + the verify lookups
+      ph.count()
+      val a = ph.select(col("doc_id").as("asset_a"),
+        expr("ph div 65536").as("hi"), expr("ph % 65536").as("lo"))
+      val b = ph.select(col("doc_id").as("asset_b"),
+        expr("ph div 65536").as("hi"), expr("ph % 65536").as("lo"))
+      val cand = a.join(b, Seq("hi")).filter(col("asset_a") < col("asset_b"))
+        .select(col("asset_a"), col("asset_b"))
+        .union(a.join(b, Seq("lo")).filter(col("asset_a") < col("asset_b"))
+          .select(col("asset_a"), col("asset_b")))
+        .distinct()
+      cand
+        .join(ph.select(col("doc_id").as("asset_a"), col("ph").as("pa")), Seq("asset_a"))
+        .join(ph.select(col("doc_id").as("asset_b"), col("ph").as("pb")), Seq("asset_b"))
+        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+        .filter(col("hamming") <= 6)
+        .select(col("asset_a"), col("asset_b"), col("hamming"))
+        .orderBy(col("asset_a"), col("asset_b"))
+    },
+
     // ---- REAL audio decode end-to-end: synthesize 16-bit mono WAV
     // per sampled asset (one sample per Unicode CODE POINT of the
     // text, (code − 64) · 256 wrapped to Short), decode it back with
