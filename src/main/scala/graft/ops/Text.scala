@@ -718,10 +718,24 @@ object Text {
     //          = (1024·220·A·tf) // (10·A·tf + 3·A + 9000·dl)
     //   score  = Σ_terms idf_fx · sat_fx  (headroom: ≤ 3.7e18 even at
     //            N = 10¹⁰ docs — see the Tables overflow convention).
+    // Query-term selection is tf·idf-RANKED (top-8 per query by
+    // qtf/df, the single-integer-division sort key of the tf-idf op):
+    // the first revision ranked by raw qtf, which selects STOPWORDS —
+    // every query's top terms were "the"/"a"/"of", so every query
+    // joined the corpus-sized posting lists of the most common words
+    // and the scored join exploded super-linearly (measured 1.3 s at
+    // sf0.1 → 19.6 s at sf1, 15× on 10× data). Ranking terms by
+    // rarity is what makes the posting-list contract real: selected
+    // terms have SMALL df, so the scored join is Σ df(rare terms) —
+    // re-measured sub-linear (§ bench artifacts). This is the WAND /
+    // query-pruning insight every production BM25 engine ships in
+    // some form.
     // Scale shape: tf IS the inverted index (posting lists, built by
-    // one word-count aggregation); the query side (≤ N/100 × 8 terms)
-    // and its df row are broadcast; dl joins on doc_id (one equi-join
-    // of two doc-keyed sides); corpus stats are a 1-row broadcast. No
+    // one word-count aggregation); df for the query vocabulary is one
+    // map-side-combined aggregation over the semi-joined posting
+    // lists; the query side (≤ N/100 × 8 terms, df carried on the
+    // row) is broadcast; dl joins on doc_id (one equi-join of two
+    // doc-keyed sides); corpus stats are a 1-row broadcast. No
     // per-query corpus scan — each query term touches its posting
     // list only, exactly the inverted-index contract. ----
     sql("tx_bm25_search",
@@ -733,21 +747,23 @@ object Text {
         |st AS (SELECT (1000 * SUM(dl)) // COUNT(*) AS a, COUNT(*) AS n FROM dl),
         |qtf AS (SELECT doc_id AS qid, word, COUNT(*) AS qtf
         |        FROM w WHERE doc_id % 100 = 0 GROUP BY doc_id, word),
-        |qterms AS (SELECT qid, word FROM (
-        |             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-        |               ORDER BY qtf DESC, word) AS trk FROM qtf) t
-        |           WHERE trk <= 8),
         |dfq AS (SELECT t.word, COUNT(*) AS df
-        |        FROM tf t JOIN (SELECT DISTINCT word FROM qterms) q USING (word)
+        |        FROM tf t JOIN (SELECT DISTINCT word FROM qtf) q USING (word)
         |        GROUP BY t.word),
+        |qterms AS (SELECT qid, word, df FROM (
+        |             SELECT q.qid, q.word, f.df,
+        |                    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |                      ORDER BY CAST(q.qtf AS DOUBLE) / f.df DESC, q.word)
+        |                      AS trk
+        |             FROM qtf q JOIN dfq f USING (word)) t
+        |           WHERE trk <= 8),
         |scored AS (
         |  SELECT q.qid, t.doc_id,
-        |         ((1024 * (2 * (st.n - f.df) + 1)) // (2 * f.df + 1))
+        |         ((1024 * (2 * (st.n - q.df) + 1)) // (2 * q.df + 1))
         |         * ((1024 * 220 * st.a * t.tf)
         |            // (10 * st.a * t.tf + 3 * st.a + 9000 * d.dl)) AS contrib
         |  FROM qterms q
         |  JOIN tf t USING (word)
-        |  JOIN dfq f USING (word)
         |  JOIN dl d ON d.doc_id = t.doc_id, st),
         |agg AS (SELECT qid, doc_id, CAST(SUM(contrib) AS BIGINT) AS score,
         |               CAST(COUNT(*) AS BIGINT) AS n_terms
@@ -765,15 +781,16 @@ object Text {
       val st = dl.agg(
         expr("(1000 * sum(dl)) div count(*)").as("a"),
         count(lit(1)).as("n"))
-      val qterms = w.filter(col("doc_id") % 100 === 0)
+      val qtf = w.filter(col("doc_id") % 100 === 0)
         .groupBy(col("doc_id").as("qid"), col("word")).agg(count(lit(1)).as("qtf"))
-        .withColumn("trk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("qtf").desc, col("word"))))
-        .filter(col("trk") <= 8).select(col("qid"), col("word"))
-      val dfq = tf.join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
+      val dfq = tf.join(broadcast(qtf.select(col("word")).distinct()), Seq("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val qterms = qtf.join(broadcast(dfq), Seq("word"))
+        .withColumn("trk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy((col("qtf").cast("double") / col("df")).desc, col("word"))))
+        .filter(col("trk") <= 8).select(col("qid"), col("word"), col("df"))
       val scored = tf.join(broadcast(qterms), Seq("word"))
-        .join(broadcast(dfq), Seq("word"))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(st))
         .withColumn("contrib",
