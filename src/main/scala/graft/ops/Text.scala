@@ -730,14 +730,41 @@ object Text {
     // re-measured sub-linear (§ bench artifacts). This is the WAND /
     // query-pruning insight every production BM25 engine ships in
     // some form.
-    // Scale shape: tf IS the inverted index (posting lists, built by
-    // one word-count aggregation); df for the query vocabulary is one
-    // map-side-combined aggregation over the semi-joined posting
-    // lists; the query side (≤ N/100 × 8 terms, df carried on the
-    // row) is broadcast; dl joins on doc_id (one equi-join of two
-    // doc-keyed sides); corpus stats are a 1-row broadcast. No
-    // per-query corpus scan — each query term touches its posting
-    // list only, exactly the inverted-index contract. ----
+    // The query SET is the fixed id-space prefix (doc_id < 50,000 ∧
+    // ≡ 0 mod 100 — every shipped fixture through sf1 unchanged): a
+    // decontamination benchmark is a FIXED external artifact, and the
+    // first revision let it grow with the corpus — at 100× that made
+    // the workload queries×corpus bilinear (5,000 queries × the
+    // posting lists of mid-frequency terms spilled past 76 GB and
+    // OOM'd). Corpus-scaled query sets are a different problem
+    // (batch all-retrieval, wanting score-at-index-build), not this
+    // operator's contract.
+    // Scale shape: NO full-corpus posting-list materialization. The
+    // first revision built tf over every (doc, word) pair and
+    // .cache()d it "to read twice" — at 100× that is a ~600M-row
+    // cached relation that spills, and both readers (the df probe and
+    // the scoring join) pay a full disk re-scan: measured 230 s at
+    // sf10 even after the query set was fixed. The posting-list
+    // contract is narrower than that: df is needed ONLY for the query
+    // VOCABULARY (≤ queries × dl distinct words), and posting lists
+    // are needed ONLY for the ≤ 8·|queries| SELECTED rare terms. So
+    // each is its own pass over the tokenized stream with the word
+    // filter BROADCAST and applied map-side BEFORE any shuffle:
+    //   dfq    = cw ⋉ vocab → count distinct docs per word (the
+    //            stopword skew lands one ~N-row reducer per stopword —
+    //            bounded by the word with the largest posting list,
+    //            not by queries × corpus);
+    //   tf_sel = cw ⋉ selected-terms → groupBy (doc, word) — the
+    //            map-side filter kills the corpus before the shuffle,
+    //            so the shuffled volume is Σ df(selected rare terms);
+    //   dl     = one per-doc count (map-side combined, N rows out).
+    // The query side (≤ 500 × 8 terms, df carried on the row) is
+    // broadcast; corpus stats are a 1-row broadcast. Re-tokenizing
+    // the corpus per pass is deliberate: tokenize is codegen'd
+    // CPU-linear work that beats caching the exploded stream (the
+    // measured 230 s → see bench artifacts). No per-query corpus
+    // scan — each query term touches its posting list only, exactly
+    // the inverted-index contract. ----
     sql("tx_bm25_search",
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
         |           FROM documents),
@@ -746,7 +773,8 @@ object Text {
         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM cw GROUP BY doc_id),
         |st AS (SELECT (1000 * SUM(dl)) // COUNT(*) AS a, COUNT(*) AS n FROM dl),
         |qtf AS (SELECT doc_id AS qid, word, COUNT(*) AS qtf
-        |        FROM w WHERE doc_id % 100 = 0 GROUP BY doc_id, word),
+        |        FROM w WHERE doc_id % 100 = 0 AND doc_id < 50000
+        |        GROUP BY doc_id, word),
         |dfq AS (SELECT t.word, COUNT(*) AS df
         |        FROM tf t JOIN (SELECT DISTINCT word FROM qtf) q USING (word)
         |        GROUP BY t.word),
@@ -775,36 +803,75 @@ object Text {
       val w = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       val cw = w.filter(col("doc_id") % 100 =!= 0)
-      val tf = cw.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-        .cache() // read twice: posting lists + the query-term df probe
-      val dl = cw.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // dl = words per doc = size of the split array (explode emits
+      // exactly size(split) rows, incl. the ['']-for-empty-text case
+      // both engines share) — a map-only projection, no explode, no
+      // shuffle; the oracle's COUNT(*)-per-doc form is provably equal.
+      val dl = docs(s, dir).filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
       val st = dl.agg(
         expr("(1000 * sum(dl)) div count(*)").as("a"),
         count(lit(1)).as("n"))
-      val qtf = w.filter(col("doc_id") % 100 === 0)
+      val qtf = w.filter(col("doc_id") % 100 === 0 && col("doc_id") < 50000)
         .groupBy(col("doc_id").as("qid"), col("word")).agg(count(lit(1)).as("qtf"))
-      val dfq = tf.join(broadcast(qtf.select(col("word")).distinct()), Seq("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // df only for the query VOCABULARY: broadcast the vocab, filter
+      // the corpus word stream map-side, count distinct docs per word
+      // (= the oracle's COUNT(*) over the grouped tf rows).
+      val dfq = cw.join(broadcast(qtf.select(col("word")).distinct()), Seq("word"))
+        .groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      // ≤ 8·|queries| rows after the rank filter; localCheckpoint
+      // (eager) so the df pass — the one corpus-sized aggregation in
+      // the chain — runs exactly ONCE even though qterms feeds two
+      // broadcast sides below (two lazy broadcasts would each replay
+      // the lineage).
       val qterms = qtf.join(broadcast(dfq), Seq("word"))
         .withColumn("trk", row_number().over(
           Window.partitionBy(col("qid"))
             .orderBy((col("qtf").cast("double") / col("df")).desc, col("word"))))
         .filter(col("trk") <= 8).select(col("qid"), col("word"), col("df"))
-      val scored = tf.join(broadcast(qterms), Seq("word"))
-        .join(dl, Seq("doc_id"))
+        .localCheckpoint(true)
+      // Posting lists ONLY for the selected rare terms: the broadcast
+      // word filter runs map-side BEFORE the (doc, word) groupBy, so
+      // the shuffle carries Σ df(selected terms) rows, not the corpus.
+      // repartition on doc_id ALONE (not the groupBy's (doc_id, word)
+      // default): hash(doc_id) satisfies the clustering of this agg,
+      // of the dl join, AND of the (qid, doc_id) agg after the
+      // fan-out below — so the billion-row fan-out stream crosses ZERO
+      // exchanges; the only shuffled data is this Σ df(selected)-row
+      // stream.
+      val selTf = cw.join(broadcast(qterms.select(col("word")).distinct()), Seq("word"))
+        .repartition(col("doc_id"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      // Join ORDER is the scale decision here. This fixture's
+      // vocabulary is degenerate (31 distinct words — every posting
+      // list is ~the whole corpus), so the qterms fan-out produces
+      // |queries|·avg-posting-list rows (~1.7B at 100×) no matter
+      // what; the plan must (a) attach dl BEFORE that fan-out (two
+      // doc-keyed sides, a small shuffle) so the fan-out output never
+      // hits an exchange, (b) aggregate (qid, doc_id) WITHOUT a
+      // shuffle — hash(doc_id) from the dl join already clusters
+      // every (qid, doc) group, Spark plans a complete-mode agg — and
+      // (c) rank with TopKPerKey's bounded map-side heaps (≤ 5 rows
+      // per qid per partition cross the exchange) instead of sorting
+      // all |queries|·|corpus| candidate rows in a window. The first
+      // shape (fan-out → join → full window) measured 230 s at sf10;
+      // this one 43 s, all of it the irreducible fan-out stream.
+      // On a Zipfian real-text vocabulary the selected terms are
+      // RARE, the fan-out is Σ df(selected) ≪ corpus, and the same
+      // plan degrades gracefully to the inverted-index contract.
+      val scored = selTf.join(dl, Seq("doc_id"))
+        .join(broadcast(qterms), Seq("word"))
         .crossJoin(broadcast(st))
         .withColumn("contrib",
           expr("((1024 * (2 * (n - df) + 1)) div (2 * df + 1))" +
             " * ((1024 * 220 * a * tf) div (10 * a * tf + 3 * a + 9000 * dl))"))
-      scored.groupBy(col("qid"), col("doc_id"))
+      val agg = scored.groupBy(col("qid"), col("doc_id"))
         .agg(sum(col("contrib")).cast("long").as("score"),
           count(lit(1)).cast("long").as("n_terms"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id")))
-          .cast("int"))
-        .filter(col("rk") <= 5)
-        .select(col("qid").as("query_id"), col("rk"), col("doc_id"),
-          col("score"), col("n_terms"))
+      graft.plans.TopK.perKey(agg, keyNames = Seq("qid"),
+          order = Seq(col("score").desc, col("doc_id")), k = 5, rankName = "rk")
+        .select(col("qid").as("query_id"), col("rk").cast("int").as("rk"),
+          col("doc_id"), col("score"), col("n_terms"))
         .orderBy(col("query_id"), col("rk"))
     },
 
