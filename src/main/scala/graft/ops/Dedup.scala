@@ -480,6 +480,50 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // ---- leakage-safe train/val/test split: the assignment unit is
+    // the near-dup CLUSTER, not the document — hash-splitting raw
+    // doc_ids puts one copy of a duplicated page in train and its
+    // near-dup twin in test, and the eval silently measures
+    // memorization (the split-leakage failure every dedup paper
+    // warns about; SemDeDup/Dolma pipelines split AFTER clustering
+    // for exactly this reason). Every doc inherits its cluster's
+    // deterministic md5-bucket verdict (singletons are their own
+    // cluster), so a verified near-dup pair can NEVER straddle splits
+    // — asserted structurally by DedupSpec. First hex digit → 16
+    // buckets: '0' → val, '1' → test, else train (87.5/6.25/6.25).
+    // Scale shape: clusterLabels' pointer-jumping supersteps (shared,
+    // memoized) + ONE left join corpus⋈labels + a map-side hash — the
+    // split adds nothing shuffle-shaped beyond the clustering it
+    // reuses. ----
+    sql("dd_leakage_safe_split",
+      s"""WITH RECURSIVE $neardupCtesSql,
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |             FROM reach GROUP BY a),
+         |asg AS (SELECT d.doc_id,
+         |               COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |       CASE substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+         |         WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train'
+         |       END AS split
+         |FROM asg ORDER BY doc_id""") { (s, dir) =>
+      val clusters = clusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cid"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")).cast("long"))
+        .withColumn("split",
+          when(substring(md5(col("cluster_id").cast("string")), 1, 1) === "0", "val")
+            .when(substring(md5(col("cluster_id").cast("string")), 1, 1) === "1", "test")
+            .otherwise("train"))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- incremental (delta-batch) near-dup detection: band keys of
     // the new batch only, probed against the full persisted band-key
     // index — the daily-crawl primitive that avoids re-deriving

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import Tables._
 import QuerySpec.sql
@@ -635,5 +636,67 @@ object Pipeline {
           col("cells_read"), col("rows_read"),
           coalesce(col("rows_match"), lit(0L)).as("rows_match"))
         .orderBy(col("dim"), col("pred_id"), col("layout"))
+    },
+
+    // ---- compaction PLAN (Delta OPTIMIZE / Iceberg binpack shape):
+    // pack the adaptive Z-cells, in z-order, into target-size output
+    // files — each cell lands in the file where its global row offset
+    // starts (offset div 4096; the constant stands in for the ~1 GB
+    // file target a real table property sets). Because cells are
+    // packed in z-prefix order, every planned file covers a CONTIGUOUS
+    // z-range: the rewritten files inherit the layout's min/max
+    // prunability instead of scattering it.
+    // Scale shape: the input is the MANIFEST (cells, not rows — ~10⁶
+    // entries for a 100 TB table), and the global row-offset prefix
+    // sum is two-level: a window PARTITIONED by the 8-bit zpos-prefix
+    // bucket plus broadcast per-bucket offsets (a ≤256-row aggregate
+    // self-joined for its exclusive cumsum) — the library's
+    // no-unpartitioned-windows invariant holds even here, so the plan
+    // would still compute if the manifest itself were huge. zpos is
+    // exact integer bit logic: a depth-8 cell's position aligns to
+    // depth 12 by << 4, and prefix-uniqueness of the adaptive split
+    // makes zpos collision-free across depths (tie-broken anyway).
+    // ----
+    sql("pipe_compaction_plan",
+      s"""WITH $zLayoutCtesSql,
+        |pc AS (SELECT depth, cell, n_rows,
+        |              (cell << CAST(12 - depth AS BIGINT)) AS zpos
+        |       FROM zcells),
+        |pb AS (SELECT *, zpos >> 8 AS bucket FROM pc),
+        |bo AS (SELECT bucket, SUM(n_rows) AS bn FROM pb GROUP BY bucket),
+        |boff AS (SELECT b.bucket, CAST(COALESCE(SUM(o.bn), 0) AS BIGINT) AS off
+        |         FROM bo b LEFT JOIN bo o ON o.bucket < b.bucket
+        |         GROUP BY b.bucket),
+        |st AS (SELECT pb.depth, pb.cell, pb.n_rows, pb.zpos,
+        |              boff.off + CAST(COALESCE(SUM(pb.n_rows) OVER (
+        |                PARTITION BY pb.bucket ORDER BY pb.zpos, pb.depth
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                AS BIGINT) AS start_row
+        |       FROM pb JOIN boff USING (bucket))
+        |SELECT CAST(start_row // 4096 AS BIGINT) AS file_id,
+        |       CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(start_row AS BIGINT) AS start_row
+        |FROM st ORDER BY start_row""") { (s, dir) =>
+      val pc = zorderManifest(s, dir)
+        .withColumn("zpos", expr("shiftleft(cell, CAST(12 - depth AS INT))"))
+        .withColumn("bucket", expr("shiftright(zpos, 8)"))
+      val bo = pc.groupBy(col("bucket")).agg(lsum(col("n_rows")).as("bn"))
+      val boff = bo.select(col("bucket"))
+        .join(bo.select(col("bucket").as("ob"), col("bn")),
+          col("ob") < col("bucket"), "left_outer")
+        .groupBy(col("bucket"))
+        .agg(coalesce(lsum(col("bn")), lit(0L)).as("off"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("zpos"), col("depth"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pc.join(broadcast(boff), Seq("bucket"))
+        .withColumn("start_row",
+          col("off") + coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .select(expr("CAST(start_row div 4096 AS BIGINT)").as("file_id"),
+          col("depth").cast("int").as("depth"), col("cell").cast("long").as("cell"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("start_row").cast("long").as("start_row"))
+        .orderBy(col("start_row"))
     })
 }

@@ -1722,6 +1722,61 @@ object Similarity {
        |             ORDER BY score DESC, vec_id) AS rk
        |  FROM sq_sc)""".stripMargin
 
+  /** Binary (sign) quantization: one bit per dimension (qe > 0),
+    * packed into two 32-bit halves carried as BIGINTs — 16 bytes per
+    * 64-dim vector, the 32× compression stage modern vector stores
+    * run as their first-pass filter (FAISS IndexBinaryFlat shape).
+    * Two halves instead of one 64-bit word because bit 63 of a signed
+    * BIGINT can't be built by summing powers of two in either engine;
+    * the split also mirrors mm_phash_neardups' Hamming-LSH key, so a
+    * banded variant gets its pigeonhole halves for free. */
+  private def bqHalfCol(lo: Int): Column = expr(
+    s"""CAST(aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
+       |  (acc, i) -> acc + CASE WHEN element_at(qe, i + 1) > 0
+       |    THEN shiftleft(CAST(1 AS BIGINT), i - $lo)
+       |    ELSE CAST(0 AS BIGINT) END) AS BIGINT)""".stripMargin)
+
+  private[ops] def bqFrame(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      bqHalfCol(0).as("h1"), bqHalfCol(32).as("h2"))
+
+  /** Shared BQ ranking plan: pack, broadcast the query signatures,
+    * Hamming rank (2 xor + 2 popcount per candidate). ONE definition
+    * so ss_bq_topk serves exactly the index ss_bq_recall measures. */
+  private def bqTop3(bq: DataFrame, qq: DataFrame): DataFrame =
+    bq.join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(h1 ^ q1) + bit_count(h2 ^ q2) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("hamming"), col("vec_id"))).cast("int"))
+      .filter(col("rk") <= 3)
+
+  /** Oracle replay of the BQ pipeline: pack (sum of powers of two per
+    * half), xor/popcount Hamming, ranking — ends in
+    * `bq_ranked(qid, vec_id, hamming, rk)`. */
+  private val bqCtesSql =
+    s"""qv AS ($qvSql),
+       |bq AS (SELECT vec_id,
+       |         CAST(SUM(CASE WHEN qe > 0 AND dim < 32
+       |                       THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END)
+       |           AS BIGINT) AS h1,
+       |         CAST(SUM(CASE WHEN qe > 0 AND dim >= 32
+       |                       THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END)
+       |           AS BIGINT) AS h2
+       |       FROM qv GROUP BY vec_id),
+       |bqq AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM bq
+       |        WHERE $QuerySetSql),
+       |bq_sc AS (
+       |  SELECT q.qid, b.vec_id,
+       |         CAST(bit_count(xor(b.h1, q.q1)) + bit_count(xor(b.h2, q.q2))
+       |           AS BIGINT) AS hamming
+       |  FROM bq b JOIN bqq q ON b.vec_id <> q.qid),
+       |bq_ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY hamming, vec_id) AS rk
+       |  FROM bq_sc)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- exact brute-force top-5 for a bounded query set: broadcast
@@ -2648,6 +2703,77 @@ object Similarity {
         .filter(col("rk") <= 3)
         .select(col("qid"), col("vec_id"))
         .join(sq3, Seq("qid", "vec_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as("n_top3"),
+          count(col("hit")).cast("long").as("n_recalled"))
+        .select(col("qid").as("query_id"), col("n_top3"), col("n_recalled"))
+        .orderBy(col("query_id"))
+    },
+
+    // ---- binary-quantized top-3: sign bits packed to 16 bytes per
+    // vector (32× vs the int-quantized raw form), ranked by Hamming
+    // distance — 2 xor + 2 popcount ALU ops per candidate, the
+    // cheapest scan a vector store owns. At 10⁹ vectors the whole
+    // signature table is 16 GB — memory-resident per executor group
+    // where raw vectors are a 0.5 TB scan; this is the first-stage
+    // filter in front of an exact rerank (the ss_adc_rerank pattern),
+    // priced honestly by ss_bq_recall below. Pack is one map-side
+    // array fold; the scan is corpus-linear with the 10 query
+    // signatures broadcast. ----
+    sql("ss_bq_topk",
+      s"""WITH $bqCtesSql
+         |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+         |       vec_id AS neighbor_id, hamming
+         |FROM bq_ranked WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val bq = bqFrame(varr(s, dir))
+      val qq = bq.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+      bqTop3(bq, qq)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("hamming"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- BQ recall eval: Hamming top-3 vs exact inner-product top-3
+    // — the accuracy row that prices the 32× compression, same
+    // measurement loop as ss_sq8_recall prices SQ8's 8×. One bit per
+    // dimension keeps only direction octants, so recall sits well
+    // below SQ8's; the pair of rows is the compression-accuracy
+    // frontier a deployment chooses from. ----
+    sql("ss_bq_recall",
+      s"""WITH $bqCtesSql,
+         |ip_gt AS (
+         |  SELECT q.qid, v.vec_id, CAST(SUM(q.qe * v.qe) AS BIGINT) AS dot
+         |  FROM (SELECT vec_id AS qid, dim, qe FROM qv WHERE $QuerySetSql) q
+         |  JOIN qv v ON v.dim = q.dim AND v.vec_id <> q.qid
+         |  GROUP BY q.qid, v.vec_id),
+         |ip_ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY dot DESC, vec_id) AS rk
+         |  FROM ip_gt)
+         |SELECT g.qid AS query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_top3,
+         |       CAST(COUNT(s.vec_id) AS BIGINT) AS n_recalled
+         |FROM ip_ranked g LEFT JOIN bq_ranked s
+         |  ON s.qid = g.qid AND s.vec_id = g.vec_id AND s.rk <= 3
+         |WHERE g.rk <= 3
+         |GROUP BY g.qid ORDER BY query_id""") { (s, dir) =>
+      val v = varr(s, dir).cache() // shared by the pack scan and the gt scan
+      val bq = bqFrame(v)
+      val qqSig = bq.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+      val bq3 = bqTop3(bq, qqSig)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"))
+      v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+        .withColumn("dotv", dot("qqe", "qe"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dotv").desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id"))
+        .join(bq3, Seq("qid", "vec_id"), "left_outer")
         .groupBy(col("qid"))
         .agg(count(lit(1)).cast("long").as("n_top3"),
           count(col("hit")).cast("long").as("n_recalled"))

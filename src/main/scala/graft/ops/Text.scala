@@ -1232,6 +1232,73 @@ object Text {
         .orderBy(col("source"))
     },
 
+    // ---- repeated-passage SCRUB (the RefinedWeb / MassiveText
+    // line-dedup shape, at word-chunk granularity since this corpus
+    // has no newlines): partition each doc into non-overlapping
+    // 24-word chunks; a chunk whose digest appears in 2+ documents is
+    // boilerplate and is REMOVED from every copy; the surviving
+    // chunks reassemble in order into clean_text. This is the one
+    // rewrite op of the text family — the others score or flag, this
+    // one produces the curated corpus bytes.
+    // Scale shape: the corpus text NEVER crosses an exchange. The
+    // digest stream (32-hex rows, not text) shuffles once for the
+    // dup-set aggregate; removal is digest-stream ⋈ broadcast(dup
+    // set) → a (doc_id, chunk_idx) pair stream, contamination-sized,
+    // grouped into per-doc removal index lists; the rewrite itself is
+    // an array lambda evaluated WHERE EACH DOC'S ROW ALREADY LIVES
+    // (slice/filter/flatten over the split array — a doc is ≤ a few
+    // KB, the lambda is O(words)). The removal-list join is the only
+    // contact between the corpus and the dedup machinery, and AQE
+    // broadcasts it at real-world dup rates. Re-deriving the chunk
+    // grid inside the lambda instead of carrying chunk text through
+    // the join is what keeps the shuffled bytes digest-sized. ----
+    sql("tx_chunk_scrub",
+      """WITH ws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        |            FROM documents),
+        |ct AS (SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
+        |              array_to_string(w[i + 1 : i + 24], ' ') AS chunk
+        |       FROM ws, UNNEST(range(0, greatest(len(w), 1), 24)) AS t(i)),
+        |ck AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS digest FROM ct),
+        |dup AS (SELECT digest FROM ck
+        |        GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT c.doc_id,
+        |       CAST(COUNT(*) FILTER (WHERE d.digest IS NULL) AS BIGINT)
+        |         AS kept_chunks,
+        |       CAST(COUNT(*) FILTER (WHERE d.digest IS NOT NULL) AS BIGINT)
+        |         AS removed_chunks,
+        |       coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_idx)
+        |                  FILTER (WHERE d.digest IS NULL), '') AS clean_text
+        |FROM ck c LEFT JOIN dup d ON d.digest = c.digest
+        |GROUP BY c.doc_id ORDER BY c.doc_id""") { (s, dir) =>
+      val ws = docs(s, dir)
+        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
+      val ck = ws
+        .select(col("doc_id"),
+          explode(expr("sequence(0, greatest(size(w) - 1, 0), 24)")).as("i"),
+          col("w"))
+        .select(col("doc_id"), expr("CAST(i div 24 AS BIGINT)").as("chunk_idx"),
+          md5(concat_ws(" ", expr("slice(w, i + 1, 24)"))).as("digest"))
+      val dup = ck.groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("digest"))
+      val rm = ck.join(broadcast(dup), Seq("digest"))
+        .groupBy(col("doc_id")).agg(collect_list(col("chunk_idx")).as("removed"))
+      ws.join(rm, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          expr("""filter(sequence(CAST(0 AS BIGINT),
+                    CAST((greatest(size(w), 1) - 1) div 24 AS BIGINT)),
+                    i -> removed IS NULL OR NOT array_contains(removed, i))""")
+            .as("kept"),
+          col("w"), col("removed"))
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("kept_chunks"),
+          coalesce(size(col("removed")), lit(0)).cast("long").as("removed_chunks"),
+          expr("""array_join(flatten(transform(kept,
+                    i -> slice(w, CAST(i * 24 + 1 AS INT), 24))), ' ')""")
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- packing efficiency readout: per (lang, source) stream, the
     // numbers a batch-builder tunes against — bins produced, fill
     // percentage of the 256-token sequences, and how many documents

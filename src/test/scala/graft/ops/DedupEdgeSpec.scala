@@ -67,4 +67,23 @@ class DedupEdgeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(clusters == Set((0L, 0L), (1L, 0L)))
   }
+  test("dd_leakage_safe_split: no verified near-dup pair straddles splits") {
+    val dir = "/root/testdata/sf0.01"
+    val split = SparkEntry.queries("dd_leakage_safe_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // structural guarantee: both ends of every verified pair carry the
+    // same cluster hence the same split verdict
+    val pairs = SparkEntry.queries("dd_minhash_neardups")(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) in different clusters")
+    }
+    // the hash actually partitions: all three splits populated, train
+    // dominates (12/16 buckets)
+    val by = split.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(by.keySet == Set("train", "val", "test"), by.toString)
+    assert(by("train") > by("val") && by("train") > by("test"))
+  }
 }

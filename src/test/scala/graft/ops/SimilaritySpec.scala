@@ -387,4 +387,24 @@ class SimilaritySpec extends AnyFunSuite {
     // plan text; the broadcast path must not embed the model that way
     assert(plan.length < 200 * 1024, s"plan is ${plan.length} chars — model leaked into the plan")
   }
+  test("binary quantization packs sign bits faithfully and Hamming is exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // dims 0..63 with a known sign pattern: positive exactly where
+    // i % 3 == 0 -> expected half-words are the literal bit sums
+    val emb = (0 until 64).map(i => if (i % 3 == 0) 0.5f else -0.5f).toArray
+    val flip = emb.map(x => -x) // complement signature: Hamming = 64
+    val v = Seq((0L, emb, 0), (1L, flip, 0), (2L, emb, 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qe"))
+    val bq = Similarity.bqFrame(v).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expH1 = (0 until 32).filter(_ % 3 == 0).map(1L << _).sum
+    val expH2 = (32 until 64).filter(_ % 3 == 0).map(i => 1L << (i - 32)).sum
+    assert(bq(0L) == ((expH1, expH2)))
+    assert(bq(2L) == ((expH1, expH2))) // identical vector, identical signature
+    val (f1, f2) = bq(1L)
+    assert(java.lang.Long.bitCount(f1 ^ expH1) + java.lang.Long.bitCount(f2 ^ expH2) == 64)
+  }
 }

@@ -107,4 +107,31 @@ class TextEdgeSpec extends AnyFunSuite {
     // empty/NULL text still yields exactly one (degenerate) chunk
     assert(rows.count(_._1 == 2L) == 1 && rows.count(_._1 == 3L) == 1)
   }
+  test("tx_chunk_scrub: grid-aligned shared passages are removed from every copy") {
+    // shared 24-word boilerplate prefix, grid-aligned at chunk 0 in
+    // both carriers; the scrub must strip it from BOTH docs and
+    // reassemble each remainder in order. Docs 4/5 are full dups —
+    // every chunk shared — so both scrub to empty. Doc 3 shares
+    // nothing and must round-trip byte-identical (the rewrite path
+    // itself must not perturb untouched text).
+    val pre = (0 until 24).map(i => s"b$i").mkString(" ")
+    val tail1 = (0 until 24).map(i => s"x$i").mkString(" ")
+    val tail2 = (0 until 10).map(i => s"y$i").mkString(" ")
+    val solo = (0 until 30).map(i => s"z$i").mkString(" ")
+    val dup = (0 until 40).map(i => s"d$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      1L -> s"$pre $tail1",
+      2L -> s"$pre $tail2",
+      3L -> solo,
+      4L -> dup,
+      5L -> dup))
+    val out = SparkEntry.queries("tx_chunk_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, tail1)))
+    assert(out(2L) == ((1L, 1L, tail2)))
+    assert(out(3L) == ((2L, 0L, solo)))
+    assert(out(4L) == ((0L, 2L, "")))
+    assert(out(5L) == ((0L, 2L, "")))
+  }
 }
