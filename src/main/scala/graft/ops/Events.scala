@@ -338,6 +338,79 @@ object Events {
         .orderBy(col("event_id"))
     },
 
+    // ---- as-of join, direction = NEAREST with a tolerance (the
+    // pandas merge_asof(direction='nearest', tolerance=24h) shape —
+    // ev_asof_last_view is the backward-only sibling): each purchase
+    // matches its closest view within ±86,400 s, ties to the backward
+    // side. Implemented as TWO doc-ordered windows over the SAME
+    // per-user stream (running MAX of view times up to the row +
+    // running MIN after it) — never a purchase×view range join, so
+    // the cost is one per-user sort regardless of how many views a
+    // tolerance window holds; the 100 TB plan is identical to the
+    // backward as-of it extends. ----
+    sql("ev_asof_nearest",
+      s"""WITH e AS ($baseSql),
+         |tagged AS (
+         |  SELECT user_id, tsec, event_id,
+         |         CASE WHEN event_type = 'view' THEN tsec END AS view_sec
+         |  FROM e WHERE event_type IN ('view', 'purchase')),
+         |m AS (
+         |  SELECT user_id, tsec, event_id, view_sec,
+         |         MAX(view_sec) OVER (PARTITION BY user_id
+         |                             ORDER BY tsec, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS back_sec,
+         |         MIN(view_sec) OVER (PARTITION BY user_id
+         |                             ORDER BY tsec, event_id
+         |                             ROWS BETWEEN CURRENT ROW
+         |                               AND UNBOUNDED FOLLOWING) AS fwd_sec
+         |  FROM tagged),
+         |p AS (
+         |  SELECT event_id, user_id, tsec AS purchase_sec,
+         |         CASE WHEN back_sec IS NOT NULL
+         |                   AND tsec - back_sec <= 86400
+         |                   AND (fwd_sec IS NULL
+         |                        OR tsec - back_sec <= fwd_sec - tsec)
+         |              THEN back_sec
+         |              WHEN fwd_sec IS NOT NULL AND fwd_sec - tsec <= 86400
+         |              THEN fwd_sec END AS view_sec
+         |  FROM m WHERE view_sec IS NULL)
+         |SELECT event_id, user_id, purchase_sec,
+         |       CAST(coalesce(view_sec, -1) AS BIGINT) AS view_sec,
+         |       CAST(coalesce(abs(purchase_sec - view_sec), -1) AS BIGINT)
+         |         AS delta_sec,
+         |       CASE WHEN view_sec IS NULL THEN 'none'
+         |            WHEN view_sec <= purchase_sec THEN 'back'
+         |            ELSE 'fwd' END AS direction
+         |FROM p ORDER BY event_id""") { (s, dir) =>
+      val tagged = base(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("tsec"), col("event_id"),
+          when(col("event_type") === "view", col("tsec")).as("view_sec"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      val m = tagged
+        .withColumn("back_sec", max(col("view_sec")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("fwd_sec", min(col("view_sec")).over(
+          ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("view_sec").isNull)
+      val nearest = when(col("back_sec").isNotNull &&
+            col("tsec") - col("back_sec") <= 86400 &&
+            (col("fwd_sec").isNull ||
+              col("tsec") - col("back_sec") <= col("fwd_sec") - col("tsec")),
+          col("back_sec"))
+        .when(col("fwd_sec").isNotNull && col("fwd_sec") - col("tsec") <= 86400,
+          col("fwd_sec"))
+      m.withColumn("vs", nearest)
+        .select(col("event_id"), col("user_id"), col("tsec").as("purchase_sec"),
+          coalesce(col("vs"), lit(-1L)).cast("long").as("view_sec"),
+          coalesce(abs(col("tsec") - col("vs")), lit(-1L)).cast("long")
+            .as("delta_sec"),
+          when(col("vs").isNull, "none")
+            .when(col("vs") <= col("tsec"), "back").otherwise("fwd")
+            .as("direction"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- RANGE join against a broadcast band table: non-equi joins
     // are fine at scale exactly when the range side is dim-sized and
     // broadcast (BroadcastNestedLoopJoin), never fact×fact ----

@@ -698,5 +698,95 @@ object Pipeline {
           col("n_rows").cast("long").as("n_rows"),
           col("start_row").cast("long").as("start_row"))
         .orderBy(col("start_row"))
+    },
+
+    // ---- per-cell NDV sketches (the Iceberg-Puffin / theta-sketch
+    // stats shape, with graft's portable deterministic HLL so the
+    // estimates themselves are oracle-EXACT): one 64-register sketch
+    // of the point-lookup key per adaptive Z-cell, plus the
+    // table-level row (depth = -1) built by MAX-MERGING the per-cell
+    // registers — associativity IS the contract that lets a planner
+    // keep per-file sketches and answer table-level NDV without
+    // rescanning (the merged row deduplicates keys ACROSS cells,
+    // which summing per-cell NDVs cannot: at sf0.01 the 433 cells'
+    // exact NDVs sum to 59,659 while the true table NDV is 14,743 —
+    // the merged sketch reads 14,177, ~4% off).
+    // ndv_exact rides along as the oracle-gated ERROR EVAL — at
+    // 100 TB that column is exactly what the sketch replaces and
+    // would be dropped; the register pipeline (one (cell, bucket)
+    // aggregation of constant-size maxima, map-side combinable,
+    // register-sized shuffle) is the product. ----
+    sql("pipe_ndv_sketches", {
+      val hx1 = Hll.hexValSql("hx", 1)
+      val hx9 = Hll.hexValSql("hx", 9)
+      s"""WITH $zLayoutCtesSql,
+        |hv AS (SELECT depth, cell, k, md5(CAST(k AS VARCHAR)) AS hx FROM fin),
+        |v AS (SELECT depth, cell, k, $hx1 % ${Hll.M} AS bucket, $hx9 AS w FROM hv),
+        |r AS (SELECT depth, cell, bucket, MAX(${Hll.rhoLadderSql}) AS mrho
+        |      FROM v GROUP BY depth, cell, bucket),
+        |ce AS (SELECT depth, cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |              CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_exact
+        |       FROM fin GROUP BY depth, cell),
+        |cs AS (SELECT depth, cell,
+        |              CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+        |              COUNT(*) AS np
+        |       FROM r GROUP BY depth, cell),
+        |cells AS (SELECT ce.depth, ce.cell, ce.n_rows, ce.ndv_exact,
+        |                 CAST(${Hll.ScaledAlphaM2} //
+        |                   (1000 * (cs.sp + (${Hll.M} - cs.np) * 8589934592))
+        |                   AS BIGINT) AS ndv_sketch
+        |          FROM ce JOIN cs ON cs.depth = ce.depth AND cs.cell = ce.cell),
+        |mr AS (SELECT bucket, MAX(mrho) AS mrho FROM r GROUP BY bucket),
+        |ms AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+        |              COUNT(*) AS np
+        |       FROM mr),
+        |tot AS (SELECT CAST(-1 AS INT) AS depth, CAST(-1 AS BIGINT) AS cell,
+        |               (SELECT CAST(COUNT(*) AS BIGINT) FROM fin) AS n_rows,
+        |               (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM fin) AS ndv_exact,
+        |               CAST(${Hll.ScaledAlphaM2} //
+        |                 (1000 * (ms.sp + (${Hll.M} - ms.np) * 8589934592))
+        |                 AS BIGINT) AS ndv_sketch
+        |        FROM ms)
+        |SELECT CAST(depth AS INT) AS depth, cell, n_rows, ndv_exact, ndv_sketch
+        |FROM (SELECT * FROM cells UNION ALL SELECT * FROM tot)
+        |ORDER BY depth, cell"""
+    }) { (s, dir) =>
+      val fin = zAssigned(s, dir)
+        .select(col("depth"), col("cell"), col("k"))
+        .localCheckpoint() // read 3×: registers, exact eval, totals
+      val v = fin
+        .withColumn("hx", md5(col("k").cast("string")))
+        .select(col("depth"), col("cell"),
+          (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
+          conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      val r = v.groupBy(col("depth"), col("cell"), col("bucket"))
+        .agg(max(expr(Hll.rhoLadderSql)).as("mrho"))
+      val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
+        s"(1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
+      val cells = fin.groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("k")).cast("long").as("ndv_exact"))
+        .join(
+          r.groupBy(col("depth"), col("cell"))
+            .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+              count(lit(1)).as("np"))
+            .select(col("depth"), col("cell"), estCol.as("ndv_sketch")),
+          Seq("depth", "cell"))
+      // the table-level sketch merges the PER-CELL registers (max is
+      // associative) — the raw rows are never rescanned for it
+      val tot = r.groupBy(col("bucket")).agg(max(col("mrho")).as("mrho"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"))
+        .select(estCol.as("ndv_sketch"))
+        .crossJoin(broadcast(fin.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("k")).cast("long").as("ndv_exact"))))
+        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
+          col("n_rows"), col("ndv_exact"), col("ndv_sketch"))
+      cells
+        .select(col("depth").cast("int").as("depth"), col("cell").cast("long").as("cell"),
+          col("n_rows"), col("ndv_exact"), col("ndv_sketch"))
+        .unionAll(tot)
+        .orderBy(col("depth"), col("cell"))
     })
 }

@@ -66,4 +66,34 @@ class SketchSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+  test("pipe_ndv_sketches: cell-register merge equals a from-scratch JVM replay") {
+    // the oracle computes the merged row with the same two-level
+    // register structure as Spark, so a merge bug consistent across
+    // both engines would still be oracle-EXACT; this replays the
+    // estimator INDEPENDENTLY (plain JVM md5 over the raw key column,
+    // no cells) and pins the merged sketch to it — merge-equals-rescan
+    // is the associativity contract.
+    val out = SparkEntry.queries("pipe_ndv_sketches")(spark, dir).collect()
+    val merged = out.find(_.getInt(0) == -1).get
+    val ks = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.col("l_orderkey").cast("long"))
+      .collect().map(_.getLong(0))
+    val regs = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ks.foreach { k =>
+      val hx = md.digest(k.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val bucket = (java.lang.Long.parseLong(hx.substring(0, 8), 16) % 64).toInt
+      val w = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+      val rho = if (w == 0) 33 else java.lang.Long.numberOfTrailingZeros(w) + 1
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    val sp = regs.filter(_ > 0).map(r => 1L << (33 - r)).sum
+    val np = regs.count(_ > 0)
+    val est = (709L * 64 * 64 * 8589934592L) / (1000L * (sp + (64 - np) * 8589934592L))
+    assert(merged.getLong(4) == est,
+      s"merged sketch ${merged.getLong(4)} != independent replay $est")
+    // and the merged row's exact NDV really is the distinct key count
+    assert(merged.getLong(3) == ks.distinct.length.toLong)
+  }
 }
