@@ -1299,6 +1299,45 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-source token-QUOTA admission (the crawl-budget gate: a
+    // mix policy caps how many tokens each source may contribute; the
+    // source's stream is admitted in arrival order until the quota is
+    // spent, then everything further is rejected — prefix truncation,
+    // exactly what "stop crawling this domain at N tokens" means; the
+    // 800-token budget is a FIXED policy constant like the
+    // decontamination benchmark, not corpus-scaled). used_before is a
+    // windowed prefix sum PARTITIONED BY source — each source admits
+    // independently, nothing global. [[graft.streaming.StreamOps
+    // .quotaAdmit]] is the stateful streaming twin (state = one long
+    // per source); StreamOpsSpec asserts verdict parity across a
+    // micro-batch split. ----
+    sql("tx_quota_admission",
+      """WITH d AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |                    AS n_tokens
+        |           FROM documents),
+        |p AS (SELECT *,
+        |             CAST(coalesce(SUM(n_tokens) OVER (
+        |               PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |               AS used_before
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens, used_before,
+        |       CAST(CASE WHEN used_before + n_tokens <= 800 THEN 1 ELSE 0 END AS INT)
+        |         AS admitted
+        |FROM p ORDER BY doc_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+        .withColumn("used_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("used_before"),
+          when(col("used_before") + col("n_tokens") <= 800, 1).otherwise(0)
+            .cast("int").as("admitted"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- packing efficiency readout: per (lang, source) stream, the
     // numbers a batch-builder tunes against — bins produced, fill
     // percentage of the 256-token sequences, and how many documents

@@ -378,6 +378,45 @@ object StreamOps {
       .withColumn("flagged", col("bloom_grams") > 0)
   }
 
+  /** Streaming per-source token-QUOTA admission — the stateful twin of
+    * the batch tx_quota_admission gate (SAME rule: a source's docs are
+    * admitted in (ts, doc_id) order until the fixed token budget is
+    * spent, then rejected — prefix truncation). State per source is
+    * ONE long (tokens seen so far): the cheapest state shape in the
+    * library, and it must never time out — a quota is a lifetime
+    * budget, so the state store holds |sources| longs forever, which
+    * is dim-sized by construction. Each micro-batch sorts its
+    * per-source slice by (ts, doc_id) before charging the budget, so
+    * the verdicts are identical under ANY micro-batch split of an
+    * in-order stream (StreamOpsSpec asserts parity across a split,
+    * including a budget boundary straddling two batches). */
+  def quotaAdmit(docs: DataFrame, budgetTokens: Long = 800L)
+      : Dataset[(Long, String, Long, Long, Boolean)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("ts"), col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
+      .as[(Timestamp, Long, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        quotaFn(budgetTokens))
+  }
+
+  private def quotaFn(budget: Long)(
+      source: String, rows: Iterator[(Timestamp, Long, String, Long)],
+      state: GroupState[Long]): Iterator[(Long, String, Long, Long, Boolean)] = {
+    var used = state.getOption.getOrElse(0L)
+    val out = rows.toArray.sortBy(r => (r._1.getTime, r._2)).map {
+      case (_, id, src, n) =>
+        val before = used
+        used += n
+        (id, src, n, before, before + n <= budget)
+    }
+    state.update(used)
+    out.iterator
+  }
+
   /** Stream-static enrichment: each event picks up its user's
     * dimension row (segment) via a BROADCAST left join — in a
     * streaming plan the static side is re-resolved every micro-batch

@@ -917,4 +917,35 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got.contains(UserSession(2, sec(5), sec(5), 1, 5)), got)    // timeout-closed
     } finally q.stop()
   }
+  test("quotaAdmit charges the per-source budget identically across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // budget 8 tokens; source web sends 3 + 4 + 2 tokens with the
+    // budget boundary (7 -> 9) straddling the micro-batch split;
+    // source blog proves budgets are independent
+    val input = MemoryStream[Doc]
+    val q = StreamOps.quotaAdmit(input.toDF(), budgetTokens = 8L)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, ts(0), "a b c", "en", "web"),
+        Doc(10, ts(0), "w x y z one two three", "en", "blog")) // 7 tokens
+      q.processAllAvailable()
+      input.addData(
+        Doc(2, ts(1), "d e f g", "en", "web"),
+        Doc(3, ts(2), "h i", "en", "web"),
+        Doc(11, ts(1), "v w", "en", "blog")) // 7 + 2 > 8: rejected
+      q.processAllAvailable()
+      val got = spark.table("quota")
+        .as[(Long, String, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._4, r._5))).toMap
+      // the batch rule (used_before + n <= 8) on the merged stream:
+      assert(got(1L) == ((0L, true)))
+      assert(got(2L) == ((3L, true)))   // 3 + 4 = 7 <= 8
+      assert(got(3L) == ((7L, false)))  // 7 + 2 = 9 > 8, across the split
+      assert(got(10L) == ((0L, true)))
+      assert(got(11L) == ((7L, false))) // blog's own budget, not web's
+    } finally q.stop()
+  }
 }
