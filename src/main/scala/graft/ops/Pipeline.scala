@@ -788,5 +788,99 @@ object Pipeline {
           col("n_rows"), col("ndv_exact"), col("ndv_sketch"))
         .unionAll(tot)
         .orderBy(col("depth"), col("cell"))
+    },
+
+    // ---- the FULL LLM-corpus build, per document, in ONE declarative
+    // plan — the RefinedWeb/Dolma end-to-end: Gopher quality gate ∧
+    // near-dup keep (curation), repeated-passage SCRUB (the clean
+    // bytes), leakage-safe cluster split, and per-source token-quota
+    // admission of the curated TRAIN stream — every stage the literal
+    // shared definition of its standalone operator (gopherSigSql,
+    // clusterLabels/neardupCtesSql, scrubCtesSql, the
+    // tx_quota_admission window), so the composed pipeline can never
+    // drift from the pieces the driver verifies one by one.
+    // Scale shape: composing adds NO new shuffle class — the stages
+    // meet on doc_id equi-joins; the only exchanges are the ones the
+    // pieces already own (LSH bucket join + supersteps, the scrub's
+    // digest aggregation, one per-source window), and Catalyst fuses
+    // the map-side stages (gate signals, token counts, split hash)
+    // into the scan projections. The quota charges CURATED TRAIN
+    // tokens only: rejected/dup/val/test docs never consume budget —
+    // the ordering dependency a sequential pipeline runner gets wrong
+    // when it meters raw ingest instead of curated yield. ----
+    sql("pipe_llm_corpus",
+      s"""WITH RECURSIVE ${Dedup.neardupCtesSql},
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT a, b FROM sym
+        |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |             FROM reach GROUP BY a),
+        |${Text.gopherSigSql},
+        |${Text.scrubCtesSql},
+        |asg AS (SELECT d.doc_id, d.lang, d.source,
+        |               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |               CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+        |                    THEN 1 ELSE 0 END AS kept
+        |        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+        |j AS (SELECT a.doc_id, a.lang, a.source, g.quality_pass, a.kept,
+        |             CASE substr(md5(CAST(a.cluster_id AS VARCHAR)), 1, 1)
+        |               WHEN '0' THEN 'val' WHEN '1' THEN 'test' ELSE 'train'
+        |             END AS split,
+        |             CASE WHEN s.clean_text = '' THEN 0
+        |                  ELSE CAST(len(string_split(s.clean_text, ' ')) AS BIGINT)
+        |             END AS n_tokens
+        |      FROM asg a
+        |      JOIN gq g ON g.doc_id = a.doc_id
+        |      JOIN scrubbed s ON s.doc_id = a.doc_id),
+        |q AS (SELECT *,
+        |             CASE WHEN quality_pass = 1 AND kept = 1 AND split = 'train'
+        |                  THEN 1 ELSE 0 END AS charge,
+        |             CAST(coalesce(SUM(CASE WHEN quality_pass = 1 AND kept = 1
+        |                                         AND split = 'train'
+        |                                    THEN n_tokens ELSE 0 END) OVER (
+        |               PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS BIGINT) AS used_before
+        |      FROM j)
+        |SELECT doc_id, lang, source,
+        |       CAST(quality_pass AS INT) AS quality_pass,
+        |       CAST(kept AS INT) AS kept, split, n_tokens, used_before,
+        |       CAST(CASE WHEN charge = 1 AND used_before + n_tokens <= 800
+        |                 THEN 1 ELSE 0 END AS INT) AS admitted
+        |FROM q ORDER BY doc_id""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val sig = Text.gopherSignals(d).select(col("doc_id"), col("quality_pass"))
+      val clusters = Dedup.clusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cid"))
+      val scrub = Text.scrubbedFrame(s, dir).select(col("doc_id"), col("clean_text"))
+      val asg = d.select(col("doc_id"), col("lang"), col("source"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .withColumn("kept",
+          when(col("cid").isNull || col("cid") === col("doc_id"), 1).otherwise(0))
+      val j = asg.join(sig, Seq("doc_id")).join(scrub, Seq("doc_id"))
+        .withColumn("split",
+          when(substring(md5(col("cluster_id").cast("string")), 1, 1) === "0", "val")
+            .when(substring(md5(col("cluster_id").cast("string")), 1, 1) === "1", "test")
+            .otherwise("train"))
+        .withColumn("n_tokens",
+          when(col("clean_text") === "", 0L)
+            .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+        .withColumn("charge",
+          when(col("quality_pass") === 1 && col("kept") === 1 &&
+            col("split") === "train", 1).otherwise(0))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      j.withColumn("used_before", coalesce(
+          sum(when(col("charge") === 1, col("n_tokens")).otherwise(0L)).over(w),
+          lit(0L)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("quality_pass").cast("int").as("quality_pass"),
+          col("kept").cast("int").as("kept"), col("split"), col("n_tokens"),
+          col("used_before"),
+          when(col("charge") === 1 && col("used_before") + col("n_tokens") <= 800, 1)
+            .otherwise(0).cast("int").as("admitted"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -224,6 +224,64 @@ object Text {
       |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repeated-passage scrub CTE chain ending in `scrubbed(doc_id,
+    * kept_chunks, removed_chunks, clean_text)` — shared by
+    * tx_chunk_scrub and pipe_llm_corpus so the corpus the composed
+    * pipeline packs is BY CONSTRUCTION the corpus the scrub op
+    * publishes (see tx_chunk_scrub's comment for the semantics and
+    * the scale shape). */
+  private[ops] val scrubCtesSql: String =
+    """sws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+      |        FROM documents),
+      |sct AS (SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
+      |               array_to_string(w[i + 1 : i + 24], ' ') AS chunk
+      |        FROM sws, UNNEST(range(0, greatest(len(w), 1), 24)) AS t(i)),
+      |sck AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS digest FROM sct),
+      |sdup AS (SELECT digest FROM sck
+      |         GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2),
+      |scrubbed AS (
+      |  SELECT c.doc_id,
+      |         CAST(COUNT(*) FILTER (WHERE d.digest IS NULL) AS BIGINT)
+      |           AS kept_chunks,
+      |         CAST(COUNT(*) FILTER (WHERE d.digest IS NOT NULL) AS BIGINT)
+      |           AS removed_chunks,
+      |         coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_idx)
+      |                    FILTER (WHERE d.digest IS NULL), '') AS clean_text
+      |  FROM sck c LEFT JOIN sdup d ON d.digest = c.digest
+      |  GROUP BY c.doc_id)""".stripMargin
+
+  /** Spark twin of [[scrubCtesSql]]'s `scrubbed`: (doc_id,
+    * kept_chunks, removed_chunks, clean_text). The corpus text never
+    * crosses an exchange — see tx_chunk_scrub's registration comment. */
+  private[ops] def scrubbedFrame(s: SparkSession, dir: String): DataFrame = {
+    val ws = docs(s, dir)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
+    val ck = ws
+      .select(col("doc_id"),
+        explode(expr("sequence(0, greatest(size(w) - 1, 0), 24)")).as("i"),
+        col("w"))
+      .select(col("doc_id"), expr("CAST(i div 24 AS BIGINT)").as("chunk_idx"),
+        md5(concat_ws(" ", expr("slice(w, i + 1, 24)"))).as("digest"))
+    val dup = ck.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("digest"))
+    val rm = ck.join(broadcast(dup), Seq("digest"))
+      .groupBy(col("doc_id")).agg(collect_list(col("chunk_idx")).as("removed"))
+    ws.join(rm, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        expr("""filter(sequence(CAST(0 AS BIGINT),
+                  CAST((greatest(size(w), 1) - 1) div 24 AS BIGINT)),
+                  i -> removed IS NULL OR NOT array_contains(removed, i))""")
+          .as("kept"),
+        col("w"), col("removed"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("kept_chunks"),
+        coalesce(size(col("removed")), lit(0)).cast("long").as("removed_chunks"),
+        expr("""array_join(flatten(transform(kept,
+                  i -> slice(w, CAST(i * 24 + 1 AS INT), 24))), ' ')""")
+          .as("clean_text"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Gopher-style quality rules (Rae et al. 2021, "Scaling
@@ -1253,50 +1311,10 @@ object Text {
     // grid inside the lambda instead of carrying chunk text through
     // the join is what keeps the shuffled bytes digest-sized. ----
     sql("tx_chunk_scrub",
-      """WITH ws AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
-        |            FROM documents),
-        |ct AS (SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
-        |              array_to_string(w[i + 1 : i + 24], ' ') AS chunk
-        |       FROM ws, UNNEST(range(0, greatest(len(w), 1), 24)) AS t(i)),
-        |ck AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS digest FROM ct),
-        |dup AS (SELECT digest FROM ck
-        |        GROUP BY digest HAVING COUNT(DISTINCT doc_id) >= 2)
-        |SELECT c.doc_id,
-        |       CAST(COUNT(*) FILTER (WHERE d.digest IS NULL) AS BIGINT)
-        |         AS kept_chunks,
-        |       CAST(COUNT(*) FILTER (WHERE d.digest IS NOT NULL) AS BIGINT)
-        |         AS removed_chunks,
-        |       coalesce(string_agg(c.chunk, ' ' ORDER BY c.chunk_idx)
-        |                  FILTER (WHERE d.digest IS NULL), '') AS clean_text
-        |FROM ck c LEFT JOIN dup d ON d.digest = c.digest
-        |GROUP BY c.doc_id ORDER BY c.doc_id""") { (s, dir) =>
-      val ws = docs(s, dir)
-        .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
-      val ck = ws
-        .select(col("doc_id"),
-          explode(expr("sequence(0, greatest(size(w) - 1, 0), 24)")).as("i"),
-          col("w"))
-        .select(col("doc_id"), expr("CAST(i div 24 AS BIGINT)").as("chunk_idx"),
-          md5(concat_ws(" ", expr("slice(w, i + 1, 24)"))).as("digest"))
-      val dup = ck.groupBy(col("digest"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("digest"))
-      val rm = ck.join(broadcast(dup), Seq("digest"))
-        .groupBy(col("doc_id")).agg(collect_list(col("chunk_idx")).as("removed"))
-      ws.join(rm, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          expr("""filter(sequence(CAST(0 AS BIGINT),
-                    CAST((greatest(size(w), 1) - 1) div 24 AS BIGINT)),
-                    i -> removed IS NULL OR NOT array_contains(removed, i))""")
-            .as("kept"),
-          col("w"), col("removed"))
-        .select(col("doc_id"),
-          size(col("kept")).cast("long").as("kept_chunks"),
-          coalesce(size(col("removed")), lit(0)).cast("long").as("removed_chunks"),
-          expr("""array_join(flatten(transform(kept,
-                    i -> slice(w, CAST(i * 24 + 1 AS INT), 24))), ' ')""")
-            .as("clean_text"))
-        .orderBy(col("doc_id"))
+      s"""WITH $scrubCtesSql
+        |SELECT doc_id, kept_chunks, removed_chunks, clean_text
+        |FROM scrubbed ORDER BY doc_id""") { (s, dir) =>
+      scrubbedFrame(s, dir).orderBy(col("doc_id"))
     },
 
     // ---- per-source token-QUOTA admission (the crawl-budget gate: a
