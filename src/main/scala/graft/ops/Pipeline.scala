@@ -751,9 +751,17 @@ object Pipeline {
         |FROM (SELECT * FROM cells UNION ALL SELECT * FROM tot)
         |ORDER BY depth, cell"""
     }) { (s, dir) =>
+      // three consumers (registers, per-cell exact eval, totals) each
+      // re-derive the cell assignment rather than reading a
+      // materialized copy: the assignment is scan + broadcast joins
+      // (fully pipelined, no exchange), so recomputing costs three
+      // parquet scans, while a localCheckpoint of the ~60M-row fin at
+      // 100× measured 1.7× SLOWER end-to-end (21.9 → 12.7 s at sf10:
+      // a ~1.4 GB block write plus three reads loses to three
+      // codegen'd scans, and the storage pressure evicts neighbors'
+      // memoized artifacts to disk).
       val fin = zAssigned(s, dir)
         .select(col("depth"), col("cell"), col("k"))
-        .localCheckpoint() // read 3×: registers, exact eval, totals
       val v = fin
         .withColumn("hx", md5(col("k").cast("string")))
         .select(col("depth"), col("cell"),
