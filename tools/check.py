@@ -34,6 +34,16 @@ import decimal
 import duckdb
 import numpy as np
 import pyarrow.dataset as ds
+from concurrent.futures import ProcessPoolExecutor
+
+
+def _oracle_worker(args):
+    """Runs ONE oracle in a fresh child interpreter (see run_oracle)."""
+    sf_dir, sql = args
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c.execute(sql).df()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -77,10 +87,20 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # each oracle runs in a FRESH CHILD PROCESS (max_tasks_per_child=1):
+    # a long-lived connection accumulates buffer-pool/temp state across
+    # 170+ heavy oracles and dies with allocator OOMs on the tail of a
+    # full above-regime (10x fixture) run, and even connection-per-query
+    # IN-process segfaulted after ~144 native create/destroy cycles —
+    # both failures tool-side, every query passing in isolation. A
+    # spawned child per oracle is ~0.3 s overhead and leaves nothing
+    # behind; exceptions propagate through the future.
+    ex = ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
+
+    def run_oracle(sql):
+        return ex.submit(_oracle_worker, (sf_dir, sql)).result()
+
     failures, passed = [], 0
     import os
     out_dirs = set(
@@ -115,7 +135,7 @@ def main():
             print(f"SKIP  {name}  (rows-only: {len(got)} rows, no oracle)")
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            exp = run_oracle(oracle[name])
         except Exception as e:
             failures.append((name, f"ORACLE EXEC ERROR: {e}"))
             continue
@@ -138,7 +158,8 @@ def main():
                 (name, f"VALUE row{bad[0]}\n  spark={bad[1]}\n  oracle={bad[2]}"))
         else:
             passed += 1
-            print(f"PASS  {name}  ({len(g_rows)} rows, type-strict EXACT)")
+            print(f"PASS  {name}  ({len(g_rows)} rows, type-strict EXACT)", flush=True)
+        del got, exp, g_rows, e_rows  # free before the next heavy pair
     for name, msg in failures:
         print(f"FAIL  {name}: {msg}")
     print(f"\n{passed} passed, {len(failures)} failed")
