@@ -53,7 +53,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => TrigramCodes(args.head)),
     (FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
-      (args: Seq[Expression]) => ZOrderKey(args.head, args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y) => ZOrderKey(x, y)
+        case other => throw new IllegalArgumentException(
+          s"graft_zorder requires exactly 2 arguments, got ${other.length}")
+      }))
 
   private def literalWidth(e: Expression): Int = e.eval(null) match {
     case i: Int => i

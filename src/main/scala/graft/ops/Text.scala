@@ -824,7 +824,8 @@ object Text {
     // scan — each query term touches its posting list only, exactly
     // the inverted-index contract. ----
     sql("tx_bm25_search",
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      """WITH w AS (SELECT doc_id,
+        |                  unnest(string_split(coalesce(text, ''), ' ')) AS word
         |           FROM documents),
         |cw AS (SELECT * FROM w WHERE doc_id % 100 != 0),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM cw GROUP BY doc_id, word),
@@ -858,15 +859,22 @@ object Text {
         |             ORDER BY score DESC, doc_id) AS rk FROM agg)
         |SELECT qid AS query_id, CAST(rk AS INT) AS rk, doc_id, score, n_terms
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""") { (s, dir) =>
+      // coalesce(text, '') on EVERY text read (w and dl alike): a
+      // NULL-text doc must count as a 1-word [''] doc in BOTH engines
+      // — without it Spark's size(split) row would carry a NULL dl
+      // that count(*) still counts in st.n while the oracle's unnest
+      // drops the doc entirely, skewing every idf.
       val w = docs(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
       val cw = w.filter(col("doc_id") % 100 =!= 0)
       // dl = words per doc = size of the split array (explode emits
       // exactly size(split) rows, incl. the ['']-for-empty-text case
       // both engines share) — a map-only projection, no explode, no
       // shuffle; the oracle's COUNT(*)-per-doc form is provably equal.
       val dl = docs(s, dir).filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+        .select(col("doc_id"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("dl"))
       val st = dl.agg(
         expr("(1000 * sum(dl)) div count(*)").as("a"),
         count(lit(1)).as("n"))

@@ -18,7 +18,7 @@ import graft.{SparkEntry, SparkTestSession}
   * serves the memoized indexes concurrently — and asserts every
   * result is identical to its serial baseline. The mix deliberately
   * spans the shared-state surfaces: k-means/IVF memos
-  * (ss_ivf_trained, ss_cells_broadcast), the checkpointed k-NN graph
+  * (ss_ivf_trained, ss_cells_assign), the checkpointed k-NN graph
   * (ss_knn_graph), the published band index WRITE path
   * (dd_index_merge races dd_incremental_neardups' read), the
   * conf-scoped events loader (ev_*; construction is serialized by
@@ -29,7 +29,7 @@ class ConcurrencySpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val names = Seq(
-    "ss_ivf_trained", "ss_cells_broadcast", "ss_knn_graph", "ss_pq_adc",
+    "ss_ivf_trained", "ss_cells_assign", "ss_knn_graph", "ss_pq_adc",
     "dd_minhash_neardups", "dd_incremental_neardups", "dd_index_merge",
     "tx_bpe_tokens", "q1_pricing_summary", "ev_sessionization", "ev_dau_wau",
     // the IMI family: two per-level model memos raced by two consumers

@@ -32,7 +32,7 @@ class OracleScaleSpec extends AnyFunSuite {
     * kept in sync BY HAND so a silently dropped generator fails here. */
   private val conditional = Set(
     "ss_lsh_neardups", "ss_lsh_multiprobe", "ss_ivf_trained",
-    "ss_ivf_nprobe", "ss_nprobe_recall", "ss_cells_broadcast",
+    "ss_ivf_nprobe", "ss_nprobe_recall", "ss_cells_assign",
     "ss_recall_eval", "ss_knn_graph", "ss_knn_pagerank", "ss_graph_search",
     "ss_graph_recall", "ss_ivfadc_topk", "ss_ivfadc_residual",
     "ss_residual_recall", "ss_cluster_profile",
@@ -74,7 +74,7 @@ class OracleScaleSpec extends AnyFunSuite {
 
   test("above-regime generated SQL embeds the scaled geometry, k, and sample") {
     val byName = SparkEntry.allSpecs.map(q => q.name -> q).toMap
-    val cells20k = byName("ss_cells_broadcast").oracleGen.get(20000)
+    val cells20k = byName("ss_ivf_trained").oracleGen.get(20000)
     assert(cells20k.contains("vec_id < 80"), "scaled k missing") // k = 20000/250
     assert(cells20k.contains("substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 4) < '418a'"),
       "training-sample predicate missing")
@@ -90,6 +90,29 @@ class OracleScaleSpec extends AnyFunSuite {
     assert(lsh20k.contains(s"a.p // ${g.planesPerBand}"), "scaled band split missing")
     // and the regime string differs — the generator is really conditional
     assert(lsh20k != byName("ss_lsh_neardups").oracle.get)
+  }
+
+  test("assignment ALGORITHM dispatches flat → IMI across FlatAssignMaxK") {
+    val byName = SparkEntry.allSpecs.map(q => q.name -> q).toMap
+    val gen = byName("ss_cells_assign").oracleGen.get
+    // below the boundary (k = 8 at the pinned regime, k = 64 right at
+    // the edge): the flat exhaustive chain, byte-identical to the
+    // static oracle at OracleRegimeN
+    assert(Similarity.scaledK(QuerySpec.OracleRegimeN) <= Similarity.FlatAssignMaxK)
+    assert(gen(QuerySpec.OracleRegimeN).contains("FROM cells"))
+    assert(!gen(QuerySpec.OracleRegimeN).contains("imicells"))
+    assert(Similarity.scaledK(16000) == 64) // edge: still flat
+    assert(gen(16000).contains("FROM cells") && !gen(16000).contains("imicells"))
+    // above the boundary (k = 80 at the 10× fixture, k = 800 at sf10):
+    // the IMI two-level chain with the joint-cell encoding
+    assert(Similarity.scaledK(20000) == 80)
+    val g20k = gen(20000)
+    assert(g20k.contains("imicells"), "above-boundary gen must route IMI")
+    assert(g20k.contains("cell1 * 65536 + cell2"), "joint-cell encoding missing")
+    assert(!g20k.contains("FROM cells "), "flat chain must not leak above boundary")
+    // per-level k′ = ⌈√k⌉ keeps assignment work n·2k′ ≪ n·k
+    assert(Similarity.imiLevelK(20000) == 9)
+    assert(Similarity.imiLevelK(200000) == 29)
   }
 
   test("sampled trainer replays the reference Lloyd math exactly") {

@@ -136,7 +136,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("broadcast-table centroid assignment is bit-equal to the literal argmin") {
-    // the large-k transport (ss_cells_broadcast) must agree with the
+    // the large-k transport (ss_cells_assign's flat branch) must agree with the
     // literal-expression path (ss_ivf_trained's assignment) on every
     // vector, ties included
     val v = Similarity.varr(spark, dir).cache()
@@ -327,7 +327,7 @@ class SimilaritySpec extends AnyFunSuite {
     // A's centroids were ever wrongly served for fixture B, B's served
     // map would disagree with B's fresh map on some vector.
     def assignments(d: String): Map[Long, Long] =
-      SparkEntry.queries("ss_cells_broadcast")(spark, d)
+      SparkEntry.queries("ss_cells_assign")(spark, d)
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // warm both memos in an interleaved order first
@@ -363,7 +363,7 @@ class SimilaritySpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
     def served(): Map[Long, Long] =
-      SparkEntry.queries("ss_cells_broadcast")(spark, tmp)
+      SparkEntry.queries("ss_cells_assign")(spark, tmp)
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     writeFrom("/root/testdata/sf0.001", 2)
