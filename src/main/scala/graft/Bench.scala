@@ -1,7 +1,161 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line `{"metric":"total",...}` on stdout.
+  *
+  * Two modes:
+  *
+  *  - ORCHESTRATOR (the default): groups the registered queries by
+  *    family (q/tx/ss/ev/dd/md/pipe/mm) and runs each family in a
+  *    FRESH CHILD JVM, then merges the children's JSON artifacts into
+  *    the single-line contract output. Why (measured, round 8): a
+  *    single JVM running all 172 queries accumulates heap/GC/
+  *    code-cache state that distorts the suite TAIL — tx_rolling_hash
+  *    read 40.0 s at sf10 in-suite vs 5.8 s isolated in a fresh JVM,
+  *    a 7× artifact of the HARNESS, not the plan, and per-query
+  *    numbers that depend on suite position cannot certify scale
+  *    ratios. tools/check.py got child-process isolation in round 8
+  *    for the same class of failure (DuckDB allocator state on the
+  *    tail); this gives the Spark side the same discipline at family
+  *    granularity: ~8 children, each ≤ ~31 queries, so accumulation
+  *    is bounded while the per-run overhead stays ~8 JVM+session
+  *    startups instead of 172. Children run SEQUENTIALLY (concurrent
+  *    local[32] sessions would contend for every core and measure
+  *    each other). Memoized indexes (TrainMemo) are per-JVM, so a
+  *    family that trains a model pays for it inside its own child —
+  *    cross-family memo sharing (e.g. dd_* reading a model an ss_*
+  *    query trained) no longer hides the cost, which is the honest
+  *    accounting for per-family numbers.
+  *
+  *    SPARK_GRAFT_ISOLATE=query  → one child per query (full
+  *    isolation — the re-measure tool for suspected harness
+  *    artifacts; ~172 JVM startups, dev use);
+  *    SPARK_GRAFT_ISOLATE=none   → the legacy single-JVM loop.
+  *
+  *  - CHILD (SPARK_GRAFT_CHILD=1, set by the orchestrator): the
+  *    original in-process loop over SPARK_GRAFT_ONLY, writing its
+  *    line to SPARK_GRAFT_OUT (a per-family temp file the parent
+  *    merges).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "family")
+    if (sys.env.contains("SPARK_GRAFT_CHILD") || isolate == "none")
+      runInProcess()
+    else orchestrate(isolate)
+  }
+
+  private def f(v: Double): String =
+    "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** q1..q28 share the "q" family; everything else groups on the
+    * prefix before the first underscore (tx, ss, ev, dd, md, pipe,
+    * mm). */
+  private[graft] def familyOf(name: String): String =
+    if (name.length > 1 && name(0) == 'q' && name(1).isDigit) "q"
+    else name.takeWhile(_ != '_')
+
+  private def orchestrate(isolate: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    val groups: Seq[(String, Seq[String])] =
+      if (isolate == "query") names.map(n => n -> Seq(n))
+      else names.groupBy(familyOf).toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> v.sorted }
+    // children replicate this JVM exactly: same binary, same flags
+    // (add-opens, -Xmx, code-cache — all injected by build.sbt's fork),
+    // same classpath; -cp variants are filtered out defensively since
+    // the classpath travels explicitly
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-cp") || a.startsWith("-classpath"))
+    val cp = sys.props("java.class.path")
+    val tmpDir = java.nio.file.Files.createTempDirectory("graftbench")
+    def toD(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case _ => 0.0
+    }
+    var queries = Vector.empty[(String, Double)]
+    var failed = Vector.empty[String]
+    var runsAll = Vector.empty[(String, Seq[Double])]
+    groups.foreach { case (gname, qnames) =>
+      val outF = tmpDir.resolve(s"$gname.json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      // the child's stdout JSON line is redundant with its artifact
+      // file; only the PARENT may print to stdout (one-line contract)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_CHILD", "1")
+      env.put("SPARK_GRAFT_ONLY", qnames.mkString(","))
+      env.put("SPARK_GRAFT_OUT", outF.toString)
+      val rc = pb.start().waitFor()
+      val text =
+        try new String(java.nio.file.Files.readAllBytes(outF), "UTF-8")
+        catch { case _: Exception => "" }
+      if (text.trim.isEmpty) {
+        // a crashed child (OOM, hard JVM death) fails its whole group
+        // loudly — silently dropping a family would read as a speedup
+        System.err.println(
+          s"[bench] family $gname: child rc=$rc produced no artifact — marking ${qnames.size} queries failed")
+        failed ++= qnames
+        queries ++= qnames.map(_ -> 0.0)
+      } else {
+        val j = JsonMethods.parse(text)
+        j \ "queries" match {
+          case JObject(fields) =>
+            fields.foreach { case (k, v) => queries :+= (k -> toD(v)) }
+          case _ =>
+        }
+        j \ "failed" match {
+          case JArray(xs) => failed ++= xs.collect { case JString(s) => s }
+          case _ =>
+        }
+        j \ "runs" match {
+          case JObject(fields) => fields.foreach {
+            case (k, JArray(xs)) => runsAll :+= (k -> xs.map(toD))
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    }
+    val failedSet = failed.toSet
+    val qsSorted = queries.sortBy(_._1)
+    val total = qsSorted.collect {
+      case (n, t) if !failedSet(n) => t
+    }.sum
+    val qs = qsSorted.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.sorted.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    val runsJson =
+      if (runsAll.isEmpty) ""
+      else runsAll.sortBy(_._1).map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
+      }.mkString(""","runs":{""", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedJson$runsJson,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "docs/bench_latest.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] artifact write: $e") }
+  }
+
+  private def runInProcess(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -54,7 +208,6 @@ object Bench {
     // 4-decimal (0.1 ms) precision: full double toString made the
     // one-line JSON ~2× longer and the driver's tail capture truncated
     // it to 62 of 143 queries — the artifact must carry ALL of them
-    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // headline total counts succeeding queries only: a fail-fast (or
