@@ -134,7 +134,7 @@ object Pipeline {
     * operator's NORMAL regime, and thousands of 512 B buffers per
     * task is KBs of state — nowhere near memory pressure, so the
     * fallback exists for a failure mode this shape cannot hit. */
-  private def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[ops] def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = rows.sparkSession
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = s.conf.getOption(key)
@@ -161,6 +161,104 @@ object Pipeline {
     """kb AS (SELECT DISTINCT f.depth, f.cell,
       |         substr(md5(CAST(f.k AS VARCHAR)), 3 * CAST(t.i AS INT) + 1, 3) AS pos
       |       FROM fin f, UNNEST(range(0, 3)) t(i))""".stripMargin
+
+  /** Frozen-geometry CTE chain (shared by pipe_layout_merge and
+    * pipe_stats_merge), ending in `fin2(depth, cell, x, y, k,
+    * is_delta)`: the delta threshold, the BASE-derived occupied width
+    * and refined-cell set, then EVERY row — base and delta alike —
+    * assigned under that frozen grid. Requires `z` in scope. The
+    * oracle side always computes in ONE PASS over fin2; the Spark
+    * side builds per-side artifacts and merges, and associativity of
+    * each stat makes EXACT parity the merge contract. */
+  private val frozenCtesSql: String =
+    """thr AS (SELECT (MAX(k) * 4) // 5 AS t FROM z),
+      |bz AS (SELECT z.* FROM z, thr WHERE z.k < thr.t),
+      |bmz AS (SELECT MAX(zkey) AS maxz, COUNT(*) AS total FROM bz),
+      |bnb AS (SELECT total,
+      |          CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
+      |            AS BIGINT) AS nbits
+      |        FROM bmz),
+      |bcc AS (SELECT bz.zkey >> greatest(bnb.nbits - 8, 0) AS c8,
+      |               COUNT(*) AS cnt
+      |        FROM bz, bnb GROUP BY 1),
+      |refined AS (SELECT bcc.c8 FROM bcc, bnb WHERE bcc.cnt * 64 > bnb.total),
+      |ac AS (SELECT z.x, z.y, z.k, thr.t,
+      |              z.zkey >> greatest(bnb.nbits - 8, 0) AS c8,
+      |              z.zkey >> greatest(bnb.nbits - 12, 0) AS c12
+      |       FROM z, bnb, thr),
+      |fin2 AS (SELECT
+      |           CASE WHEN r.c8 IS NOT NULL THEN 12 ELSE 8 END AS depth,
+      |           CASE WHEN r.c8 IS NOT NULL THEN ac.c12 ELSE ac.c8 END AS cell,
+      |           ac.x, ac.y, ac.k,
+      |           CASE WHEN ac.k < ac.t THEN 0 ELSE 1 END AS is_delta
+      |         FROM ac LEFT JOIN refined r ON r.c8 = ac.c8)""".stripMargin
+
+  /** Spark twin of the frozen chain's shared state: (all rows with
+    * the threshold attached, base rows, broadcast base geometry,
+    * refined-cell marks). */
+  private[ops] def frozenParts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val z = zxy(s, dir)
+    val thr = z.agg(expr("(MAX(k) * 4) div 5").as("t"))
+    val zt = z.crossJoin(broadcast(thr))
+    val bz = zt.filter(col("k") < col("t"))
+    val bnb = bz.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
+      .withColumn("nbits", expr(
+        "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
+      .select(col("total"), col("nbits"))
+    val refined = bz.crossJoin(broadcast(bnb))
+      .withColumn("c8",
+        expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
+      .groupBy(col("c8"), col("total")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 64 > col("total"))
+      .select(col("c8"), lit(1).as("refmark"))
+    (zt, bz, bnb, refined)
+  }
+
+  /** Per-(depth, cell, bucket) HLL register table over one side's key
+    * column — 64 constant-size registers per cell, map-side
+    * combinable; the max-merge of two sides' register TABLES (union +
+    * re-max, register-sized input) equals the registers of the union
+    * of their rows, which is the associativity SketchSpec pins. */
+  private[ops] def cellRegs(rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rows
+      .withColumn("hx", md5(col("k").cast("string")))
+      .select(col("depth"), col("cell"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      .groupBy(col("depth"), col("cell"), col("bucket"))
+      .agg(max(expr(Hll.rhoLadderSql)).as("mrho"))
+
+  /** Bitwise-OR merge of two per-cell bitmap tables on (depth, cell):
+    * cells present on one side only keep their bitmap (OR with
+    * itself), shared cells OR word-wise — 64 longs per cell either
+    * way, never a key rescan. */
+  private[ops] def orMergeBits(b: org.apache.spark.sql.DataFrame,
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    b.select(col("depth"), col("cell"), col("bits").as("b_bits"))
+      .join(d.select(col("depth"), col("cell"), col("bits").as("d_bits")),
+        Seq("depth", "cell"), "full_outer")
+      .select(col("depth"), col("cell"),
+        expr("zip_with(coalesce(b_bits, d_bits), coalesce(d_bits, b_bits)," +
+          " (a, b) -> a | b)").as("bits"))
+
+  /** Assign one side's rows under the FROZEN base geometry:
+    * (depth, cell, x, y, k). */
+  private[ops] def frozenAssign(side: org.apache.spark.sql.DataFrame,
+      bnb: org.apache.spark.sql.DataFrame,
+      refined: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    side
+      .crossJoin(broadcast(bnb))
+      .withColumn("c8",
+        expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
+      .withColumn("c12",
+        expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
+      .join(broadcast(refined), Seq("c8"), "left")
+      .select(when(col("refmark").isNotNull, 12).otherwise(8).cast("int").as("depth"),
+        when(col("refmark").isNotNull, col("c12")).otherwise(col("c8")).as("cell"),
+        col("x"), col("y"), col("k"))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -466,27 +564,7 @@ object Pipeline {
     // the re-layout debt this manifest makes visible. ----
     sql("pipe_layout_merge",
       s"""WITH $zLayoutCtesSql,
-        |thr AS (SELECT (MAX(k) * 4) // 5 AS t FROM z),
-        |bz AS (SELECT z.* FROM z, thr WHERE z.k < thr.t),
-        |bmz AS (SELECT MAX(zkey) AS maxz, COUNT(*) AS total FROM bz),
-        |bnb AS (SELECT total,
-        |          CAST(len(list_filter(range(0, 63), i -> (maxz >> i) > 0))
-        |            AS BIGINT) AS nbits
-        |        FROM bmz),
-        |bcc AS (SELECT bz.zkey >> greatest(bnb.nbits - 8, 0) AS c8,
-        |               COUNT(*) AS cnt
-        |        FROM bz, bnb GROUP BY 1),
-        |refined AS (SELECT bcc.c8 FROM bcc, bnb WHERE bcc.cnt * 64 > bnb.total),
-        |ac AS (SELECT z.x, z.y, z.k, thr.t,
-        |              z.zkey >> greatest(bnb.nbits - 8, 0) AS c8,
-        |              z.zkey >> greatest(bnb.nbits - 12, 0) AS c12
-        |       FROM z, bnb, thr),
-        |fin2 AS (SELECT
-        |           CASE WHEN r.c8 IS NOT NULL THEN 12 ELSE 8 END AS depth,
-        |           CASE WHEN r.c8 IS NOT NULL THEN ac.c12 ELSE ac.c8 END AS cell,
-        |           ac.x, ac.y,
-        |           CASE WHEN ac.k < ac.t THEN 0 ELSE 1 END AS is_delta
-        |         FROM ac LEFT JOIN refined r ON r.c8 = ac.c8)
+        |$frozenCtesSql
         |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(SUM(is_delta) AS BIGINT) AS n_delta,
@@ -494,31 +572,10 @@ object Pipeline {
         |       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
         |FROM fin2 GROUP BY depth, cell
         |ORDER BY depth, cell""") { (s, dir) =>
-      val z = zxy(s, dir)
-      val thr = z.agg(expr("(MAX(k) * 4) div 5").as("t"))
-      val zt = z.crossJoin(broadcast(thr))
-      val bz = zt.filter(col("k") < col("t"))
-      val bnb = bz.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
-        .withColumn("nbits", expr(
-          "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
-        .select(col("total"), col("nbits"))
-      val refined = bz.crossJoin(broadcast(bnb))
-        .withColumn("c8",
-          expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
-        .groupBy(col("c8"), col("total")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") * 64 > col("total"))
-        .select(col("c8"), lit(1).as("refmark"))
+      val (zt, bz, bnb, refined) = frozenParts(s, dir)
       // frozen-geometry assignment of EITHER side, then per-side manifests
-      def manifest(side: org.apache.spark.sql.DataFrame, delta: Int) = side
-        .crossJoin(broadcast(bnb))
-        .withColumn("c8",
-          expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
-        .withColumn("c12",
-          expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
-        .join(broadcast(refined), Seq("c8"), "left")
-        .select(when(col("refmark").isNotNull, 12).otherwise(8).cast("int").as("depth"),
-          when(col("refmark").isNotNull, col("c12")).otherwise(col("c8")).as("cell"),
-          col("x"), col("y"))
+      def manifest(side: org.apache.spark.sql.DataFrame, delta: Int) =
+        frozenAssign(side, bnb, refined)
         .groupBy(col("depth"), col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
@@ -544,6 +601,122 @@ object Pipeline {
           greatest(col("b_x_max"), col("d_x_max")).as("x_max"),
           least(col("b_y_min"), col("d_y_min")).as("y_min"),
           greatest(col("b_y_max"), col("d_y_max")).as("y_max"))
+        .orderBy(col("depth"), col("cell"))
+    },
+
+    // ---- incremental STATS maintenance — pipe_layout_merge's
+    // associative-merge pattern extended to the two non-trivial cell
+    // stats: the per-cell 512 B Blooms (bitwise-OR merge: OR of the
+    // base and delta bitmaps IS the bitmap of the union, the
+    // merge-equals-sequential property CellBloomAgg's ScalaCheck pin
+    // proves) and the per-cell HLL NDV registers (max-merge: the
+    // SketchSpec associativity). The Spark side builds base and delta
+    // artifacts SEPARATELY under the frozen base geometry and merges
+    // them — base ROWS are never rescanned after their artifacts
+    // exist, which is what an incremental crawl needs at 100 TB: the
+    // delta batch pays delta-sized work, the merge pays
+    // artifact-sized work (cells × 512 B + cells × 64 registers).
+    // The oracle computes every stat in ONE PASS over all rows (the
+    // full rebuild), so EXACT parity is literally merge ≡ rebuild —
+    // the dd_index_merge / pipe_layout_merge contract. The table row
+    // (depth = -1) stacks a SECOND merge level on top: NDV from
+    // max-merging the already-merged per-cell registers, bits_set as
+    // the summed index-storage cost, n_rows/n_delta as sums — all
+    // associative, so a planner can maintain table stats from file
+    // stats from batch stats without ever touching data twice. ----
+    sql("pipe_stats_merge", {
+      val hx1 = Hll.hexValSql("hx", 1)
+      val hx9 = Hll.hexValSql("hx", 9)
+      s"""WITH $zLayoutCtesSql,
+        |$frozenCtesSql,
+        |kb2 AS (SELECT DISTINCT f.depth, f.cell,
+        |          substr(md5(CAST(f.k AS VARCHAR)), 3 * CAST(t.i AS INT) + 1, 3) AS pos
+        |        FROM fin2 f, UNNEST(range(0, 3)) t(i)),
+        |bl2 AS (SELECT depth, cell, CAST(COUNT(*) AS BIGINT) AS bits_set
+        |        FROM kb2 GROUP BY depth, cell),
+        |hv2 AS (SELECT depth, cell, md5(CAST(k AS VARCHAR)) AS hx FROM fin2),
+        |v2 AS (SELECT depth, cell, $hx1 % ${Hll.M} AS bucket, $hx9 AS w FROM hv2),
+        |r2 AS (SELECT depth, cell, bucket, MAX(${Hll.rhoLadderSql}) AS mrho
+        |       FROM v2 GROUP BY depth, cell, bucket),
+        |cs2 AS (SELECT depth, cell,
+        |          CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+        |          COUNT(*) AS np
+        |        FROM r2 GROUP BY depth, cell),
+        |ce2 AS (SELECT depth, cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |               CAST(SUM(is_delta) AS BIGINT) AS n_delta
+        |        FROM fin2 GROUP BY depth, cell),
+        |cells2 AS (SELECT ce2.depth, ce2.cell, ce2.n_rows, ce2.n_delta,
+        |                  bl2.bits_set,
+        |                  CAST(${Hll.ScaledAlphaM2} //
+        |                    (1000 * (cs2.sp + (${Hll.M} - cs2.np) * 8589934592))
+        |                    AS BIGINT) AS ndv_sketch
+        |           FROM ce2
+        |           JOIN cs2 ON cs2.depth = ce2.depth AND cs2.cell = ce2.cell
+        |           JOIN bl2 ON bl2.depth = ce2.depth AND bl2.cell = ce2.cell),
+        |mr2 AS (SELECT bucket, MAX(mrho) AS mrho FROM r2 GROUP BY bucket),
+        |ms2 AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+        |               COUNT(*) AS np
+        |        FROM mr2),
+        |tot2 AS (SELECT CAST(-1 AS INT) AS depth, CAST(-1 AS BIGINT) AS cell,
+        |                (SELECT CAST(SUM(n_rows) AS BIGINT) FROM cells2) AS n_rows,
+        |                (SELECT CAST(SUM(n_delta) AS BIGINT) FROM cells2) AS n_delta,
+        |                (SELECT CAST(SUM(bits_set) AS BIGINT) FROM cells2) AS bits_set,
+        |                CAST(${Hll.ScaledAlphaM2} //
+        |                  (1000 * (ms2.sp + (${Hll.M} - ms2.np) * 8589934592))
+        |                  AS BIGINT) AS ndv_sketch
+        |         FROM ms2)
+        |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
+        |       n_rows, n_delta, bits_set, ndv_sketch
+        |FROM (SELECT * FROM cells2 UNION ALL SELECT * FROM tot2)
+        |ORDER BY depth, cell"""
+    }) { (s, dir) =>
+      val (zt, bz, bnb, refined) = frozenParts(s, dir)
+      val base = frozenAssign(bz, bnb, refined)
+        .select(col("depth"), col("cell"), col("k"))
+      val delta = frozenAssign(zt.filter(col("k") >= col("t")), bnb, refined)
+        .select(col("depth"), col("cell"), col("k"))
+      // --- Blooms: per-side bitmaps, OR-merged (base keys never rescanned)
+      val bitsSet = orMergeBits(cellBlooms(base), cellBlooms(delta))
+        .withColumn("bits_set",
+          expr("aggregate(bits, 0L, (acc, w) -> acc + bit_count(w))"))
+        .select(col("depth"), col("cell"), col("bits_set"))
+      // --- NDV registers: per-side register tables, max-merged
+      val mergedRegs = cellRegs(base).unionAll(cellRegs(delta))
+        .groupBy(col("depth"), col("cell"), col("bucket"))
+        .agg(max(col("mrho")).as("mrho"))
+      val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
+        s"(1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
+      val cellNdv = mergedRegs.groupBy(col("depth"), col("cell"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"))
+        .select(col("depth"), col("cell"), estCol.as("ndv_sketch"))
+      // --- counts: per-side manifests, sum-merged
+      val counts = base.groupBy(col("depth"), col("cell"))
+        .agg(count(lit(1)).as("b_n"))
+        .join(delta.groupBy(col("depth"), col("cell"))
+          .agg(count(lit(1)).as("d_n")), Seq("depth", "cell"), "full_outer")
+        .select(col("depth"), col("cell"),
+          (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .cast("long").as("n_rows"),
+          coalesce(col("d_n"), lit(0L)).cast("long").as("n_delta"))
+      val cells = counts
+        .join(bitsSet, Seq("depth", "cell"))
+        .join(cellNdv, Seq("depth", "cell"))
+      // --- the table row: a SECOND associative merge level over the
+      // merged per-cell artifacts (registers max-merge again; sums)
+      val tot = mergedRegs.groupBy(col("bucket")).agg(max(col("mrho")).as("mrho"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"))
+        .select(estCol.as("ndv_sketch"))
+        .crossJoin(broadcast(cells.agg(
+          lsum(col("n_rows")).as("n_rows"), lsum(col("n_delta")).as("n_delta"),
+          lsum(col("bits_set")).as("bits_set"))))
+        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
+          col("n_rows"), col("n_delta"), col("bits_set"), col("ndv_sketch"))
+      cells
+        .select(col("depth").cast("int").as("depth"), col("cell").cast("long").as("cell"),
+          col("n_rows"), col("n_delta"), col("bits_set"), col("ndv_sketch"))
+        .unionAll(tot)
         .orderBy(col("depth"), col("cell"))
     },
 
