@@ -20,6 +20,22 @@ final case class UserSession(
 final case class Doc(
     doc_id: Long, ts: Timestamp, text: String, lang: String, source: String)
 
+/** One (band, key) row of [[StreamOps.ingestCorpus]]'s dedup stage,
+  * the doc's verdict payload riding along (scalars only — text never
+  * enters the state operator). Bands 0-3 are the MinHash LSH bands;
+  * band 4 is the exact-dup digest, folded into the same min-id state
+  * family. */
+private final case class IngestBandRow(
+    ts: Timestamp, doc_id: Long, source: String, gate: Boolean,
+    flagged: Boolean, n_tokens: Long, band: Int, bkey: String)
+
+/** A per-doc verdict of the composed streaming corpus-ingest capstone
+  * — the streaming face of pipe_llm_corpus's per-doc columns. */
+final case class IngestVerdict(
+    doc_id: Long, source: String, split: String, n_tokens: Long,
+    quality_pass: Boolean, kept: Boolean, flagged: Boolean,
+    used_before: Long, admitted: Boolean)
+
 private final case class SessionState(
     start_sec: Long, last_sec: Long, n_events: Long, total_cents: Long)
 
@@ -285,60 +301,74 @@ object StreamOps {
     * pair; the hot path here is the state store). */
   def bandKeys(docs: DataFrame): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
-    val hashes = (0 until 8).map { k =>
-      expr(s"array_min(transform(shs, x -> substring(md5('${k / 4}:' || x), " +
-        s"${(k % 4) * 8 + 1}, 8)))").as(s"h$k")
-    }
-    val bands = (0 until 4).map { b =>
-      struct(lit(b).as("band"), md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-        .as("bkey"))
-    }
     docs
       .withColumn("shs", expr("graft_shingle_array(text, 3)"))
       .filter(size(col("shs")) > 0)
-      .select(col("ts") +: col("doc_id") +: hashes: _*)
-      .withColumn("bb", explode(array(bands: _*)))
+      .withColumn("bb", explode(bandStructs))
       .select(col("ts"), col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** The 4 (band, bkey) MinHash-band structs over a frame with `shs`
+    * in scope — the ONE definition of the stream-side band key math,
+    * shared by [[bandKeys]] (hence neardupCandidates' parity tests)
+    * and [[ingestCorpus]], so the composed capstone and the standalone
+    * candidate op cannot drift on collisions. */
+  private def bandStructs: org.apache.spark.sql.Column = {
+    def h(k: Int) =
+      s"array_min(transform(shs, x -> substring(md5('${k / 4}:' || x), " +
+        s"${(k % 4) * 8 + 1}, 8)))"
+    expr((0 until 4).map(b =>
+      s"named_struct('band', $b, 'bkey', md5(concat(${h(2 * b)}, ${h(2 * b + 1)})))")
+      .mkString("array(", ", ", ")"))
   }
 
   private def bucketFn(horizonSeconds: Long)(
       key: (Int, String), rows: Iterator[(Timestamp, Long, Int, String)],
-      state: GroupState[Long]): Iterator[(Long, Int, Boolean)] = {
+      state: GroupState[Long]): Iterator[(Long, Int, Boolean)] =
+    minIdCore[(Timestamp, Long, Int, String), (Long, Int, Boolean)](
+      horizonSeconds, _._2, _._1,
+      (r, hit) => (r._2, r._3, hit))(rows, state)
+
+  /** The shared min-id state core of [[bucketFn]] and the capstone's
+    * dedup stage ([[ingestCorpus]]) — ONE definition of the verdict
+    * and eviction rules, generic in the row payload.
+    *
+    * State = MIN doc_id ever seen in this bucket (same O(1) state as
+    * an occupied bit) so each verdict is the batch rule "∃ smaller-id
+    * doc with this band key" over everything that has arrived: a
+    * smaller-id doc landing in a LATER micro-batch is not flagged
+    * against a larger id it never preceded (an occupied bit would
+    * false-positive it). Append mode still cannot retract an earlier
+    * doc's verdict when its smaller collider arrives later — that
+    * residual is the honest limit of no-retraction streaming. The
+    * verdict is literally the batch rule: "∃ STRICTLY smaller-id doc
+    * with this band key" — over state (cross-batch) and this batch's
+    * own rows; comparing against the combined MIN (not "any non-first
+    * row is a hit") keeps an at-least-once upstream's duplicate
+    * delivery of the same (doc_id, band) row from being flagged as a
+    * near-dup of itself: equal ids are not colliders. The bucket
+    * lives for the DEDUP HORIZON past its last doc (the business
+    * window "a near-dup of anything seen in the last N hours
+    * counts"), not merely until the watermark passes its event time —
+    * lateness bounds disorder, the horizon bounds state. */
+  private def minIdCore[R, O](horizonSeconds: Long, docIdOf: R => Long,
+      tsOf: R => Timestamp, emit: (R, Boolean) => O)(
+      rows: Iterator[R], state: GroupState[Long]): Iterator[O] = {
     if (rows.isEmpty && state.hasTimedOut) {
       state.remove() // bucket idle past the watermark: evict
       return Iterator.empty
     }
     // deterministic in-batch order (state-store batches are unordered)
-    val sorted = rows.toSeq.sortBy { case (_, docId, _, _) => docId }
-    // state = MIN doc_id ever seen in this bucket (same O(1) state as
-    // an occupied bit) so each verdict is the batch rule "∃ smaller-id
-    // doc with this band key" over everything that has arrived: a
-    // smaller-id doc landing in a LATER micro-batch is not flagged
-    // against a larger id it never preceded (an occupied bit would
-    // false-positive it). Append mode still cannot retract an earlier
-    // doc's verdict when its smaller collider arrives later — that
-    // residual is the honest limit of no-retraction streaming, and the
-    // in-order-ingest spec case is unchanged.
+    val sorted = rows.toSeq.sortBy(docIdOf)
     val minBefore = state.getOption.getOrElse(Long.MaxValue)
-    // the verdict is literally the batch rule: "∃ STRICTLY smaller-id
-    // doc with this band key" — over state (cross-batch) and this
-    // batch's own rows. Comparing against the combined MIN (not
-    // "any non-first row is a hit") keeps an at-least-once upstream's
-    // duplicate delivery of the same (doc_id, band) row from being
-    // flagged as a near-dup of itself: equal ids are not colliders.
-    val minSeen = math.min(minBefore, sorted.head._2)
+    val minSeen = math.min(minBefore, docIdOf(sorted.head))
     var maxTs = Long.MinValue
-    val out = sorted.map { case (ts, docId, band, _) =>
-      val hit = minSeen < docId
-      if (ts.getTime > maxTs) maxTs = ts.getTime
-      (docId, band, hit)
+    val out = sorted.map { r =>
+      val hit = minSeen < docIdOf(r)
+      if (tsOf(r).getTime > maxTs) maxTs = tsOf(r).getTime
+      emit(r, hit)
     }
-    state.update(math.min(minBefore, sorted.head._2))
-    // the occupied bit lives for the DEDUP HORIZON past the bucket's
-    // last doc (the business window "a near-dup of anything seen in
-    // the last N hours counts"), not merely until the watermark
-    // passes its event time — lateness bounds disorder, the horizon
-    // bounds state
+    state.update(minSeen)
     state.setTimeoutTimestamp(
       math.max(maxTs + horizonSeconds * 1000 + 1, state.getCurrentWatermarkMs + 1))
     out.iterator
@@ -412,6 +442,146 @@ object StreamOps {
         val before = used
         used += n
         (id, src, n, before, before + n <= budget)
+    }
+    state.update(used)
+    out.iterator
+  }
+
+  /** The composed streaming corpus-ingest CAPSTONE — pipe_llm_corpus's
+    * per-doc semantics as ONE streaming query, every stage the shared
+    * definition of its standalone streaming op:
+    *
+    *  - quality gate: [[graft.ops.Text.gopherPass]] map-side (the
+    *    [[curateDocs]] gate — the same Column expression batch
+    *    tx_gopher_rules evaluates);
+    *  - decontamination: the [[decontaminateDocs]] probe (shared
+    *    ng5ArraySql kernel + the native Bloom-bitmap expression),
+    *    stateless, fused into the scan projection;
+    *  - dedup: [[bandStructs]]' four MinHash bands PLUS the exact-dup
+    *    digest folded in as band 4 of the SAME min-id state family
+    *    ([[minIdCore]], bucketFn's core) — exact-dup drop becomes
+    *    "∃ smaller-id doc with my digest", which MARKS instead of
+    *    dropping (curateDocs' dropDuplicatesWithinWatermark drops the
+    *    row; a capstone emits a verdict per doc, so marking is the
+    *    composable form) and unifies both dedup states into one
+    *    operator with one eviction policy;
+    *  - quota: [[quotaFn]]'s mechanics (one long per source, sort by
+    *    (ts, doc_id), charge-then-compare) under the CAPSTONE charging
+    *    rule — only curated train-split docs charge the budget, the
+    *    ordering dependency a sequential runner gets wrong when it
+    *    meters raw ingest (pipe_llm_corpus's defining insight).
+    *
+    * Split assignment hashes doc_id (not the batch capstone's
+    * cluster_id, which streaming cannot know): for KEPT docs —
+    * the only docs that charge, and the only docs a real ingest
+    * materializes — cluster_id = doc_id in the batch rule, so the two
+    * assignments coincide exactly where they are consumed; a non-kept
+    * cluster member's batch split follows its representative (so a
+    * verified pair never straddles splits), which a no-retraction
+    * stream cannot replicate for late members — the honest limit,
+    * same class as the neardup verdict residual.
+    *
+    * Plan shape: two chained flatMapGroupsWithState operators (both
+    * Append — the supported multiple-stateful combination), keyed
+    * (band, bkey) then source; a doc's 1-5 band rows stay inside its
+    * own micro-batch through the explode and the dedup stage, so the
+    * per-doc combine in the quota stage never waits (asserted by the
+    * StreamOpsSpec e2e, including a kill-restart mid-budget). State:
+    * O(active buckets within the horizon) longs + |sources| longs. */
+  def ingestCorpus(docs: DataFrame, bloomBits: Array[Long],
+      budgetTokens: Long = 800L, lateness: String = "1 hour",
+      horizonSeconds: Long = 24 * 3600): Dataset[IngestVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    // Spark's chained-stateful-operator guard flags ANY stateful op
+    // downstream of an event-time fMGWS, because a downstream
+    // WATERMARK-FILTERING operator could discard the upstream's
+    // emitted rows as late. Our downstream operator is the quota
+    // stage: GroupStateTimeout.NoTimeout, no watermark predicate — it
+    // processes every input row unconditionally, so the hazard the
+    // guard conservatively assumes cannot occur in this plan. The
+    // guard is an analysis-time check evaluated at query START, hence
+    // a session conf rather than a plan property.
+    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, LambdaFunction, UnresolvedNamedLambdaVariable}
+    val g = UnresolvedNamedLambdaVariable(Seq("g"))
+    val positive = GraftShim.column(ArrayFilter(
+      GraftShim.expression(col("gs")),
+      LambdaFunction(graft.functions.BloomMightContain(g, bloomBits), Seq(g))))
+    val enriched = docs
+      .withColumn("gate", graft.ops.Text.gopherPass(col("text")))
+      .withColumn("w", split(coalesce(col("text"), lit("")), " "))
+      .withColumn("gs", expr(graft.ops.Text.ng5ArraySql))
+      .withColumn("flagged", size(positive) > 0)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+    val payload = Seq(col("ts"), col("doc_id"), col("source"),
+      col("gate"), col("flagged"), col("n_tokens"))
+    val mh = enriched
+      .withColumn("shs", expr("graft_shingle_array(text, 3)"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("bb", explode(bandStructs))
+      .select(payload :+ col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+    // band 4 = the exact-dup digest (curateDocs' md5 content key); it
+    // exists for EVERY doc, so shingle-less docs still reach a verdict
+    val dg = enriched.select(
+      payload :+ lit(4).as("band") :+ md5(coalesce(col("text"), lit(""))).as("bkey"): _*)
+    mh.unionByName(dg)
+      .withWatermark("ts", lateness)
+      .as[IngestBandRow]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        ingestDedupFn(horizonSeconds))
+      .groupByKey(_._1.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        ingestQuotaFn(budgetTokens))
+  }
+
+  private def ingestDedupFn(horizonSeconds: Long)(
+      key: (Int, String), rows: Iterator[IngestBandRow],
+      state: GroupState[Long]): Iterator[(IngestBandRow, Boolean)] =
+    minIdCore[IngestBandRow, (IngestBandRow, Boolean)](
+      horizonSeconds, _.doc_id, _.ts, (r, hit) => (r, hit))(rows, state)
+
+  /** The pipe_llm_corpus split rule over a KEPT doc's cluster id
+    * (= its own doc_id): first hex char of md5(decimal id) — '0' val,
+    * '1' test, else train. Plain-JVM twin of the SQL rule, exact. */
+  private[streaming] def splitOf(docId: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) match {
+      case 0 => "val"
+      case 1 => "test"
+      case _ => "train"
+    }
+  }
+
+  private def ingestQuotaFn(budget: Long)(
+      source: String, rows: Iterator[(IngestBandRow, Boolean)],
+      state: GroupState[Long]): Iterator[IngestVerdict] = {
+    // combine each doc's band verdicts — all of a doc's 1-5 band rows
+    // travel inside the doc's own micro-batch (the explode and the
+    // dedup stage both preserve batch membership), so the combine
+    // never spans batches on an in-order stream
+    val docs = rows.toArray.groupBy(_._1.doc_id).values.map { rs =>
+      val r = rs.head._1
+      val exactDup = rs.exists { case (b, hit) => b.band == 4 && hit }
+      val nearDup = rs.exists { case (b, hit) => b.band < 4 && hit }
+      (r, !exactDup && !nearDup)
+    }.toArray.sortBy { case (r, _) => (r.ts.getTime, r.doc_id) }
+    var used = state.getOption.getOrElse(0L)
+    val out = docs.map { case (r, kept) =>
+      val split = splitOf(r.doc_id)
+      // the capstone charging rule: ONLY curated train docs spend
+      // budget (quality ∧ kept ∧ clean ∧ train) — and a charged doc
+      // past the boundary still spends (used_before keeps growing),
+      // exactly the batch window's semantics
+      val charge = r.gate && kept && !r.flagged && split == "train"
+      val before = used
+      if (charge) used += r.n_tokens
+      IngestVerdict(r.doc_id, r.source, split, r.n_tokens, r.gate, kept,
+        r.flagged, before, charge && before + r.n_tokens <= budget)
     }
     state.update(used)
     out.iterator
