@@ -99,16 +99,34 @@ object Dedup {
     * higher-order functions are interpreted, not codegen'd: per-shingle
     * md5 through a lambda measured ~5× slower than this codegen'd
     * explode+combine at sf0.1, and the combined shuffle is tiny.) */
-  private[ops] def signatures(sh: DataFrame, g: LshGeometry = DefaultGeometry): DataFrame = {
+  private[ops] def signatures(sh: DataFrame, g: LshGeometry = DefaultGeometry): DataFrame =
+    signaturesBy(sh, Seq("doc_id"), g)
+
+  /** [[signatures]] generalized to any grouping key — the SAME md5
+    * slicing and min-agg, keyed per doc (whole-doc signatures) or per
+    * (doc, window) (dd_containment_index's window signatures), so the
+    * two index families share one hash kernel by construction. */
+  private def signaturesBy(sh: DataFrame, keys: Seq[String],
+      g: LshGeometry): DataFrame = {
     val digs = sh
-      .select(col("doc_id"), explode(col("shs")).as("x"))
-      .select(col("doc_id") +: (0 until g.digests).map(seed =>
+      .select(keys.map(col) :+ explode(col("shs")).as("x"): _*)
+      .select(keys.map(col) ++ (0 until g.digests).map(seed =>
         md5(concat(lit(s"$seed:"), col("x"))).as(s"d$seed")): _*)
     val mins = (0 until g.k).map { k =>
       min(substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"h$k")
     }
-    digs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    digs.groupBy(keys.map(col): _*).agg(mins.head, mins.tail: _*)
   }
+
+  /** The `bands` (band, bkey) struct columns over a signature frame
+    * with h0..h{k-1} in scope — shared by [[bandRows]] and the window
+    * index. */
+  private def bandStructCols(g: LshGeometry): Seq[Column] =
+    (0 until g.bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until g.rowsPerBand)
+          .map(r => col(s"h${g.rowsPerBand * b + r}")): _*)).as("bkey"))
+    }
 
   private def minhashAggSql(g: LshGeometry = DefaultGeometry): String =
     (0 until g.k)
@@ -206,17 +224,10 @@ object Dedup {
     * rows: an incrementally-maintained index must re-evaluate the cap
     * on MERGED counts (a bucket can cross the cap only once a batch
     * lands), which a pre-capped store cannot do. */
-  private def bandRows(sh: DataFrame, g: LshGeometry): DataFrame = {
-    val sig = signatures(sh, g)
-    val bandStructs = (0 until g.bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat((0 until g.rowsPerBand)
-          .map(r => col(s"h${g.rowsPerBand * b + r}")): _*)).as("bkey"))
-    }
-    sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+  private def bandRows(sh: DataFrame, g: LshGeometry): DataFrame =
+    signatures(sh, g)
+      .select(col("doc_id"), explode(array(bandStructCols(g): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
 
   private def keptBands(sh: DataFrame, g: LshGeometry): DataFrame = {
     val bands = bandRows(sh, g).cache()
@@ -383,15 +394,16 @@ object Dedup {
     // ALSO have accepted — rows with jaccard_pass = 0 are the pairs
     // only this operator catches.
     //
-    // Honest scale note: candidates still come from the symmetric
+    // Honest scale note: candidates here still come from the symmetric
     // MinHash index, whose collision probability tracks J, not C — a
     // containment pair with a large size ratio collides with
     // probability ~(|A|/|B|)^rowsPerBand per band and can be missed at
     // the index stage even though the verify would accept it. That is
     // the documented trade (the index is shared with the Jaccard
-    // family, zero extra state); the containment-targeted alternative
-    // at 100 TB is per-size-stratum band indexes probed with the
-    // smaller set's signature. ----
+    // family, zero extra state); dd_containment_index below is the
+    // containment-TARGETED index that closes exactly this miss class
+    // (DedupEdgeSpec pins a pair this op provably misses and that one
+    // catches). ----
     sql("dd_containment",
       s"""WITH $neardupCtesSql,
          |cont AS (
@@ -410,6 +422,135 @@ object Dedup {
          |FROM cont ORDER BY contained_doc, container_doc""") { (s, dir) =>
       val sh = shArr(s, dir).cache()
       val cand = candidatePairs(sh, DefaultGeometry)
+      val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n_sh").as("n_b"))
+      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("n_common",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .filter(col("n_common") * 5 >= least(col("n_a"), col("n_b")) * 4)
+        .select(
+          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+            .as("contained_doc"),
+          when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+            .as("container_doc"),
+          col("n_common"),
+          least(col("n_a"), col("n_b")).as("n_contained"),
+          greatest(col("n_a"), col("n_b")).as("n_container"),
+          when(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"), 1)
+            .otherwise(0).cast("int").as("jaccard_pass"))
+        .orderBy(col("contained_doc"), col("container_doc"))
+    },
+
+    // ---- containment-TARGETED candidate index: the window (passage)
+    // signature index that closes dd_containment's documented miss
+    // class. A short doc A quoted verbatim inside a long doc B
+    // collides in the shared whole-doc index with probability
+    // tracking J(A,B) ≈ |A|/|B| → 0 — but some 16-word stride-8
+    // WINDOW of B covers the quote, and J(A, window) tracks C, not J,
+    // so indexing every doc's window signatures and probing them with
+    // the SMALL docs' whole-doc signatures (n_sh ≤ 14 — the docs that
+    // fit inside one window) makes the candidate probability track
+    // the containment coefficient. Stride 8 fully covers any ≤ 9-word
+    // quote at ANY offset (L − S + 1 rule) and any ≤ 16-word quote at
+    // aligned offsets; a production ladder runs windows at 16/32/64…
+    // words with stride L/2 so every size stratum probes its matching
+    // scale — this registers the L = 16 rung with the machinery
+    // parameterized the same way. Index size is 2× rows per scale
+    // (stride L/2), still O(corpus); the probe side is only the small
+    // stratum, and the verify is the SAME exact containment rule over
+    // whole-doc shingle sets, so acceptance cannot drift from
+    // dd_containment. Hash kernel, band math, hot-bucket cap and
+    // verify tail are the literal shared definitions. ----
+    sql("dd_containment_index", {
+      val g = DefaultGeometry
+      val chBandSelects = (0 until g.bands)
+        .map { b =>
+          val hs = (0 until g.rowsPerBand)
+            .map(r => s"h${g.rowsPerBand * b + r}").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($hs) AS bkey FROM chsig"
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bucketCtesSqlFor(g)},
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |       WHERE len(string_split(text, ' ')) >= 3),
+         |choff AS (SELECT doc_id, w, unnest(range(0, len(w) - 2, 8)) AS off
+         |          FROM cw),
+         |chsh AS (SELECT DISTINCT doc_id, off,
+         |           w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]
+         |             || ' ' || w[CAST(i + 3 AS INT)] AS sh
+         |         FROM choff,
+         |              UNNEST(range(off, least(off + 14, len(w) - 2))) t(i)),
+         |chsig AS (SELECT doc_id, off, ${minhashAggSql(g)}
+         |          FROM chsh GROUP BY doc_id, off),
+         |chbands AS ($chBandSelects),
+         |chidx AS (SELECT DISTINCT doc_id, band, bkey FROM chbands),
+         |chkept AS (
+         |  SELECT chidx.* FROM chidx
+         |  JOIN (SELECT band, bkey, COUNT(*) AS bn FROM chidx
+         |        GROUP BY band, bkey) s
+         |    ON s.band = chidx.band AND s.bkey = chidx.bkey
+         |  WHERE s.bn <= ${g.maxBucketSize}),
+         |probe AS (SELECT b.* FROM bkept b
+         |          JOIN counts c ON c.doc_id = b.doc_id AND c.n_sh <= 14),
+         |cand AS (SELECT DISTINCT LEAST(p.doc_id, x.doc_id) AS doc_a,
+         |                GREATEST(p.doc_id, x.doc_id) AS doc_b
+         |         FROM probe p JOIN chkept x
+         |           ON x.band = p.band AND x.bkey = p.bkey
+         |         WHERE p.doc_id <> x.doc_id),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |cont AS (
+         |  SELECT m.doc_a, m.doc_b, m.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
+         |  FROM common m
+         |  JOIN counts ca ON ca.doc_id = m.doc_a
+         |  JOIN counts cb ON cb.doc_id = m.doc_b
+         |  WHERE 5 * m.n_common >= 4 * LEAST(ca.n_sh, cb.n_sh))
+         |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc,
+         |       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_doc,
+         |       CAST(n_common AS BIGINT) AS n_common,
+         |       CAST(LEAST(n_a, n_b) AS BIGINT) AS n_contained,
+         |       CAST(GREATEST(n_a, n_b) AS BIGINT) AS n_container,
+         |       CAST(CASE WHEN 2 * n_common >= n_a + n_b - n_common
+         |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
+         |FROM cont ORDER BY contained_doc, container_doc"""
+    }) { (s, dir) =>
+      val g = DefaultGeometry
+      val sh = shArr(s, dir).cache() // probe counts + both verify sides
+      // whole-doc signature index (the literal shared definition),
+      // probed only by SMALL docs — the stratum that fits in a window
+      val probe = keptBands(sh, g)
+        .join(sh.filter(col("n_sh") <= 14).select(col("doc_id")), Seq("doc_id"))
+      // the 16-word stride-8 window index over EVERY doc: window
+      // shingles as one array expression, signatures through the
+      // shared kernel keyed (doc, window), band keys deduped per doc
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w) - 3, 8)")).as("off"))
+        .select(col("doc_id"), col("off"),
+          expr("array_distinct(transform(" +
+            "sequence(off, least(off + 13, size(w) - 3)), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("shs"))
+      val chidx = signaturesBy(ch, Seq("doc_id", "off"), g)
+        .select(col("doc_id"), explode(array(bandStructCols(g): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        .distinct()
+      val chkept = Skew.dropOversizeGroups(chidx, Seq("band", "bkey"), g.maxBucketSize)
+      val cand = probe
+        .join(chkept.select(col("doc_id").as("cid"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("cid"))
+        .select(least(col("doc_id"), col("cid")).as("doc_a"),
+          greatest(col("doc_id"), col("cid")).as("doc_b"))
+        .distinct()
       val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
         col("n_sh").as("n_a"))
       val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),

@@ -56,6 +56,39 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(SparkEntry.queries("dd_minhash_neardups")(spark, dir).count() == 0)
   }
 
+  test("dd_containment_index catches a high-C pair the shared whole-doc index misses") {
+    // contained (12 words, 10 shingles) sits verbatim at word offset 8
+    // of container (26 words, 24 shingles): C = 10/10 = 1.0,
+    // J = 10/24 ≈ 0.42. The prefix and tail words were chosen (against
+    // the real md5 band math, deterministic forever) so that:
+    //  (a) the WHOLE-doc signatures of the two docs share NO band —
+    //      dd_containment's shared index never forms the candidate,
+    //      so the quote is invisible to it even though its verify
+    //      rule would accept it (the documented miss class);
+    //  (b) the container's 16-word window at offset 8 covers the
+    //      quote, and that window's signature DOES band-collide with
+    //      the contained doc's whole-doc signature — the
+    //      containment-targeted index forms the candidate and the
+    //      same exact verify accepts it.
+    val contained = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val container = "zeta omega rho tau sigma iota nadir vertex " + contained +
+      " quartz maple onyx cedar amber stone"
+    val dir = corpusDir(Seq(contained, container,
+      "completely different words that share nothing with the others at all"))
+    // the shared-index op misses the pair entirely (no candidate)
+    assert(SparkEntry.queries("dd_containment")(spark, dir).count() == 0)
+    // the window index catches it, same acceptance rule
+    val rows = SparkEntry.queries("dd_containment_index")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("contained_doc")) == 0L)
+    assert(r.getLong(r.fieldIndex("container_doc")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_common")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_contained")) == 10L)
+    assert(r.getLong(r.fieldIndex("n_container")) == 24L)
+    assert(r.getInt(r.fieldIndex("jaccard_pass")) == 0)
+  }
+
   test("dd_minhash_neardups clusters verbatim duplicates") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
     val dir = corpusDir(Seq(dup, dup,
