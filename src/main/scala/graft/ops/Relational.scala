@@ -28,6 +28,69 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** The SCD2 history seed: every customer key open at version 1. */
+  private def scd2Init(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        cents(col("c_acctbal")).as("bal_cents"),
+        lit(1).as("start_v"), lit(0).as("end_v"), lit(1).as("is_current"),
+        lit("N").as("op"))
+
+  /** q28's deterministic change batch (k, op, nbal): deletes ≡ 0 mod
+    * 11, updates ≡ 0 mod 7 (delete wins, +10.00), inserts ≡ 0 mod 13
+    * re-keyed past max. */
+  private def scd2Batch1(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal"))
+    val mx = v1.agg(max(col("k")).as("mk"))
+    v1.filter(col("k") % 11 === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
+      .unionAll(v1.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+        .select(col("k"), lit("U").as("op"), (col("bal") + 1000L).as("nbal")))
+      .unionAll(v1.crossJoin(broadcast(mx)).filter(col("k") % 13 === 0)
+        .select((col("k") + col("mk")).as("k"), lit("I").as("op"),
+          col("bal").as("nbal")))
+  }
+
+  /** ONE SCD2 merge step — the MERGE INTO semantics shared by
+    * q28_scd2_merge (ver = 2 over the seed) and q29_scd2_replay
+    * (ver = 3 over q28's output), so the single-merge and replay
+    * queries cannot drift. Closed rows (end_v ≠ 0) pass through
+    * UNTOUCHED — only CURRENT rows meet the batch in the one
+    * full-outer equi-join — which is the append-only contract that
+    * makes SCD2 lakehouse-native: a merge writes new row versions,
+    * never rewrites history. `batch` carries (k, op ∈ D|U|I, nbal);
+    * delete-wins overlap and insert keying are the batch builder's
+    * concern, not the merge's. */
+  private def scd2Apply(hist: DataFrame, batch: DataFrame, ver: Int): DataFrame = {
+    val closedPrev = hist.filter(col("end_v") =!= 0)
+    val cur = hist.filter(col("end_v") === 0)
+    val m = cur.join(
+      batch.select(col("k").as("bk"), col("op").as("bop"), col("nbal")),
+      col("c_custkey") === col("bk"), "full_outer")
+    val nowClosed = m.filter(col("bop").isin("U", "D"))
+      .select(col("c_custkey"), col("bal_cents"), col("start_v"),
+        lit(ver).as("end_v"), lit(0).as("is_current"), col("bop").as("op"))
+    val untouched = m.filter(col("bop").isNull)
+      .select(col("c_custkey"), col("bal_cents"), col("start_v"),
+        col("end_v"), col("is_current"), col("op"))
+    val opened = m.filter(col("bop") === "U")
+      .select(col("c_custkey"), col("nbal").as("bal_cents"),
+        lit(ver).as("start_v"), lit(0).as("end_v"), lit(1).as("is_current"),
+        lit("U").as("op"))
+    val inserted = m.filter(col("bop") === "I")
+      .select(col("bk").as("c_custkey"), col("nbal").as("bal_cents"),
+        lit(ver).as("start_v"), lit(0).as("end_v"), lit(1).as("is_current"),
+        lit("I").as("op"))
+    closedPrev
+      .unionAll(nowClosed).unionAll(untouched)
+      .unionAll(opened).unionAll(inserted)
+      .select(col("c_custkey").cast("long"),
+        col("bal_cents").cast("long"),
+        col("start_v").cast("int"), col("end_v").cast("int"),
+        col("is_current").cast("int"), col("op"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- scan + aggregate (pricing summary, TPC-H Q1 shape) ----
@@ -724,35 +787,86 @@ object Relational {
         |       CAST(start_v AS INT) AS start_v, CAST(end_v AS INT) AS end_v,
         |       CAST(is_current AS INT) AS is_current, op
         |FROM hist ORDER BY c_custkey, start_v""") { (s, dir) =>
-      val v1 = t(s, dir, "customer")
-        .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal"))
-      val mx = v1.agg(max(col("k")).as("mk"))
-      val batch =
-        v1.filter(col("k") % 11 === 0)
+      scd2Apply(scd2Init(s, dir), scd2Batch1(s, dir), ver = 2)
+        .orderBy(col("c_custkey"), col("start_v"))
+    },
+
+    // ---- SCD2 MERGE **replay** (q28 looped — what production MERGE
+    // actually does): a SECOND deterministic change batch, derived
+    // from the post-merge CURRENT rows (deletes ≡ 0 mod 17, updates
+    // ≡ 0 mod 5 with delete-wins, +5.00; inserts ≡ 0 mod 19 re-keyed
+    // past the current max), applies through the SAME one-full-outer-
+    // join merge step ([[scd2Apply]] — q28 IS this function at
+    // ver = 2, so the two queries cannot drift on merge semantics).
+    // The replay is where the append-only contract becomes
+    // falsifiable: rows closed by merge 1 must pass through merge 2
+    // BYTE-UNTOUCHED (only CURRENT rows join the batch), and the
+    // open-row partition must still hold at version 3 — Scd2Spec
+    // asserts both structurally; the oracle replays the full two-step
+    // chain one-shot. ----
+    sql("q29_scd2_replay",
+      """WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+        |v1 AS (SELECT c_custkey AS k,
+        |              CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+        |       FROM customer),
+        |batch AS (
+        |  SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS nbal FROM v1 WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', bal + 1000 FROM v1 WHERE k % 7 = 0 AND k % 11 != 0
+        |  UNION ALL
+        |  SELECT k + mx.mk, 'I', bal FROM v1, mx WHERE k % 13 = 0),
+        |m AS (SELECT coalesce(v.k, b.k) AS k, v.bal, b.op, b.nbal
+        |      FROM v1 v FULL JOIN batch b ON b.k = v.k),
+        |hist AS MATERIALIZED (
+        |  SELECT k, bal AS bal_cents, 1 AS start_v, 2 AS end_v, 0 AS is_current, op
+        |  FROM m WHERE op IN ('U', 'D')
+        |  UNION ALL
+        |  SELECT k, bal, 1, 0, 1, 'N' FROM m WHERE op IS NULL
+        |  UNION ALL
+        |  SELECT k, nbal, 2, 0, 1, 'U' FROM m WHERE op = 'U'
+        |  UNION ALL
+        |  SELECT k, nbal, 2, 0, 1, 'I' FROM m WHERE op = 'I'),
+        |cur2 AS MATERIALIZED (SELECT k, bal_cents AS bal, start_v, op
+        |                      FROM hist WHERE end_v = 0),
+        |mx2 AS (SELECT MAX(k) AS mk FROM cur2),
+        |batch2 AS (
+        |  SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS nbal FROM cur2 WHERE k % 17 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', bal + 500 FROM cur2 WHERE k % 5 = 0 AND k % 17 != 0
+        |  UNION ALL
+        |  SELECT k + mx2.mk, 'I', bal FROM cur2, mx2 WHERE k % 19 = 0),
+        |m2 AS MATERIALIZED (
+        |  SELECT coalesce(h.k, b.k) AS k, h.bal AS bal_cents, h.start_v,
+        |         h.op AS hop, b.op AS bop, b.nbal
+        |  FROM cur2 h FULL JOIN batch2 b ON b.k = h.k),
+        |hist3 AS (
+        |  SELECT k, bal_cents, start_v, end_v, is_current, op
+        |  FROM hist WHERE end_v != 0
+        |  UNION ALL
+        |  SELECT k, bal_cents, start_v, 3, 0, bop FROM m2 WHERE bop IN ('U', 'D')
+        |  UNION ALL
+        |  SELECT k, bal_cents, start_v, 0, 1, hop FROM m2 WHERE bop IS NULL
+        |  UNION ALL
+        |  SELECT k, nbal, 3, 0, 1, 'U' FROM m2 WHERE bop = 'U'
+        |  UNION ALL
+        |  SELECT k, nbal, 3, 0, 1, 'I' FROM m2 WHERE bop = 'I')
+        |SELECT CAST(k AS BIGINT) AS c_custkey, CAST(bal_cents AS BIGINT) AS bal_cents,
+        |       CAST(start_v AS INT) AS start_v, CAST(end_v AS INT) AS end_v,
+        |       CAST(is_current AS INT) AS is_current, op
+        |FROM hist3 ORDER BY c_custkey, start_v""") { (s, dir) =>
+      val h2 = scd2Apply(scd2Init(s, dir), scd2Batch1(s, dir), ver = 2)
+      val cur2 = h2.filter(col("end_v") === 0)
+        .select(col("c_custkey").as("k"), col("bal_cents").as("bal"))
+      val mx2 = cur2.agg(max(col("k")).as("mk"))
+      val batch2 =
+        cur2.filter(col("k") % 17 === 0)
           .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
-          .unionAll(v1.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
-            .select(col("k"), lit("U").as("op"), (col("bal") + 1000L).as("nbal")))
-          .unionAll(v1.crossJoin(broadcast(mx)).filter(col("k") % 13 === 0)
+          .unionAll(cur2.filter(col("k") % 5 === 0 && col("k") % 17 =!= 0)
+            .select(col("k"), lit("U").as("op"), (col("bal") + 500L).as("nbal")))
+          .unionAll(cur2.crossJoin(broadcast(mx2)).filter(col("k") % 19 === 0)
             .select((col("k") + col("mk")).as("k"), lit("I").as("op"),
               col("bal").as("nbal")))
-      val m = v1.join(batch.withColumnRenamed("k", "bk"),
-          col("k") === col("bk"), "full_outer")
-        .select(coalesce(col("k"), col("bk")).as("k"), col("bal"),
-          col("op"), col("nbal"))
-      val closed = m.filter(col("op").isin("U", "D"))
-        .select(col("k"), col("bal").as("bal_cents"), lit(1).as("start_v"),
-          lit(2).as("end_v"), lit(0).as("is_current"), col("op"))
-      val unchanged = m.filter(col("op").isNull)
-        .select(col("k"), col("bal"), lit(1), lit(0), lit(1), lit("N"))
-      val updated = m.filter(col("op") === "U")
-        .select(col("k"), col("nbal"), lit(2), lit(0), lit(1), lit("U"))
-      val inserted = m.filter(col("op") === "I")
-        .select(col("k"), col("nbal"), lit(2), lit(0), lit(1), lit("I"))
-      closed.unionAll(unchanged).unionAll(updated).unionAll(inserted)
-        .select(col("k").cast("long").as("c_custkey"),
-          col("bal_cents").cast("long").as("bal_cents"),
-          col("start_v").cast("int"), col("end_v").cast("int"),
-          col("is_current").cast("int"), col("op"))
+      scd2Apply(h2, batch2, ver = 3)
         .orderBy(col("c_custkey"), col("start_v"))
     },
 
