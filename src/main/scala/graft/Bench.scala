@@ -106,11 +106,15 @@ object Bench {
         catch { case _: Exception => "" }
       if (text.trim.isEmpty) {
         // a crashed child (OOM, hard JVM death) fails its whole group
-        // loudly — silently dropping a family would read as a speedup
+        // loudly — silently dropping a family would read as a speedup.
+        // The queries land in "failed" ONLY, never in "queries": a
+        // 0.0000 entry there would read as a massive speedup to any
+        // round-over-round diff that forgets to consult "failed"
+        // (runInProcess's convention — slowest failed elapsed — is a
+        // real measurement; a dead child has none to report)
         System.err.println(
           s"[bench] family $gname: child rc=$rc produced no artifact — marking ${qnames.size} queries failed")
         failed ++= qnames
-        queries ++= qnames.map(_ -> 0.0)
       } else {
         val j = JsonMethods.parse(text)
         j \ "queries" match {

@@ -487,7 +487,21 @@ object StreamOps {
     * own micro-batch through the explode and the dedup stage, so the
     * per-doc combine in the quota stage never waits (asserted by the
     * StreamOpsSpec e2e, including a kill-restart mid-budget). State:
-    * O(active buckets within the horizon) longs + |sources| longs. */
+    * O(active buckets within the horizon) longs + |sources| longs.
+    *
+    * Delivery contract (asymmetry by design): the DEDUP verdict is
+    * safe under an at-least-once source — minIdCore treats an equal
+    * id as its own prior self, never a collider, so a redelivered doc
+    * re-earns its original kept bit. The QUOTA verdict assumes an
+    * EXACTLY-ONCE source (file/kafka sources replayed through a
+    * checkpoint qualify; an at-least-once upstream does not): the
+    * budget state is one long per source, so a doc redelivered in a
+    * LATER micro-batch charges again and emits a second verdict. The
+    * idempotent alternative — remembering charged doc ids — costs
+    * O(docs-per-source) state precisely where this design holds
+    * O(1), so the contract is documented rather than paid for; an
+    * at-least-once upstream must dedup (e.g. dropDuplicatesWithinWatermark
+    * on doc_id) before this operator. */
   def ingestCorpus(docs: DataFrame, bloomBits: Array[Long],
       budgetTokens: Long = 800L, lateness: String = "1 hour",
       horizonSeconds: Long = 24 * 3600): Dataset[IngestVerdict] = {
@@ -502,8 +516,12 @@ object StreamOps {
     // processes every input row unconditionally, so the hazard the
     // guard conservatively assumes cannot occur in this plan. The
     // guard is an analysis-time check evaluated at query START, hence
-    // a session conf rather than a plan property.
-    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // a session conf rather than a plan property — which also means
+    // this method CANNOT scope it (the caller starts the query later):
+    // start the query inside [[withChainedStatefulGuardDisabled]],
+    // which saves and restores the session value, so a later query on
+    // the same session — one whose chained-stateful plan might be
+    // genuinely unsafe — keeps Spark's analysis-time protection.
     import org.apache.spark.sql.GraftShim
     import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, LambdaFunction, UnresolvedNamedLambdaVariable}
     val g = UnresolvedNamedLambdaVariable(Seq("g"))
@@ -536,6 +554,29 @@ object StreamOps {
       .groupByKey(_._1.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         ingestQuotaFn(budgetTokens))
+  }
+
+  /** Runs `body` — which must include STARTING any streaming query
+    * whose plan chains stateful operators (e.g. [[ingestCorpus]]) —
+    * with Spark's chained-stateful-operator guard disabled, then
+    * RESTORES the session's previous value (set-or-unset) in a
+    * finally. The guard is evaluated once, at query analysis
+    * (`writeStream.start()`), so a query started inside this scope
+    * keeps running after the conf is restored — and every later query
+    * on the same session gets Spark's protection back. Without this
+    * scoping, one ingestCorpus start would silently disarm the guard
+    * session-wide, including for a future plan where the hazard the
+    * guard checks for (a downstream operator watermark-filtering the
+    * upstream fMGWS's late-emitted rows) is real. */
+  def withChainedStatefulGuardDisabled[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   private def ingestDedupFn(horizonSeconds: Long)(

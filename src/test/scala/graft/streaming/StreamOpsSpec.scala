@@ -971,9 +971,16 @@ class StreamOpsSpec extends AnyFunSuite {
     val bits = graft.ops.Text.bloomBitsOf(
       Seq("alpha bravo charlie delta echo").toDF("g"))
     val input = MemoryStream[Doc]
-    val q = StreamOps.ingestCorpus(input.toDF(), bits, budgetTokens = 30L)
-      .writeStream.format("memory").queryName("ingest")
-      .outputMode(OutputMode.Append()).start()
+    val guardKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val q = StreamOps.withChainedStatefulGuardDisabled(spark) {
+      StreamOps.ingestCorpus(input.toDF(), bits, budgetTokens = 30L)
+        .writeStream.format("memory").queryName("ingest")
+        .outputMode(OutputMode.Append()).start()
+    }
+    // the disable is SCOPED to the start: the session keeps Spark's
+    // chained-stateful guard for every later streaming query
+    assert(spark.conf.get(guardKey) == "true",
+      "chained-stateful guard must be restored after a scoped start")
     try {
       // splits by the md5(doc_id) rule: ids 1-5 and 7-10 are train,
       // id 6 is test — chosen so every charging case is exercised
@@ -1017,6 +1024,23 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestCorpus leaves the chained-stateful guard ARMED: an unscoped start fails analysis") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bits = graft.ops.Text.bloomBitsOf(Seq("alpha bravo").toDF("g"))
+    val input = MemoryStream[Doc]
+    // building the Dataset must not touch the conf; only a start
+    // inside withChainedStatefulGuardDisabled may pass analysis
+    val ds = StreamOps.ingestCorpus(input.toDF(), bits)
+    val err = intercept[Exception] {
+      val q = ds.writeStream.format("memory").queryName("ingest_unscoped")
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.toLowerCase.contains("correctness"),
+      s"expected Spark's chained-stateful correctness guard, got: ${err.getMessage}")
+  }
+
   test("ingestCorpus quota and dedup state survive a kill-restart mid-budget") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft-ingest-restart-")
@@ -1034,13 +1058,15 @@ class StreamOpsSpec extends AnyFunSuite {
         java.nio.file.Paths.get(staged.head),
         java.nio.file.Paths.get(s"$in/$file.parquet"))
     }
-    def start() = StreamOps.ingestCorpus(
-        spark.readStream.schema(schema).parquet(in), bits,
-        budgetTokens = 30L, lateness = "0 seconds")
-      .toDF()
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .outputMode(OutputMode.Append()).start()
+    def start() = StreamOps.withChainedStatefulGuardDisabled(spark) {
+      StreamOps.ingestCorpus(
+          spark.readStream.schema(schema).parquet(in), bits,
+          budgetTokens = 30L, lateness = "0 seconds")
+        .toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
     // phase 1: two charged docs spend 25 of the 30-token budget
     landDocs("a", Seq(Doc(1, ts(0), tA, "en", "web"),
       Doc(7, ts(1), tE, "en", "web")))
