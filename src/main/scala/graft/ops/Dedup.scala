@@ -268,6 +268,201 @@ object Dedup {
     verifiedNeardupPairs(sh, candidatePairs(sh, g))
   }
 
+  /** One rung of the containment-index LADDER: `words`-word windows at
+    * stride `stride` (= words/2) indexed over EVERY doc, probed by the
+    * whole-doc signatures of docs whose shingle count lies in
+    * [loSh, hiSh] — the stratum that fits inside one window of this
+    * scale. Adjacent rungs tile the doc-size axis: a doc probes
+    * exactly the rung whose window can cover it, so each doc probes
+    * ONE rung and each rung's index is 2× rows (stride L/2),
+    * independent of how many rungs run. The L − S + 1 rule gives the
+    * any-offset coverage guarantee (≤ 9 words at L = 16, ≤ 17 at
+    * L = 32); longer quotes within the stratum are covered at
+    * stride-aligned offsets and still collide with probability
+    * tracking J(quote, window) ≥ C − ε in between. */
+  private final case class ContainmentRung(words: Int, stride: Int, loSh: Int, hiSh: Int) {
+    /** shingles per full window (a w-word window has w − 2 3-gram starts) */
+    def spanSh: Int = words - 2
+  }
+  private val Rung16 = ContainmentRung(16, 8, 1, 14)
+  private val Rung32 = ContainmentRung(32, 16, 15, 30)
+
+  /** DuckDB CTE chain ending in `chkept(doc_id, band, bkey)` — one
+    * rung's hot-bucket-capped window-signature index (the twin of
+    * [[windowBandRows]] + the read-time cap). Shared by the
+    * containment-index queries and the merge op's rebuild oracle. */
+  private def windowIndexCtesSqlFor(r: ContainmentRung, g: LshGeometry): String = {
+    val chBandSelects = (0 until g.bands)
+      .map { b =>
+        val hs = (0 until g.rowsPerBand)
+          .map(x => s"h${g.rowsPerBand * b + x}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($hs) AS bkey FROM chsig"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       WHERE len(string_split(text, ' ')) >= 3),
+       |choff AS (SELECT doc_id, w, unnest(range(0, len(w) - 2, ${r.stride})) AS off
+       |          FROM cw),
+       |chsh AS (SELECT DISTINCT doc_id, off,
+       |           w[CAST(i + 1 AS INT)] || ' ' ||
+       |           w[CAST(i + 2 AS INT)] || ' ' ||
+       |           w[CAST(i + 3 AS INT)] AS sh
+       |         FROM choff,
+       |              UNNEST(range(off, least(off + ${r.spanSh}, len(w) - 2))) t(i)),
+       |chsig AS (SELECT doc_id, off, ${minhashAggSql(g)}
+       |          FROM chsh GROUP BY doc_id, off),
+       |chbands AS ($chBandSelects),
+       |chidx AS (SELECT DISTINCT doc_id, band, bkey FROM chbands),
+       |chkept AS (
+       |  SELECT chidx.* FROM chidx
+       |  JOIN (SELECT band, bkey, COUNT(*) AS bn FROM chidx
+       |        GROUP BY band, bkey) s
+       |    ON s.band = chidx.band AND s.bkey = chidx.bkey
+       |  WHERE s.bn <= ${g.maxBucketSize})""".stripMargin
+  }
+
+  /** One rung's full oracle: whole-doc index (probe side) + window
+    * index + candidate join + the shared exact-containment verify. */
+  private def containmentIndexSqlFor(r: ContainmentRung, g: LshGeometry): String =
+    s"""WITH ${bucketCtesSqlFor(g)},
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |${windowIndexCtesSqlFor(r, g)},
+       |probe AS (SELECT b.* FROM bkept b
+       |          JOIN counts c ON c.doc_id = b.doc_id
+       |            AND c.n_sh BETWEEN ${r.loSh} AND ${r.hiSh}),
+       |cand AS (SELECT DISTINCT LEAST(p.doc_id, x.doc_id) AS doc_a,
+       |                GREATEST(p.doc_id, x.doc_id) AS doc_b
+       |         FROM probe p JOIN chkept x
+       |           ON x.band = p.band AND x.bkey = p.bkey
+       |         WHERE p.doc_id <> x.doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |cont AS (
+       |  SELECT m.doc_a, m.doc_b, m.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
+       |  FROM common m
+       |  JOIN counts ca ON ca.doc_id = m.doc_a
+       |  JOIN counts cb ON cb.doc_id = m.doc_b
+       |  WHERE 5 * m.n_common >= 4 * LEAST(ca.n_sh, cb.n_sh))
+       |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc,
+       |       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_doc,
+       |       CAST(n_common AS BIGINT) AS n_common,
+       |       CAST(LEAST(n_a, n_b) AS BIGINT) AS n_contained,
+       |       CAST(GREATEST(n_a, n_b) AS BIGINT) AS n_container,
+       |       CAST(CASE WHEN 2 * n_common >= n_a + n_b - n_common
+       |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
+       |FROM cont ORDER BY contained_doc, container_doc""".stripMargin
+
+  /** (doc_id, off, shs): one rung's window shingle SETS — the window
+    * analogue of [[shArr]], same 3-gram split, deduped map-side. */
+  private def windowShingleArr(docs: DataFrame, r: ContainmentRung): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - 3, ${r.stride})")).as("off"))
+      .select(col("doc_id"), col("off"),
+        expr("array_distinct(transform(" +
+          s"sequence(off, least(off + ${r.spanSh - 1}, size(w) - 3)), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("shs"))
+
+  /** One rung's UNCAPPED window band rows (doc_id, band, bkey),
+    * deduped per doc — the persistable window-index artifact. Like
+    * [[bandRows]], the hot-bucket cap is applied at READ time over
+    * merged counts ([[Skew.dropOversizeGroups]]), never baked in. */
+  private def windowBandRows(docs: DataFrame, r: ContainmentRung,
+      g: LshGeometry): DataFrame =
+    signaturesBy(windowShingleArr(docs, r), Seq("doc_id", "off"), g)
+      .select(col("doc_id"), explode(array(bandStructCols(g): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .distinct()
+
+  /** The exact-containment verify + output shape over a candidate
+    * relation — ONE definition shared by dd_containment and every
+    * ladder rung, so the acceptance rule cannot drift between the
+    * symmetric-index and window-index paths. */
+  private def containmentVerified(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+      col("n_sh").as("n_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+      col("n_sh").as("n_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .filter(col("n_common") * 5 >= least(col("n_a"), col("n_b")) * 4)
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_doc"),
+        col("n_common"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        when(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"), 1)
+          .otherwise(0).cast("int").as("jaccard_pass"))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  /** One rung end-to-end: window index (capped at read), probed by the
+    * rung's whole-doc-signature stratum, shared containment verify. */
+  private def containmentIndexFrame(s: SparkSession, dir: String,
+      r: ContainmentRung, g: LshGeometry = DefaultGeometry): DataFrame = {
+    val sh = shArr(s, dir).cache() // probe counts + both verify sides
+    val probe = keptBands(sh, g)
+      .join(sh.filter(col("n_sh").between(r.loSh, r.hiSh))
+        .select(col("doc_id")), Seq("doc_id"))
+    val chkept = Skew.dropOversizeGroups(
+      windowBandRows(t(s, dir, "documents"), r, g),
+      Seq("band", "bkey"), g.maxBucketSize)
+    val cand = probe
+      .join(chkept.select(col("doc_id").as("cid"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("cid"))
+      .select(least(col("doc_id"), col("cid")).as("doc_a"),
+        greatest(col("doc_id"), col("cid")).as("doc_b"))
+      .distinct()
+    containmentVerified(sh, cand)
+  }
+
+  /** Window-index MAINTENANCE — [[mergeBandIndex]]'s delta pattern for
+    * one ladder rung's window-signature index: the "yesterday" docs'
+    * window band rows are built once per fixture and memoized (the
+    * persisted artifact), the delta batch contributes only ITS
+    * windows (doc sets are disjoint, so the merge is a blind unionAll
+    * — old docs' TEXT is never rescanned once their artifact exists),
+    * the merged index is published under the rung's fixture key, and
+    * the returned READ view re-applies the hot-bucket cap over MERGED
+    * counts — row-identical to a full from-scratch rebuild, which is
+    * exactly what the oracle replays. */
+  private[ops] def mergeWindowIndex(s: SparkSession, dir: String,
+      r: ContainmentRung, g: LshGeometry = DefaultGeometry): DataFrame = {
+    val d = t(s, dir, "documents")
+    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
+    val dOld = d.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
+      .select(d.columns.map(col): _*)
+    val dBatch = d.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
+      .select(d.columns.map(col): _*)
+    val key = TrainMemo.memoKeyOf(d)
+    val oldIndex = key match {
+      case Some(k) => TrainMemo.getOrTrain(
+        s"chidx_old:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k")(
+        TrainMemo.checkpointReleasing(windowBandRows(dOld, r, g)))
+      case None => windowBandRows(dOld, r, g)
+    }
+    val merged = oldIndex.unionAll(windowBandRows(dBatch, r, g))
+    val artifact = key match {
+      case Some(k) =>
+        val cp = merged.localCheckpoint() // materialize, truncate lineage
+        TrainMemo.publish(s"chidx:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k", cp)
+        cp
+      case None => merged
+    }
+    Skew.dropOversizeGroups(artifact, Seq("band", "bkey"), g.maxBucketSize)
+  }
+
   /** Incremental (daily-crawl) variant: only the DELTA batch's band
     * keys (doc_id ≥ 80% of max — the "new docs" predicate) probe the
     * full band-key index; old-vs-old pairs are never re-derived. At
@@ -421,155 +616,44 @@ object Dedup {
          |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
          |FROM cont ORDER BY contained_doc, container_doc""") { (s, dir) =>
       val sh = shArr(s, dir).cache()
-      val cand = candidatePairs(sh, DefaultGeometry)
-      val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
-        col("n_sh").as("n_a"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
-        col("n_sh").as("n_b"))
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .withColumn("n_common",
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-        .filter(col("n_common") * 5 >= least(col("n_a"), col("n_b")) * 4)
-        .select(
-          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
-            .as("contained_doc"),
-          when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
-            .as("container_doc"),
-          col("n_common"),
-          least(col("n_a"), col("n_b")).as("n_contained"),
-          greatest(col("n_a"), col("n_b")).as("n_container"),
-          when(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"), 1)
-            .otherwise(0).cast("int").as("jaccard_pass"))
-        .orderBy(col("contained_doc"), col("container_doc"))
+      containmentVerified(sh, candidatePairs(sh, DefaultGeometry))
     },
 
-    // ---- containment-TARGETED candidate index: the window (passage)
-    // signature index that closes dd_containment's documented miss
-    // class. A short doc A quoted verbatim inside a long doc B
-    // collides in the shared whole-doc index with probability
-    // tracking J(A,B) ≈ |A|/|B| → 0 — but some 16-word stride-8
-    // WINDOW of B covers the quote, and J(A, window) tracks C, not J,
-    // so indexing every doc's window signatures and probing them with
-    // the SMALL docs' whole-doc signatures (n_sh ≤ 14 — the docs that
-    // fit inside one window) makes the candidate probability track
-    // the containment coefficient. Stride 8 fully covers any ≤ 9-word
-    // quote at ANY offset (L − S + 1 rule) and any ≤ 16-word quote at
-    // aligned offsets; a production ladder runs windows at 16/32/64…
-    // words with stride L/2 so every size stratum probes its matching
-    // scale — this registers the L = 16 rung with the machinery
-    // parameterized the same way. Index size is 2× rows per scale
-    // (stride L/2), still O(corpus); the probe side is only the small
-    // stratum, and the verify is the SAME exact containment rule over
-    // whole-doc shingle sets, so acceptance cannot drift from
-    // dd_containment. Hash kernel, band math, hot-bucket cap and
-    // verify tail are the literal shared definitions. ----
-    sql("dd_containment_index", {
-      val g = DefaultGeometry
-      val chBandSelects = (0 until g.bands)
-        .map { b =>
-          val hs = (0 until g.rowsPerBand)
-            .map(r => s"h${g.rowsPerBand * b + r}").mkString(" || ")
-          s"SELECT doc_id, $b AS band, md5($hs) AS bkey FROM chsig"
-        }
-        .mkString("\nUNION ALL\n")
-      s"""WITH ${bucketCtesSqlFor(g)},
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |       WHERE len(string_split(text, ' ')) >= 3),
-         |choff AS (SELECT doc_id, w, unnest(range(0, len(w) - 2, 8)) AS off
-         |          FROM cw),
-         |chsh AS (SELECT DISTINCT doc_id, off,
-         |           w[CAST(i + 1 AS INT)] || ' ' || w[CAST(i + 2 AS INT)]
-         |             || ' ' || w[CAST(i + 3 AS INT)] AS sh
-         |         FROM choff,
-         |              UNNEST(range(off, least(off + 14, len(w) - 2))) t(i)),
-         |chsig AS (SELECT doc_id, off, ${minhashAggSql(g)}
-         |          FROM chsh GROUP BY doc_id, off),
-         |chbands AS ($chBandSelects),
-         |chidx AS (SELECT DISTINCT doc_id, band, bkey FROM chbands),
-         |chkept AS (
-         |  SELECT chidx.* FROM chidx
-         |  JOIN (SELECT band, bkey, COUNT(*) AS bn FROM chidx
-         |        GROUP BY band, bkey) s
-         |    ON s.band = chidx.band AND s.bkey = chidx.bkey
-         |  WHERE s.bn <= ${g.maxBucketSize}),
-         |probe AS (SELECT b.* FROM bkept b
-         |          JOIN counts c ON c.doc_id = b.doc_id AND c.n_sh <= 14),
-         |cand AS (SELECT DISTINCT LEAST(p.doc_id, x.doc_id) AS doc_a,
-         |                GREATEST(p.doc_id, x.doc_id) AS doc_b
-         |         FROM probe p JOIN chkept x
-         |           ON x.band = p.band AND x.bkey = p.bkey
-         |         WHERE p.doc_id <> x.doc_id),
-         |common AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-         |  GROUP BY c.doc_a, c.doc_b),
-         |cont AS (
-         |  SELECT m.doc_a, m.doc_b, m.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b
-         |  FROM common m
-         |  JOIN counts ca ON ca.doc_id = m.doc_a
-         |  JOIN counts cb ON cb.doc_id = m.doc_b
-         |  WHERE 5 * m.n_common >= 4 * LEAST(ca.n_sh, cb.n_sh))
-         |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc,
-         |       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS container_doc,
-         |       CAST(n_common AS BIGINT) AS n_common,
-         |       CAST(LEAST(n_a, n_b) AS BIGINT) AS n_contained,
-         |       CAST(GREATEST(n_a, n_b) AS BIGINT) AS n_container,
-         |       CAST(CASE WHEN 2 * n_common >= n_a + n_b - n_common
-         |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
-         |FROM cont ORDER BY contained_doc, container_doc"""
-    }) { (s, dir) =>
-      val g = DefaultGeometry
-      val sh = shArr(s, dir).cache() // probe counts + both verify sides
-      // whole-doc signature index (the literal shared definition),
-      // probed only by SMALL docs — the stratum that fits in a window
-      val probe = keptBands(sh, g)
-        .join(sh.filter(col("n_sh") <= 14).select(col("doc_id")), Seq("doc_id"))
-      // the 16-word stride-8 window index over EVERY doc: window
-      // shingles as one array expression, signatures through the
-      // shared kernel keyed (doc, window), band keys deduped per doc
-      val ch = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("w"),
-          explode(expr("sequence(0, size(w) - 3, 8)")).as("off"))
-        .select(col("doc_id"), col("off"),
-          expr("array_distinct(transform(" +
-            "sequence(off, least(off + 13, size(w) - 3)), " +
-            "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("shs"))
-      val chidx = signaturesBy(ch, Seq("doc_id", "off"), g)
-        .select(col("doc_id"), explode(array(bandStructCols(g): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        .distinct()
-      val chkept = Skew.dropOversizeGroups(chidx, Seq("band", "bkey"), g.maxBucketSize)
-      val cand = probe
-        .join(chkept.select(col("doc_id").as("cid"), col("band"), col("bkey")),
-          Seq("band", "bkey"))
-        .filter(col("doc_id") =!= col("cid"))
-        .select(least(col("doc_id"), col("cid")).as("doc_a"),
-          greatest(col("doc_id"), col("cid")).as("doc_b"))
-        .distinct()
-      val sa = sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
-        col("n_sh").as("n_a"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
-        col("n_sh").as("n_b"))
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .withColumn("n_common",
-          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-        .filter(col("n_common") * 5 >= least(col("n_a"), col("n_b")) * 4)
-        .select(
-          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
-            .as("contained_doc"),
-          when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
-            .as("container_doc"),
-          col("n_common"),
-          least(col("n_a"), col("n_b")).as("n_contained"),
-          greatest(col("n_a"), col("n_b")).as("n_container"),
-          when(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"), 1)
-            .otherwise(0).cast("int").as("jaccard_pass"))
-        .orderBy(col("contained_doc"), col("container_doc"))
+    // ---- containment-TARGETED candidate index LADDER: the window
+    // (passage) signature indexes that close dd_containment's
+    // documented miss class. A short doc A quoted verbatim inside a
+    // long doc B collides in the shared whole-doc index with
+    // probability tracking J(A,B) ≈ |A|/|B| → 0 — but some window of
+    // B covers the quote, and J(A, window) tracks C, not J, so
+    // indexing every doc's window signatures and probing them with a
+    // size stratum's whole-doc signatures makes the candidate
+    // probability track the containment coefficient. Two rungs are
+    // registered (the machinery is ONE parameterized definition —
+    // windowIndexCtesSqlFor / containmentIndexFrame):
+    //   L = 16, stride 8,  probed by n_sh ≤ 14       (docs ≤ 16 words)
+    //   L = 32, stride 16, probed by 15 ≤ n_sh ≤ 30  (docs 17–32 words)
+    // Each rung's index is 2× rows (stride L/2), independent of rung
+    // count, and each doc PROBES exactly one rung — the ladder's cost
+    // is additive in indexes, not multiplicative in probes. The
+    // L − S + 1 rule gives any-offset coverage for quotes ≤ 9 words
+    // (L16) / ≤ 17 words (L32); longer in-stratum quotes are covered
+    // at stride-aligned offsets (DedupEdgeSpec pins a 32-word quote
+    // the L16 rung structurally cannot see — its doc is outside the
+    // probe stratum — and the L32 rung catches). The 33–64-word
+    // stratum (L = 64, stride 32) is the same two generators called
+    // once more; it stays unregistered because the shipped fixtures'
+    // verified-containment mass above 32 words is already served by
+    // the symmetric index (J no longer vanishes when the quote is a
+    // third of the container). Hash kernel, band math, hot-bucket cap
+    // and verify tail are the literal shared definitions. ----
+    sql("dd_containment_index",
+      containmentIndexSqlFor(Rung16, DefaultGeometry)) { (s, dir) =>
+      containmentIndexFrame(s, dir, Rung16)
+    },
+
+    sql("dd_containment_index32",
+      containmentIndexSqlFor(Rung32, DefaultGeometry)) { (s, dir) =>
+      containmentIndexFrame(s, dir, Rung32)
     },
 
     // ---- duplicate-group clustering: connected components over the
@@ -691,6 +775,24 @@ object Dedup {
       mergeBandIndex(s, dir)
         .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
         .orderBy(col("doc_id"), col("band"))
+    },
+
+    // ---- window-index MAINTENANCE: dd_index_merge's delta contract
+    // for the containment ladder's L = 16 rung — a growing corpus
+    // extends the window-signature index with batch-sized work (old
+    // docs' text is never re-windowed or re-hashed once their artifact
+    // exists), and the published artifact's capped read view must be
+    // row-identical to a full rebuild, which the oracle replays from
+    // scratch. Unlike the whole-doc index, a (doc, band) key here
+    // carries MANY bkeys (one per window), so the output orders on
+    // all three columns. ----
+    sql("dd_containment_index_merge",
+      s"""WITH ${windowIndexCtesSqlFor(Rung16, DefaultGeometry)}
+         |SELECT doc_id, CAST(band AS INT) AS band, bkey
+         |FROM chkept ORDER BY doc_id, band, bkey""") { (s, dir) =>
+      mergeWindowIndex(s, dir, Rung16)
+        .select(col("doc_id"), col("band").cast("int").as("band"), col("bkey"))
+        .orderBy(col("doc_id"), col("band"), col("bkey"))
     })
 
   /** Connected components over the near-dup pair graph via iterative

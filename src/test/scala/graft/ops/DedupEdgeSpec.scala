@@ -89,6 +89,45 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(r.getInt(r.fieldIndex("jaccard_pass")) == 0)
   }
 
+  test("dd_containment_index32 catches a mid-stratum quote BOTH lower rungs provably miss") {
+    // quote: 32 words = 30 shingles — inside the L32 probe stratum
+    // (15 ≤ n_sh ≤ 30, at its upper edge) and OUTSIDE the L16 stratum
+    // (n_sh ≤ 14), so the L16 rung cannot even probe with it: its miss
+    // is STRUCTURAL, not hash luck. The quote sits at word offset 16 —
+    // a stride-16-aligned window start — so the container's L32 window
+    // at shingle offset 16 spans words 16..47: exactly the quote.
+    // That window's shingle set EQUALS the quote's whole-doc shingle
+    // set, hence identical minhash signatures, hence all four bands
+    // collide — the L32 catch is structural too. Only the
+    // dd_containment miss leans on the (deterministic-forever) md5
+    // band math: whole-doc J = 30/246 ≈ 0.12, and the 200-word tail
+    // was checked against the real signatures to share no band.
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu amber birch cedar dune ember flint"
+    assert(quote.split(" ").length == 32)
+    val prefix = "zeta omega rho tau sigma iota nadir vertex quartz maple onyx jade slate frost glade moss"
+    assert(prefix.split(" ").length == 16)
+    val tail = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val container = s"$prefix $quote $tail"
+    val dir = corpusDir(Seq(quote, container,
+      "completely different words that share nothing with the others at all"))
+    // the symmetric whole-doc index misses: J ≈ 0.12, no shared band
+    assert(SparkEntry.queries("dd_containment")(spark, dir).count() == 0)
+    // the L16 rung misses structurally: 30 shingles is out of stratum
+    assert(SparkEntry.queries("dd_containment_index")(spark, dir).count() == 0)
+    // the L32 rung catches, same acceptance rule, C = 30/30 = 1.0
+    val rows = SparkEntry.queries("dd_containment_index32")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("contained_doc")) == 0L)
+    assert(r.getLong(r.fieldIndex("container_doc")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_common")) == 30L)
+    assert(r.getLong(r.fieldIndex("n_contained")) == 30L)
+    assert(r.getLong(r.fieldIndex("n_container")) == 246L)
+    assert(r.getInt(r.fieldIndex("jaccard_pass")) == 0)
+  }
+
   test("dd_minhash_neardups clusters verbatim duplicates") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
     val dir = corpusDir(Seq(dup, dup,
