@@ -1024,6 +1024,130 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestCorpus on the sf0.01 fixture: batch parity with pipe_llm_corpus where the rules coincide") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, md5, min, size}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    // ---- batch side: the capstone's per-doc verdicts (budget 800) ----
+    val batch = graft.SparkEntry.queries("pipe_llm_corpus")(spark, dir)
+      .collect().map { r =>
+        (r.getLong(r.fieldIndex("doc_id")),
+          (r.getString(r.fieldIndex("source")),
+            r.getInt(r.fieldIndex("quality_pass")) == 1,
+            r.getInt(r.fieldIndex("kept")) == 1,
+            r.getString(r.fieldIndex("split")),
+            r.getLong(r.fieldIndex("n_tokens")),
+            r.getLong(r.fieldIndex("used_before")),
+            r.getInt(r.fieldIndex("admitted")) == 1))
+      }.toMap
+    // ---- stream side: the REAL 500 docs, in order. documents carries
+    // no timestamp, so ts is synthesized monotone in doc_id — which
+    // makes the stream's (ts, doc_id) quota order provably equal the
+    // batch window's ORDER BY doc_id. The decon reference is one bogus
+    // 5-gram (pipe_llm_corpus has no decon stage; flagged must stay
+    // false so the two charging rules coincide). ----
+    val docsDF = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val docs = docsDF.collect().map { r =>
+      Doc(r.getLong(0), ts(r.getLong(0)), r.getString(1), r.getString(2), r.getString(3))
+    }.sortBy(_.doc_id)
+    assert(docs.length == batch.size)
+    val bits = graft.ops.Text.bloomBitsOf(
+      Seq("qqqxyzzy plugh waldo fnord grault").toDF("g"))
+    val input = MemoryStream[Doc]
+    val q = StreamOps.withChainedStatefulGuardDisabled(spark) {
+      StreamOps.ingestCorpus(input.toDF(), bits, budgetTokens = 800L)
+        .writeStream.format("memory").queryName("ingest_fixture")
+        .outputMode(OutputMode.Append()).start()
+    }
+    val got =
+      try {
+        docs.grouped(100).foreach { chunk => // 5 real micro-batches
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        spark.table("ingest_fixture").as[IngestVerdict]
+          .collect().map(v => v.doc_id -> v).toMap
+      } finally q.stop()
+    assert(got.size == docs.length, "one verdict per doc")
+
+    // ---- 1. the dedup STATE MACHINE ≡ the band math, whole fixture:
+    // arrival in id order makes stream-kept(d) ⟺ no smaller-id doc
+    // shares any of d's five buckets (4 MinHash bands + digest), a
+    // predicate recomputable batch-side from the shared definitions ----
+    val tsDocs = docsDF.withColumn("ts", lit(ts(0)))
+    val allKeys = StreamOps.bandKeys(tsDocs).select(col("doc_id"), col("band"), col("bkey"))
+      .unionByName(tsDocs.select(col("doc_id"), lit(4).as("band"),
+        md5(coalesce(col("text"), lit(""))).as("bkey")))
+    val collided = allKeys
+      .join(allKeys.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("mn")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    docs.foreach { d =>
+      assert(got(d.doc_id).kept == !collided(d.doc_id),
+        s"dedup state drift vs band math at doc ${d.doc_id}")
+    }
+
+    // ---- 2. per-doc field parity where the rules are the same rule ----
+    var bothKept = 0
+    docs.foreach { d =>
+      val s = got(d.doc_id); val b = batch(d.doc_id)
+      assert(s.quality_pass == b._2, s"gate vs gopher quality drift at doc ${d.doc_id}")
+      assert(!s.flagged, s"bogus decon reference flagged doc ${d.doc_id}")
+      assert(s.n_tokens >= b._5,
+        s"scrub may only REMOVE tokens (doc ${d.doc_id}: ${s.n_tokens} < ${b._5})")
+      if (s.kept && b._3) {
+        bothKept += 1
+        // kept ⇒ batch cluster_id = doc_id ⇒ md5(cluster) ≡ md5(doc_id)
+        assert(s.split == b._4, s"split rules must coincide on kept doc ${d.doc_id}")
+      }
+    }
+    assert(bothKept >= 100, s"parity subset vacuously small: $bothKept")
+    assert(docs.exists(d => !got(d.doc_id).kept), "no dup ever dropped — vacuous")
+
+    // ---- 3. quota parity per source, on the agreed PREFIX: walking
+    // docs in order, used_before/admitted must match EXACTLY until the
+    // first doc whose charging behaviour legitimately diverges (kept
+    // divergence — stream min-id vs batch verified-cluster — or a
+    // scrub-shortened token count); after that the running budgets
+    // separate and comparison stops for that source. ----
+    var crossingSources = 0
+    var chargedPastBoundary = 0
+    docs.groupBy(_.source).foreach { case (src, srcDocs) =>
+      var aligned = true
+      var sawBoundary = false
+      srcDocs.sortBy(_.doc_id).foreach { d =>
+        if (aligned) {
+          val s = got(d.doc_id); val b = batch(d.doc_id)
+          assert(s.used_before == b._6,
+            s"quota drift at doc ${d.doc_id} of $src before any divergence")
+          val chargeB = b._2 && b._3 && b._4 == "train"
+          val chargeS = s.quality_pass && s.kept && !s.flagged && s.split == "train"
+          if (chargeB != chargeS || (chargeB && s.n_tokens != b._5)) {
+            aligned = false // documented divergence class; budgets separate
+          } else if (chargeB) {
+            assert(s.admitted == b._7, s"admission drift at doc ${d.doc_id} of $src")
+            if (!s.admitted) { // a charging doc past the 800 boundary
+              if (!sawBoundary) crossingSources += 1
+              sawBoundary = true
+            } else if (sawBoundary) {
+              fail(s"doc ${d.doc_id} of $src admitted after the boundary crossed")
+            }
+            if (sawBoundary && s.used_before > 800) chargedPastBoundary += 1
+          } else {
+            assert(!s.admitted && !b._7, s"non-charging doc ${d.doc_id} admitted")
+          }
+        }
+      }
+    }
+    assert(crossingSources >= 1,
+      "no source crossed its 800-token boundary inside the agreed prefix — vacuous")
+    assert(chargedPastBoundary >= 1,
+      "charge-past-boundary semantics never exercised on the fixture")
+  }
+
   test("ingestCorpus leaves the chained-stateful guard ARMED: an unscoped start fails analysis") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
