@@ -542,6 +542,88 @@ object Dedup {
     verifiedNeardupPairs(sh, cand)
   }
 
+  // ---- duplicate-SPAN machinery (exact-substring dedup, Lee et al.
+  // 2022 "Deduplicating Training Data Makes Language Models Better"):
+  // the near-dup/containment family answers "which DOCS overlap"; this
+  // answers "which BYTES are duplicated" — the signal that paper cuts
+  // from training data. Their single-node suffix array does not
+  // distribute; the standard cluster form is a hashed fixed-width gram
+  // index: every W-word gram occurrence (pos, md5(gram)) is emitted,
+  // grams whose hash occurs ≥ 2 times corpus-wide (any mix of cross-
+  // and within-doc) mark their positions duplicated, and per doc the
+  // marked positions coalesce into MAXIMAL spans (a new span starts
+  // when the gap to the previous duplicated gram start exceeds W —
+  // at gap ≤ W the two grams' word ranges overlap or touch, so the
+  // covered words stay contiguous) — spans never overlap and summing
+  // their widths is exact word coverage. Scale: the only
+  // corpus-sized exchanges are the groupBy on the 128-bit gram hash
+  // (map-side partial counts) and the join of occurrences back to the
+  // (rare) duplicated hashes — each O(total words), the same price the
+  // suffix array pays in sort form; the island window runs per doc
+  // over DUPLICATED positions only. Hot grams (boilerplate shared by
+  // millions of docs) cost a counter in the aggregate and fan out only
+  // to each doc's own positions (the dup-hash side is deduped), so
+  // there is no pair blowup anywhere. Grouping on md5 keeps shuffle
+  // rows narrow and both engines hash the identical gram string, so
+  // any collision (~2⁻¹²⁸) would be shared — parity is unconditional.
+  private val SpanW = 8
+
+  /** (doc_id, pos, gh): every W-word gram occurrence. Generate +
+    * project stay in one codegen stage; md5 runs OUTSIDE a lambda
+    * (measured ~5× faster than transform-embedded md5, see the
+    * signature-stage note above). */
+  private def gramRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("w"))
+      .filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - $SpanW)")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanW))")).as("gh"))
+
+  /** Duplicated gram positions coalesced into maximal per-doc spans. */
+  private def dupSpanFrame(s: SparkSession, dir: String): DataFrame = {
+    val g = gramRows(t(s, dir, "documents"))
+    val dup = g.groupBy(col("gh")).count()
+      .filter(col("count") >= 2).select(col("gh"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    g.join(dup, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > lit(SpanW), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanW - 1)).as("span_end"),
+        (max(col("pos")) + lit(SpanW) - min(col("pos"))).as("dup_words"),
+        count(lit(1)).cast("long").as("n_grams"))
+  }
+
+  /** DuckDB CTE chain ending in `isl(doc_id, pos, island)` — the twin
+    * of [[dupSpanFrame]] up to the island grouping, shared by both
+    * span queries so the gram/threshold/gap rules cannot drift. */
+  private val dupSpanCtesSql: String =
+    s"""dw AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+       |       FROM documents
+       |       WHERE len(string_split(COALESCE(text, ''), ' ')) >= $SpanW),
+       |dg AS (SELECT doc_id, CAST(i AS INT) AS pos,
+       |         md5(array_to_string(
+       |           w[CAST(i + 1 AS INT):CAST(i + $SpanW AS INT)], ' ')) AS gh
+       |       FROM dw, UNNEST(range(0, len(w) - ${SpanW - 1})) t(i)),
+       |dd AS (SELECT gh FROM dg GROUP BY gh HAVING COUNT(*) >= 2),
+       |dp AS (SELECT dg.doc_id, dg.pos FROM dg JOIN dd ON dd.gh = dg.gh),
+       |dl AS (SELECT doc_id, pos,
+       |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |       FROM dp),
+       |isl AS (SELECT doc_id, pos,
+       |          SUM(CASE WHEN prev IS NULL OR pos - prev > $SpanW
+       |                   THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM dl)""".stripMargin
+
   private val headSpecs: Seq[QuerySpec] = Seq(
 
     // ---- exact dedup: canonical id per content hash (one shuffle) ----
@@ -1103,7 +1185,67 @@ object Dedup {
             .as("recall_ppm"))
     })
 
-  val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs
+  private val spanSpecs: Seq[QuerySpec] = Seq(
+
+    // ---- maximal duplicated text spans (the positions exact-substring
+    // dedup would cut) ----
+    sql("dd_dup_spans",
+      s"""WITH $dupSpanCtesSql
+         |SELECT doc_id,
+         |       CAST(MIN(pos) AS INT) AS span_start,
+         |       CAST(MAX(pos) + ${SpanW - 1} AS INT) AS span_end,
+         |       CAST(MAX(pos) + $SpanW - MIN(pos) AS INT) AS dup_words,
+         |       CAST(COUNT(*) AS BIGINT) AS n_grams
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""") { (s, dir) =>
+      dupSpanFrame(s, dir)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("dup_words"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ---- per-doc duplicated-word coverage by those spans — the
+    // curation signal (drop / trim docs past a dup_ppm threshold).
+    // Distinct from dd_ngram_coverage: that counts duplicated GRAMS
+    // (overlapping), this measures WORDS under maximal spans, the
+    // fraction of the doc that is literally repeated text. Zero-span
+    // docs surface with dup_ppm = 0 via the left join. ----
+    sql("dd_dup_span_coverage",
+      s"""WITH $dupSpanCtesSql,
+         |spans AS (SELECT doc_id, MAX(pos) + $SpanW - MIN(pos) AS dup_words
+         |          FROM isl GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id, CAST(SUM(dup_words) AS BIGINT) AS dup_words,
+         |               CAST(COUNT(*) AS BIGINT) AS n_spans
+         |        FROM spans GROUP BY doc_id),
+         |wc AS (SELECT doc_id,
+         |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+         |           AS n_words
+         |       FROM documents)
+         |SELECT wc.doc_id, wc.n_words,
+         |       COALESCE(agg.dup_words, 0) AS dup_words,
+         |       COALESCE(agg.n_spans, 0) AS n_spans,
+         |       CAST(COALESCE(agg.dup_words, 0) * 1000000 // wc.n_words
+         |            AS BIGINT) AS dup_ppm
+         |FROM wc LEFT JOIN agg ON agg.doc_id = wc.doc_id
+         |ORDER BY wc.doc_id""") { (s, dir) =>
+      val agg = dupSpanFrame(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("dup_words")).cast("long").as("dup_words"),
+          count(lit(1)).cast("long").as("n_spans"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+            .as("n_words"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          expr("CAST(coalesce(dup_words, 0) * 1000000 div n_words AS BIGINT)")
+            .as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    })
+
+  val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs ++ spanSpecs
 
   /** DuckDB oracle for both simhash variants. */
   private lazy val simhashOracleSql: String = {

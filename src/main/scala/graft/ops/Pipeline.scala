@@ -720,6 +720,72 @@ object Pipeline {
         .orderBy(col("depth"), col("cell"))
     },
 
+    // ---- incremental HISTOGRAM maintenance — the 4th per-cell stat a
+    // planner keeps (counts / min-max / Blooms / NDV exist above):
+    // 16-bin equi-width histograms of the layout dimension x, the
+    // artifact selectivity estimation reads for range predicates.
+    // Geometry is FROZEN like everything else in this family: the bin
+    // edges come from the BASE side's global [min(x), max(x)] — delta
+    // values outside clamp into the edge bins (the production
+    // trade-off: a histogram under stale edges stays mergeable; edge
+    // refresh is a re-layout decision, exactly like cell geometry).
+    // Per side the artifact is cells × ≤16 counters built with
+    // map-side partial aggregation; the merge is a per-(cell, bin)
+    // count SUM — the simplest associative stat of the four, so base
+    // rows are never rescanned. The table row (depth = −1) stacks the
+    // SECOND merge level: bin-wise sums over merged per-cell bins are
+    // exactly the table histogram because every cell shares the
+    // frozen global edges. Oracle = the one-pass rebuild over all
+    // rows under the same edges: EXACT parity IS merge ≡ rebuild. ----
+    sql("pipe_hist_merge",
+      s"""WITH $zLayoutCtesSql,
+        |$frozenCtesSql,
+        |bmm AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax FROM bz),
+        |hb AS (SELECT f.depth, f.cell,
+        |         CAST((LEAST(GREATEST(f.x, m.xmin), m.xmax) - m.xmin) * 16
+        |              // (m.xmax - m.xmin + 1) AS INT) AS bin,
+        |         f.is_delta
+        |       FROM fin2 f, bmm m),
+        |hcells AS (SELECT depth, cell, bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |                  CAST(SUM(is_delta) AS BIGINT) AS n_delta
+        |           FROM hb GROUP BY depth, cell, bin),
+        |htot AS (SELECT CAST(-1 AS INT) AS depth, CAST(-1 AS BIGINT) AS cell,
+        |                bin, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |                CAST(SUM(n_delta) AS BIGINT) AS n_delta
+        |         FROM hcells GROUP BY bin)
+        |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
+        |       CAST(bin AS INT) AS bin, n_rows, n_delta
+        |FROM (SELECT * FROM hcells UNION ALL SELECT * FROM htot)
+        |ORDER BY depth, cell, bin""") { (s, dir) =>
+      val (zt, bz, bnb, refined) = frozenParts(s, dir)
+      val bmm = bz.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+      def hist(side: org.apache.spark.sql.DataFrame, delta: Int) =
+        frozenAssign(side, bnb, refined)
+          .crossJoin(broadcast(bmm)) // 1-row edge table
+          .withColumn("bin", expr(
+            "CAST((least(greatest(x, xmin), xmax) - xmin) * 16" +
+              " div (xmax - xmin + 1) AS INT)"))
+          .groupBy(col("depth"), col("cell"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("depth"), col("cell"), col("bin"), col("n"),
+            (col("n") * delta).as("nd"))
+      // per-side artifacts, then the associative merge (sum per bin —
+      // union + re-aggregate over artifact-sized input, no row rescan)
+      val cells = hist(bz, 0).unionAll(hist(zt.filter(col("k") >= col("t")), 1))
+        .groupBy(col("depth"), col("cell"), col("bin"))
+        .agg(lsum(col("n")).as("n_rows"), lsum(col("nd")).as("n_delta"))
+      val tot = cells.groupBy(col("bin"))
+        .agg(lsum(col("n_rows")).as("n_rows"), lsum(col("n_delta")).as("n_delta"))
+        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
+          col("bin"), col("n_rows"), col("n_delta"))
+      cells
+        .select(col("depth").cast("int").as("depth"),
+          col("cell").cast("long").as("cell"),
+          col("bin"), col("n_rows"), col("n_delta"))
+        .unionAll(tot)
+        .orderBy(col("depth"), col("cell"), col("bin"))
+    },
+
     sql("pipe_prune_eval",
       s"""WITH $zLayoutCtesSql,
         |mx AS (SELECT MAX(x) AS maxx, MAX(y) AS maxy FROM z),

@@ -647,6 +647,48 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // ---- crawl-ordered n-gram NOVELTY — the dated-crawl curation
+    // signal: how much of each doc's distinct 5-gram set appears here
+    // FIRST (no smaller-doc_id doc contains it)? A crawler uses the
+    // per-doc novelty_ppm to decide whether a source still yields new
+    // text or is re-serving what the corpus already holds; doc_id is
+    // ingest order, the same fixture convention the ingest capstone
+    // and the SCD batches key on. Scale shape: the (g, first_doc)
+    // index is ONE gram-keyed aggregation with map-side partial MIN
+    // (the same exchange class dd_ngram_coverage's df table pays),
+    // then everything is doc-keyed counts; and because MIN is
+    // associative, a daily crawl maintains the first-occurrence index
+    // with delta-sized work under the dd_index_merge contract — new
+    // docs can only ADD grams or lose novelty to older docs, never
+    // change an existing gram's first_doc retroactively, since ids
+    // only grow. Docs with < 5 words have no grams and no row (the
+    // ng5 convention). ----
+    sql("tx_novelty",
+      s"""WITH $ng5CtesSql,
+        |fo AS (SELECT g, MIN(doc_id) AS doc_id FROM ng GROUP BY g),
+        |novel AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS novel_grams
+        |          FROM fo GROUP BY doc_id),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |        FROM ng GROUP BY doc_id)
+        |SELECT per.doc_id, per.n_grams,
+        |       COALESCE(novel.novel_grams, 0) AS novel_grams,
+        |       CAST(COALESCE(novel.novel_grams, 0) * 1000000 // per.n_grams
+        |            AS BIGINT) AS novelty_ppm
+        |FROM per LEFT JOIN novel ON novel.doc_id = per.doc_id
+        |ORDER BY per.doc_id""") { (s, dir) =>
+      val ng = ng5(docs(s, dir))
+      val novel = ng.groupBy(col("g")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("novel_grams"))
+      ng.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+          expr("CAST(coalesce(novel_grams, 0) * 1000000 div n_grams AS BIGINT)")
+            .as("novelty_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus duplication report: the before/after numbers every
     // dedup run is judged by (one aggregation over content hashes) ----
     sql("tx_dedup_rate",

@@ -158,4 +158,33 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(by.keySet == Set("train", "val", "test"), by.toString)
     assert(by("train") > by("val") && by("train") > by("test"))
   }
+
+  test("dd_dup_spans: positions, maximal-span merge rule, exact coverage") {
+    // P is an 8-word phrase (= one gram exactly); every gram that
+    // overlaps P only partially includes a per-doc-unique filler word,
+    // so P's start positions are the ONLY duplicated gram positions.
+    val P = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val dir = corpusDir(Seq(
+      s"u01 u02 $P u03 u04", // P at pos 2 of 12 words
+      s"v01 v02 v03 $P", // P at pos 3 of 11 words
+      "z01 z02 z03 z04 z05 z06 z07 z08 z09 z10", // 10 unique words, no dups
+      s"$P w01 w02 $P", // P at 0 and 10: gap 10 > W -> TWO spans
+      s"$P $P")) // P at 0 and 8: gap 8 <= W -> ONE merged span
+    val spans = SparkEntry.queries("dd_dup_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(spans == Set(
+      (0L, 2, 9, 8, 1L),
+      (1L, 3, 10, 8, 1L),
+      (3L, 0, 7, 8, 1L), (3L, 10, 17, 8, 1L),
+      (4L, 0, 15, 16, 2L)))
+    val cov = SparkEntry.queries("dd_dup_span_coverage")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(cov(2L) == ((10L, 0L, 0L, 0L))) // zero-span doc surfaces
+    assert(cov(3L) == ((18L, 16L, 2L, 888888L))) // 16/18 words, floor ppm
+    assert(cov(4L) == ((16L, 16L, 1L, 1000000L))) // fully duplicated
+  }
 }

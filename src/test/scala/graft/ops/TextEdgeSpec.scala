@@ -134,4 +134,24 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 2L, "")))
     assert(out(5L) == ((0L, 2L, "")))
   }
+
+  test("tx_novelty: first occurrence wins by doc_id, exact dup scores zero") {
+    // doc 0: 6 words -> 2 distinct 5-grams, all first here (ppm 1e6).
+    // doc 1: exact copy of doc 0 -> same grams, zero novel.
+    // doc 2: shares doc 0's first 5 words (1 old gram) + 1 new gram.
+    // doc 3: 4 words -> no grams, NO row (the ng5 convention).
+    val d0 = "a1 a2 a3 a4 a5 a6"
+    val dir = corpusDir(Seq(
+      0L -> d0, 1L -> d0,
+      2L -> "a1 a2 a3 a4 a5 b6",
+      3L -> "c1 c2 c3 c4"))
+    val out = SparkEntry.queries("tx_novelty")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((2L, 2L, 1000000L)))
+    assert(out(1L) == ((2L, 0L, 0L)))
+    assert(out(2L) == ((2L, 1L, 500000L)))
+  }
 }
