@@ -36,6 +36,14 @@ import org.apache.spark.sql.SparkSession
   *    original in-process loop over SPARK_GRAFT_ONLY, writing its
   *    line to SPARK_GRAFT_OUT (a per-family temp file the parent
   *    merges).
+  *
+  * Two round-11 harness-budget fixes (round 10's driver bench hit its
+  * time limit and shipped NO artifact): the orchestrator flushes the
+  * merged artifact after EVERY family (a timeout now leaves partial
+  * per-query data tagged `"partial":true`), and the min-of-N re-run
+  * is ADAPTIVE — only queries whose first run is ≥
+  * SPARK_GRAFT_MIN2_THRESHOLD (default 0.7 s) re-run, cutting ~45 s
+  * of re-measuring the sub-second tail nobody compares.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,6 +96,36 @@ object Bench {
     var queries = Vector.empty[(String, Double)]
     var failed = Vector.empty[String]
     var runsAll = Vector.empty[(String, Seq[Double])]
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "docs/bench_latest.json")
+    // merged-artifact line over everything collected SO FAR. Written
+    // after EVERY family (partial: true) and once at the end (no
+    // partial key): round 10's driver bench timed out (rc=124) and,
+    // because the merge only flushed at the end, the round shipped
+    // with ZERO per-query data — a timeout must degrade to partial
+    // data, not none.
+    def mergedLine(partial: Boolean): String = {
+      val failedSet = failed.toSet
+      val qsSorted = queries.sortBy(_._1)
+      val total = qsSorted.collect {
+        case (n, t) if !failedSet(n) => t
+      }.sum
+      val qs = qsSorted.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val failedJson =
+        if (failed.isEmpty) ""
+        else failed.sorted.map("\"" + _ + "\"")
+          .mkString(""","failed":[""", ",", "]")
+      val runsJson =
+        if (runsAll.isEmpty) ""
+        else runsAll.sortBy(_._1).map { case (k, ts) =>
+          "\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
+        }.mkString(""","runs":{""", ",", "}")
+      val partialJson = if (partial) ""","partial":true""" else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedJson$runsJson$partialJson,"sf":"$sfDir"}"""
+    }
+    def flush(line: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] artifact write: $e") }
     groups.foreach { case (gname, qnames) =>
       val outF = tmpDir.resolve(s"$gname.json")
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
@@ -134,29 +172,11 @@ object Bench {
           case _ =>
         }
       }
+      flush(mergedLine(partial = true)) // timeout ⇒ partial data, not none
     }
-    val failedSet = failed.toSet
-    val qsSorted = queries.sortBy(_._1)
-    val total = qsSorted.collect {
-      case (n, t) if !failedSet(n) => t
-    }.sum
-    val qs = qsSorted.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val failedJson =
-      if (failed.isEmpty) ""
-      else failed.sorted.map("\"" + _ + "\"")
-        .mkString(""","failed":[""", ",", "]")
-    val runsJson =
-      if (runsAll.isEmpty) ""
-      else runsAll.sortBy(_._1).map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
-      }.mkString(""","runs":{""", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$failedJson$runsJson,"sf":"$sfDir"}"""
+    val line = mergedLine(partial = false)
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "docs/bench_latest.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] artifact write: $e") }
+    flush(line)
   }
 
   private def runInProcess(): Unit = {
@@ -182,6 +202,16 @@ object Bench {
     // 1.48 s. The min is the steady-state cost of the PLAN, which is
     // what round-over-round comparisons need.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
+    // ADAPTIVE second run: a query whose FIRST run already finished
+    // under this threshold gets no re-run — the min exists to kill
+    // noise spikes, which only matter on the slow tail, and a spiked
+    // fast query's first run lands ABOVE the threshold and re-runs
+    // anyway (recovering its true min). Round 10's driver bench timed
+    // out (rc=124) with 130 of 181 queries sub-second: their second
+    // runs were ~45 s of pure re-measurement of numbers nobody
+    // compares. Failed runs also retry (a transient crash must not
+    // stick). Set to 0 to force unconditional min-of-N.
+    val min2Threshold = sys.env.getOrElse("SPARK_GRAFT_MIN2_THRESHOLD", "0.7").toDouble
     // dev aid: SPARK_GRAFT_ONLY=q1_x,dd_y times a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
@@ -191,7 +221,7 @@ object Bench {
       // (elapsed, succeeded): a failed run must not contribute its
       // fail-fast elapsed time to the min — min-of-N would otherwise
       // report a 0.1 s crash as a 100× "speedup"
-      val times = (1 to runs).map { _ =>
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         // noop sink fully executes the plan (count() can prune projections)
         val ok =
@@ -199,6 +229,11 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      var times = Vector(once())
+      // minOption is None while every run failed → forall true → retry
+      while (times.size < runs &&
+        times.collect { case (t, true) => t }.minOption
+          .forall(_ >= min2Threshold)) times :+= once()
       (name, times)
     }
     val results = allRuns.map { case (name, times) =>
