@@ -128,6 +128,44 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(r.getInt(r.fieldIndex("jaccard_pass")) == 0)
   }
 
+  test("dd_containment_index64 catches a mid-stratum quote ALL lower rungs provably miss") {
+    // quote: 64 words = 62 shingles — inside the L64 probe stratum
+    // (31 ≤ n_sh ≤ 62, at its upper edge) and OUTSIDE both lower
+    // strata (L16 probes n_sh ≤ 14, L32 probes 15–30), so neither
+    // lower rung can even probe with it: their misses are STRUCTURAL,
+    // not hash luck. The quote sits at word offset 32 — a
+    // stride-32-aligned window start — so the container's L64 window
+    // at shingle offset 32 spans words 32..95: exactly the quote.
+    // That window's shingle set EQUALS the quote's whole-doc shingle
+    // set, hence identical minhash signatures, hence all four bands
+    // collide — the L64 catch is structural too. Only the
+    // dd_containment miss leans on the (deterministic-forever) md5
+    // band math: whole-doc J = 62/494 ≈ 0.13, and the 400-word tail
+    // was checked against the real signatures to share no band.
+    val quote = (1 to 64).map(i => s"qw$i").mkString(" ")
+    val prefix = (1 to 32).map(i => s"pz$i").mkString(" ")
+    val tail = (1 to 400).map(i => s"fz$i").mkString(" ")
+    val container = s"$prefix $quote $tail"
+    assert(container.split(" ").length == 496)
+    val dir = corpusDir(Seq(quote, container,
+      "completely different words that share nothing with the others at all"))
+    // the symmetric whole-doc index misses: J ≈ 0.13, no shared band
+    assert(SparkEntry.queries("dd_containment")(spark, dir).count() == 0)
+    // the lower rungs miss structurally: 62 shingles is out of stratum
+    assert(SparkEntry.queries("dd_containment_index")(spark, dir).count() == 0)
+    assert(SparkEntry.queries("dd_containment_index32")(spark, dir).count() == 0)
+    // the L64 rung catches, same acceptance rule, C = 62/62 = 1.0
+    val rows = SparkEntry.queries("dd_containment_index64")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(r.fieldIndex("contained_doc")) == 0L)
+    assert(r.getLong(r.fieldIndex("container_doc")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_common")) == 62L)
+    assert(r.getLong(r.fieldIndex("n_contained")) == 62L)
+    assert(r.getLong(r.fieldIndex("n_container")) == 494L)
+    assert(r.getInt(r.fieldIndex("jaccard_pass")) == 0)
+  }
+
   test("dd_minhash_neardups clusters verbatim duplicates") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
     val dir = corpusDir(Seq(dup, dup,
@@ -169,7 +207,10 @@ class DedupEdgeSpec extends AnyFunSuite {
       s"v01 v02 v03 $P", // P at pos 3 of 11 words
       "z01 z02 z03 z04 z05 z06 z07 z08 z09 z10", // 10 unique words, no dups
       s"$P w01 w02 $P", // P at 0 and 10: gap 10 > W -> TWO spans
-      s"$P $P")) // P at 0 and 8: gap 8 <= W -> ONE merged span
+      s"$P $P", // P at 0 and 8: gap 8 <= W -> ONE merged span
+      s"$P x99 $P")) // P at 0 and 9: gap 9 = W + 1, the SMALLEST gap
+    // that must split — an off-by-one in the `pos - prev > W` break
+    // rule (> vs >=) flips exactly this fixture
     val spans = SparkEntry.queries("dd_dup_spans")(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
@@ -178,7 +219,8 @@ class DedupEdgeSpec extends AnyFunSuite {
       (0L, 2, 9, 8, 1L),
       (1L, 3, 10, 8, 1L),
       (3L, 0, 7, 8, 1L), (3L, 10, 17, 8, 1L),
-      (4L, 0, 15, 16, 2L)))
+      (4L, 0, 15, 16, 2L),
+      (5L, 0, 7, 8, 1L), (5L, 9, 16, 8, 1L)))
     val cov = SparkEntry.queries("dd_dup_span_coverage")(spark, dir)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -186,5 +228,35 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(cov(2L) == ((10L, 0L, 0L, 0L))) // zero-span doc surfaces
     assert(cov(3L) == ((18L, 16L, 2L, 888888L))) // 16/18 words, floor ppm
     assert(cov(4L) == ((16L, 16L, 1L, 1000000L))) // fully duplicated
+    assert(cov(5L) == ((17L, 16L, 2L, 941176L))) // word 8 NOT covered
+  }
+
+  test("dd_dup_span_apply: length floor, trim arithmetic, drop at exactly the threshold") {
+    val P = "p1 p2 p3 p4 p5 p6 p7 p8" // 8 words = one gram = one 8-word span
+    val Q = (1 to 16).map(i => s"qq$i").mkString(" ") // a 16-word cut-eligible span
+    val docA = s"$P ax1 ax2 $P " + (1 to 10).map(i => s"ay$i").mkString(" ")
+    val docB = (1 to 12).map(i => s"bx$i").mkString(" ") + s" $Q " +
+      (1 to 12).map(i => s"by$i").mkString(" ")
+    val docC = (1 to 16).map(i => s"cx$i").mkString(" ") + s" $Q"
+    val docD = (1 to 10).map(i => s"dx$i").mkString(" ")
+    val docE = s"$P " + (1 to 21).map(i => s"ex$i").mkString(" ") + s" $Q"
+    val dir = corpusDir(Seq(docA, docB, docC, docD, docE))
+    val rows = SparkEntry.queries("dd_dup_span_apply")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))))
+      .toMap
+    // A (28 words): two 8-word spans, both below the 16-word floor — intact
+    assert(rows(0L) == ((28L, 0L, 0L, "keep", 28L)))
+    // B (40 words): one 16-word span, 40% coverage < 50% — trimmed
+    assert(rows(1L) == ((40L, 16L, 1L, "trim", 24L)))
+    // C (32 words): one 16-word span, coverage EXACTLY 50% — the drop
+    // boundary is inclusive (≥), so the doc drops whole
+    assert(rows(2L) == ((32L, 16L, 1L, "drop", 0L)))
+    // D: no duplicated grams at all
+    assert(rows(3L) == ((10L, 0L, 0L, "keep", 10L)))
+    // E (45 words): an 8-word span (ignored, below floor) AND a
+    // 16-word span (cut) in the same doc — the floor is per SPAN
+    assert(rows(4L) == ((45L, 16L, 1L, "trim", 29L)))
   }
 }
