@@ -403,23 +403,38 @@ object Multimodal {
     // ---- perceptual-hash image NEAR-dup (average hash / aHash — the
     // pHash-family baseline every image-dedup pipeline ships):
     // mm_dup_assets catches byte-identical payloads; this catches
-    // VISUALLY-near duplicates. Per asset: REAL ImageIO decode, the
-    // mm_image_resize nearest-neighbor 8×4 thumbnail lattice, per-cell
-    // luminance g = r+g+b, aHash bit (y·8+x) set iff g > ⌊Σg/32⌋ — a
-    // 32-bit signature from real decoded pixels, all-integer, so the
-    // oracle replays it arithmetically from the payload hex (the BLOB
-    // discipline). Candidates via banded Hamming LSH with radius+1 =
-    // 7 bands (widths 5,5,5,5,4,4,4 — pigeonhole: ≤ 6 differing bits
-    // cannot touch all 7 bands, so any pair within the verify radius
-    // collides on at least one band; a 2-band split only guarantees
-    // hamming ≤ 1, and pairs with one flipped bit per half were
-    // silently missed), then exact verify bit_count(xor) ≤ 6. The
-    // band join is one (band, key) equi-join of the exploded 7-row
-    // signature stream, never all-pairs. Decode cost is per-RECORD in the scan
-    // partition (mapPartitions, zero shuffle before the half-key
-    // exchange); the signature table the joins exchange is 12 bytes a
-    // row regardless of image size — at 100 TB the payloads never
-    // move, only hashes do. ----
+    // VISUALLY-near duplicates. Per asset: REAL ImageIO decode, a
+    // nearest-neighbor 8×8 thumbnail lattice (the textbook aHash
+    // shape), per-cell luminance g = r+g+b, bit (y·8+x) set iff
+    // g > ⌊Σg/64⌋ — a 64-bit signature from real decoded pixels,
+    // carried as two non-negative 32-bit halves (lo, hi) so both
+    // engines compute identical integers without 1<<63 sign games.
+    //
+    // Round-11 rework, from a MEASURED failure: the previous 32-bit
+    // (8×4) signature at verify radius 6 passed ~2.7e-4 of RANDOM
+    // pairs (Σ_{i≤6} C(32,i)/2³² ), so the OUTPUT itself grew
+    // quadratically — 71 rows at 500 docs but 604,874 at 50k, almost
+    // all noise, and the 4-5-bit band keys (≤ 32 values) made the
+    // candidate join ~n²/5 (21 MINUTES at the 10× fixture). At 64
+    // bits the same radius passes 4.3e-12 of random pairs — output
+    // is only true thumbnail matches at any corpus size.
+    //
+    // Candidates via MULTI-INDEX HASHING (Norouzi/Punjani/Fleet 2012):
+    // 4 exact 16-bit bands (the index), probed by each band key and
+    // its 16 single-bit flips. Pigeonhole: ≤ 6 differing bits over 4
+    // bands leave some band with ≤ ⌊6/4⌋ = 1 error, and a 1-error
+    // band is one flip away — so every pair within the verify radius
+    // meets in a probed bucket, EXACT recall (in fact through radius
+    // 7). The probe stream is 4 bands × 17 keys = 68 rows/doc against
+    // a 4-row/doc index over a 65,536-value key space: candidates
+    // ≈ 68·n·(n/65536)·4ish ≈ n²/1000 vs the old n²/5 — and the
+    // verify radius guarantee no longer fights the key width (7
+    // exact bands over 32 bits forced ≤ 5-bit keys; probe expansion
+    // buys the same guarantee with 16-bit keys). Decode cost is
+    // per-RECORD in the scan partition (mapPartitions, zero shuffle
+    // before the band exchange); the signature table the joins
+    // exchange is 20 bytes a row regardless of image size — at
+    // 100 TB the payloads never move, only hashes do. ----
     sql("mm_phash_neardups",
       """WITH h AS (
         |  SELECT doc_id, upper(hex(encode(text))) AS hx,
@@ -429,9 +444,9 @@ object Multimodal {
         |  FROM documents),
         |samp AS (
         |  SELECT doc_id, hx, n, x, y,
-        |         (3 * ((y * h0 // 4) * w0 + (x * w0 // 8)) + c)
+        |         (3 * ((y * h0 // 8) * w0 + (x * w0 // 8)) + c)
         |           % greatest(n, 1) AS idx
-        |  FROM h, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 4)) AS ty(y),
+        |  FROM h, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y),
         |       UNNEST(range(0, 3)) AS tc(c)),
         |bv AS (
         |  SELECT doc_id, x, y,
@@ -442,84 +457,67 @@ object Multimodal {
         |                   substring(hx, CAST(2 * idx + 2 AS INT), 1)) - 1)
         |         ELSE 0 END) AS g
         |  FROM samp GROUP BY doc_id, x, y),
-        |mn AS (SELECT doc_id, SUM(g) // 32 AS mean FROM bv GROUP BY doc_id),
+        |mn AS (SELECT doc_id, SUM(g) // 64 AS mean FROM bv GROUP BY doc_id),
         |ph AS MATERIALIZED (
         |  SELECT b.doc_id,
-        |         CAST(SUM(CASE WHEN b.g > m.mean
+        |         CAST(SUM(CASE WHEN b.g > m.mean AND y < 4
         |           THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT)
-        |           ELSE 0 END) AS BIGINT) AS ph
+        |           ELSE 0 END) AS BIGINT) AS lo,
+        |         CAST(SUM(CASE WHEN b.g > m.mean AND y >= 4
+        |           THEN CAST(1 AS BIGINT) << CAST((y - 4) * 8 + x AS INT)
+        |           ELSE 0 END) AS BIGINT) AS hi
         |  FROM bv b JOIN mn m USING (doc_id) GROUP BY b.doc_id),
         |bk AS (
         |  SELECT doc_id, b,
-        |         CASE WHEN b < 4 THEN (ph // (1 << CAST(5 * b AS INT))) % 32
-        |              ELSE (ph // (1 << CAST(20 + 4 * (b - 4) AS INT))) % 16
-        |         END AS k
-        |  FROM ph, UNNEST(range(0, 7)) AS tb(b)),
+        |         CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+        |                WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS k
+        |  FROM ph, UNNEST(range(0, 4)) AS tb(b)),
+        |probe AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN f = 0 THEN k
+        |              ELSE xor(k, 1 << CAST(f - 1 AS INT)) END AS k
+        |  FROM bk, UNNEST(range(0, 17)) AS tf(f)),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS asset_a, b2.doc_id AS asset_b
-        |  FROM bk a JOIN bk b2 ON a.b = b2.b AND a.k = b2.k
-        |    AND a.doc_id < b2.doc_id)
+        |  SELECT DISTINCT LEAST(p.doc_id, i.doc_id) AS asset_a,
+        |                  GREATEST(p.doc_id, i.doc_id) AS asset_b
+        |  FROM probe p JOIN bk i ON i.b = p.b AND i.k = p.k
+        |    AND i.doc_id <> p.doc_id)
         |SELECT c.asset_a, c.asset_b,
-        |       CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
+        |       CAST(bit_count(xor(pa.lo, pb.lo))
+        |          + bit_count(xor(pa.hi, pb.hi)) AS INT) AS hamming
         |FROM cand c
         |JOIN ph pa ON pa.doc_id = c.asset_a
         |JOIN ph pb ON pb.doc_id = c.asset_b
-        |WHERE bit_count(xor(pa.ph, pb.ph)) <= 6
+        |WHERE bit_count(xor(pa.lo, pb.lo)) + bit_count(xor(pa.hi, pb.hi)) <= 6
         |ORDER BY asset_a, asset_b""") { (s, dir) =>
-      import s.implicits._
-      val ph = t(s, dir, "documents")
-        .select(col("doc_id"),
-          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { docs =>
-          docs.map { case (id, payload) =>
-            val w0 = (16 + id % 16).toInt
-            val h0 = (8 + id % 8).toInt
-            val png = RealCodecs.encodePng(w0, h0, payload)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(png))
-            val g = new Array[Long](32)
-            var sum = 0L
-            var y = 0
-            while (y < 4) {
-              var x = 0
-              while (x < 8) {
-                val rgb = img.getRGB(x * w0 / 8, y * h0 / 4)
-                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
-                  + (rgb & 0xff)).toLong
-                g(y * 8 + x) = lum
-                sum += lum
-                x += 1
-              }
-              y += 1
-            }
-            val mean = sum / 32
-            var hash = 0L
-            var i = 0
-            while (i < 32) { if (g(i) > mean) hash |= 1L << i; i += 1 }
-            (id, hash)
-          }
-        }
-        .toDF("doc_id", "ph")
-        .cache() // three self-join sides + the verify lookups
-      ph.count()
-      // 7 band keys per signature (4×5-bit + 3×4-bit = 32 bits),
-      // exploded once and self-joined on (band, key).
+      // memoized + localCheckpoint'd per fixture (TrainMemo): the
+      // signature table is the persistable artifact of image dedup —
+      // the codec pass is paid once per fixture per JVM, and the
+      // index/probe/verify reads all serve from the checkpoint
+      val ph = phashFrame(s, dir)
+      // 4 exact 16-bit band keys per signature — the MIH index side
       val bk = ph.select(col("doc_id"), posexplode(array(
-        expr("ph % 32"), expr("(ph div 32) % 32"),
-        expr("(ph div 1024) % 32"), expr("(ph div 32768) % 32"),
-        expr("(ph div 1048576) % 16"), expr("(ph div 16777216) % 16"),
-        expr("(ph div 268435456) % 16")).as("ks")).as(Seq("b", "k")))
-      val cand = bk.select(col("doc_id").as("asset_a"), col("b"), col("k"))
+        expr("lo % 65536"), expr("lo div 65536"),
+        expr("hi % 65536"), expr("hi div 65536")).as("ks")).as(Seq("b", "k")))
+      // probe side: each band key plus its 16 single-bit flips
+      val probe = bk.select(col("doc_id").as("asset_a"), col("b"),
+        explode(expr("transform(sequence(0, 16), " +
+          "f -> CASE WHEN f = 0 THEN k " +
+          "ELSE k ^ shiftleft(CAST(1 AS BIGINT), f - 1) END)")).as("k"))
+      val cand = probe
         .join(bk.select(col("doc_id").as("asset_b"), col("b"), col("k")),
           Seq("b", "k"))
-        .filter(col("asset_a") < col("asset_b"))
-        .select(col("asset_a"), col("asset_b"))
+        .filter(col("asset_a") =!= col("asset_b"))
+        .select(least(col("asset_a"), col("asset_b")).as("asset_a"),
+          greatest(col("asset_a"), col("asset_b")).as("asset_b"))
         .distinct()
       cand
-        .join(ph.select(col("doc_id").as("asset_a"), col("ph").as("pa")), Seq("asset_a"))
-        .join(ph.select(col("doc_id").as("asset_b"), col("ph").as("pb")), Seq("asset_b"))
-        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+        .join(ph.select(col("doc_id").as("asset_a"),
+          col("lo").as("la"), col("hi").as("ha")), Seq("asset_a"))
+        .join(ph.select(col("doc_id").as("asset_b"),
+          col("lo").as("lb"), col("hi").as("hb")), Seq("asset_b"))
+        .withColumn("hamming",
+          expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS INT)"))
         .filter(col("hamming") <= 6)
         .select(col("asset_a"), col("asset_b"), col("hamming"))
         .orderBy(col("asset_a"), col("asset_b"))
@@ -616,4 +614,70 @@ object Multimodal {
       nibbleHistogram(assets(s, dir)).toDF()
         .orderBy(col("asset_id"), col("bucket"))
     })
+
+  /** (doc_id, lo, hi): the 64-bit aHash over a REAL-ImageIO-decoded
+    * 8×8 nearest-neighbor thumbnail, as two non-negative 32-bit
+    * halves (bits 0–31 / 32–63). Package-private so MultimodalCodecSpec
+    * can brute-force all-pairs hamming against the op's own
+    * signatures — the MIH probe guarantee, pinned on real data. */
+  private[ops] def phashFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainMemo.memoKeyOf(docs) match {
+      case Some(k) => TrainMemo.getOrTrain(
+        s"phash:${TrainMemo.sessionKeyOf(s)}:$k")(
+        TrainMemo.checkpointReleasing(phashBuild(s, docs)))
+      case None => phashBuild(s, docs)
+    }
+  }
+
+  private def phashBuild(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      // codec work dominates this operator (~0.75 ms/asset: PNG
+      // deflate + ImageIO read), so its parallelism must not be
+      // capped by the SCAN's split count — a corpus packed into few
+      // large files (the shipped fixture: one file ⇒ one split) would
+      // decode serially: measured 37.5 s for 50k assets single-split
+      // vs ~2 s spread across local[32]. One deterministic hash
+      // repartition moves each payload once — strictly cheaper than
+      // the decode it unblocks; on a well-split 100 TB corpus it is
+      // a rebalance, not a new bottleneck (decode cost ≫ one
+      // payload-sized exchange either way).
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { docs =>
+        docs.map { case (id, payload) =>
+          val w0 = (16 + id % 16).toInt
+          val h0 = (8 + id % 8).toInt
+          val png = RealCodecs.encodePng(w0, h0, payload)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          val g = new Array[Long](64)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = img.getRGB(x * w0 / 8, y * h0 / 8)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                + (rgb & 0xff)).toLong
+              g(y * 8 + x) = lum
+              sum += lum
+              x += 1
+            }
+            y += 1
+          }
+          val mean = sum / 64
+          var lo = 0L
+          var hi = 0L
+          var i = 0
+          while (i < 32) { if (g(i) > mean) lo |= 1L << i; i += 1 }
+          while (i < 64) { if (g(i) > mean) hi |= 1L << (i - 32); i += 1 }
+          (id, lo, hi)
+        }
+      }
+      .toDF("doc_id", "lo", "hi")
+  }
 }

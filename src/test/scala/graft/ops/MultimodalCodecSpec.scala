@@ -44,6 +44,39 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash_neardups: MIH candidates lose nothing vs brute-force hamming ≤ 6 (sf0.1)") {
+    // The multi-index-hashing guarantee, pinned on real data: the op's
+    // banded probe join must return EXACTLY the pairs a brute-force
+    // all-pairs scan over its own 64-bit signatures accepts at radius
+    // 6 — any candidate-stage miss (band split bug, probe-mask bug,
+    // dedup bug) shows up as a set difference. 5000 docs = 12.5M
+    // brute-force pairs, in-memory.
+    val spark = graft.SparkTestSession.spark
+    val dir = "/root/testdata/sf0.1"
+    val got = graft.SparkEntry.queries("mm_phash_neardups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Multimodal.phashFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val truth = scala.collection.mutable.Set[(Long, Long, Int)]()
+    var nearMisses = 0 // pairs at hamming 7-8: the radius boundary bites
+    var i = 0
+    while (i < sigs.length) {
+      val (a, la, ha) = sigs(i)
+      var j = i + 1
+      while (j < sigs.length) {
+        val (b, lb, hb) = sigs(j)
+        val d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if (d <= 6) truth += ((math.min(a, b), math.max(a, b), d))
+        else if (d <= 8) nearMisses += 1
+        j += 1
+      }
+      i += 1
+    }
+    assert(truth.nonEmpty, "pin must be non-vacuous on the shipped fixture")
+    assert(nearMisses > 0, "fixture must carry pairs just OUTSIDE the radius")
+    assert(got == truth)
+  }
+
   test("decodeImage rejects non-image payloads") {
     intercept[IllegalArgumentException] {
       RealCodecs.decodeImage("not an image".getBytes)

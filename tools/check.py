@@ -39,8 +39,14 @@ from concurrent.futures import ProcessPoolExecutor
 
 def _oracle_worker(args):
     """Runs ONE oracle in a fresh child interpreter (see run_oracle)."""
+    import os
     sf_dir, sql = args
     c = duckdb.connect()
+    # cap per-child threads when several children run concurrently
+    # (CHECK_WORKERS > 1) so N children don't each claim every core
+    t = os.environ.get("CHECK_DUCK_THREADS")
+    if t:
+        c.execute(f"SET threads TO {int(t)}")
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return c.execute(sql).df()
@@ -96,7 +102,15 @@ def main():
     # both failures tool-side, every query passing in isolation. A
     # spawned child per oracle is ~0.3 s overhead and leaves nothing
     # behind; exceptions propagate through the future.
-    ex = ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1)
+    #
+    # CHECK_WORKERS=N (default 1: the driver's sequential behavior)
+    # runs N oracle children CONCURRENTLY — the full 10x-fixture suite
+    # is hours sequential, dominated by a handful of heavy dedup/text
+    # oracles. Pair with CHECK_DUCK_THREADS to cap each child's cores.
+    # Isolation is unchanged: still one fresh process per oracle.
+    import os as _os
+    workers = int(_os.environ.get("CHECK_WORKERS", "1"))
+    ex = ProcessPoolExecutor(max_workers=workers, max_tasks_per_child=1)
 
     def run_oracle(sql):
         return ex.submit(_oracle_worker, (sf_dir, sql)).result()
@@ -113,9 +127,15 @@ def main():
         rows_only = set(json.load(open(f"{out_dir}/rows_only_contract.json")))
     except Exception:
         rows_only = set()
-    for name in sorted(out_dirs | set(oracle) | rows_only):
-        if only and name not in only:
-            continue
+    names = [n for n in sorted(out_dirs | set(oracle) | rows_only)
+             if not only or n in only]
+    # with concurrent workers, enqueue every oracle up front so the
+    # pool stays busy while the main process loads/compares in order
+    futures = {}
+    if workers > 1:
+        futures = {n: ex.submit(_oracle_worker, (sf_dir, oracle[n]))
+                   for n in names if n in oracle and n in out_dirs}
+    for name in names:
         if name not in out_dirs:
             failures.append((name, "MISSING OUTPUT: oracle entry has no "
                                    "Verify parquet dump (did Verify crash?)"))
@@ -135,7 +155,8 @@ def main():
             print(f"SKIP  {name}  (rows-only: {len(got)} rows, no oracle)")
             continue
         try:
-            exp = run_oracle(oracle[name])
+            exp = (futures[name].result() if name in futures
+                   else run_oracle(oracle[name]))
         except Exception as e:
             failures.append((name, f"ORACLE EXEC ERROR: {e}"))
             continue
