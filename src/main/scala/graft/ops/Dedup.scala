@@ -613,8 +613,14 @@ object Dedup {
     }
   }
 
-  private def dupSpanBuild(docs: DataFrame): DataFrame = {
-    val g = TrainMemo.trackedCache(gramRows(docs))
+  private def dupSpanBuild(docs: DataFrame): DataFrame =
+    spansFromGrams(TrainMemo.trackedCache(gramRows(docs)))
+
+  /** Islands of duplicated gram positions from a gram-occurrence frame
+    * `(doc_id, pos, gh)` — the tail shared by the from-scratch build
+    * and the merge-maintained path ([[mergeSpanIndex]]), so the dup
+    * threshold / gap rule / island grouping cannot drift between them. */
+  private def spansFromGrams(g: DataFrame): DataFrame = {
     val dup = g.groupBy(col("gh")).count()
       .filter(col("count") >= 2).select(col("gh"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -630,6 +636,51 @@ object Dedup {
         (max(col("pos")) + lit(SpanW - 1)).as("span_end"),
         (max(col("pos")) + lit(SpanW) - min(col("pos"))).as("dup_words"),
         count(lit(1)).cast("long").as("n_grams"))
+  }
+
+  /** Gram-index MAINTENANCE — [[mergeBandIndex]]'s delta pattern for
+    * the exact-substring (Lee 2022) gram index, the 5th incrementally
+    * maintained serving artifact (band index, window index, layout
+    * stats, histograms, now duplicate-span grams):
+    *
+    *  - the "yesterday" docs' gram occurrences `(doc_id, pos, gh)` are
+    *    built once per fixture and memoized — the persisted artifact;
+    *    old TEXT is never re-exploded or re-hashed once it exists
+    *    (the explode+md5 over corpus words is the expensive scan, the
+    *    distributed analog of rebuilding the suffix array);
+    *  - the delta batch contributes only ITS gram rows (doc sets are
+    *    disjoint ⇒ blind unionAll, no dedup shuffle);
+    *  - the dup threshold (count ≥ 2) is applied over MERGED counts —
+    *    the cap-after-merge analog: a batch doc quoting yesterday's
+    *    text pushes grams that were singletons yesterday over the
+    *    threshold, creating spans in OLD docs too. A store that
+    *    persisted per-side dup VERDICTS instead of occurrences would
+    *    miss exactly those; this is why the artifact is the index, not
+    *    the report. Row-identical to the from-scratch rebuild, which
+    *    is what the oracle replays. */
+  private[ops] def mergeSpanIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
+    val dOld = d.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
+      .select(d.columns.map(col): _*)
+    val dBatch = d.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
+      .select(d.columns.map(col): _*)
+    val key = TrainMemo.memoKeyOf(d)
+    val oldGrams = key match {
+      case Some(k) => TrainMemo.getOrTrain(
+        s"spangrams_old:${TrainMemo.sessionKeyOf(s)}:$k")(
+        TrainMemo.checkpointReleasing(gramRows(dOld)))
+      case None => gramRows(dOld)
+    }
+    val merged = oldGrams.unionAll(gramRows(dBatch))
+    val artifact = key match {
+      case Some(k) =>
+        val cp = merged.localCheckpoint() // materialize, truncate lineage
+        TrainMemo.publish(s"spangrams:${TrainMemo.sessionKeyOf(s)}:$k", cp)
+        cp
+      case None => merged
+    }
+    spansFromGrams(artifact)
   }
 
   /** DuckDB CTE chain ending in `isl(doc_id, pos, island)` — the twin
@@ -1338,6 +1389,27 @@ object Dedup {
         .select(col("doc_id"), col("n_words"), col("cut_words"),
           col("n_spans_cut"), col("action"), col("kept_words"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- span GRAM-INDEX maintenance: daily-crawl delta merge of the
+    // exact-substring index (see mergeSpanIndex). The read view must be
+    // row-identical to dd_dup_spans' from-scratch rebuild — including
+    // spans the BATCH created inside OLD docs (threshold-after-merge),
+    // which is the part a per-side-verdict store would get wrong. The
+    // oracle replays exactly that rebuild. ----
+    sql("dd_span_index_merge",
+      s"""WITH $dupSpanCtesSql
+         |SELECT doc_id,
+         |       CAST(MIN(pos) AS INT) AS span_start,
+         |       CAST(MAX(pos) + ${SpanW - 1} AS INT) AS span_end,
+         |       CAST(MAX(pos) + $SpanW - MIN(pos) AS INT) AS dup_words,
+         |       CAST(COUNT(*) AS BIGINT) AS n_grams
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""") { (s, dir) =>
+      mergeSpanIndex(s, dir)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("dup_words"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
     })
 
   val specs: Seq[QuerySpec] = headSpecs ++ tailSpecs ++ spanSpecs

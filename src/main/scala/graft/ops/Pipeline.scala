@@ -25,6 +25,13 @@ import QuerySpec.sql
   */
 object Pipeline {
 
+  /** KMV sketch size (pipe_bottomk_merge): k smallest distinct-value
+    * hashes per cell. 8 keeps the artifact at cells × 8 rows while the
+    * (k−1)/U_(k) estimator stays within ~40% relative error — the
+    * sketch here is the SAMPLE primitive; NDV precision is
+    * pipe_ndv_sketches' job (64 HLL registers). */
+  private val KmvK = 8
+
   /** Z-order layout CTE chain ending in `zcells(depth, cell, n_rows,
     * x_min, x_max, y_min, y_max)` — shared by pipe_zorder_layout and
     * pipe_prune_eval so the manifest the pruning evaluator reads is
@@ -784,6 +791,118 @@ object Pipeline {
           col("bin"), col("n_rows"), col("n_delta"))
         .unionAll(tot)
         .orderBy(col("depth"), col("cell"), col("bin"))
+    },
+
+    // ---- incremental KMV (bottom-k) DISTINCT-SAMPLE maintenance — the
+    // 5th associative per-cell stat (counts / min-max / Blooms / NDV /
+    // histograms exist above), and the only one that is also a SAMPLE:
+    // the k smallest md5 hashes of DISTINCT x per cell are a uniform
+    // random sample of the cell's distinct values (Bar-Yossef 2002's
+    // KMV sketch), so the same artifact answers both "≈ how many
+    // distinct part keys does this cell hold" ((k−1)·2³² / h_k, the
+    // classic KMV estimator, exact integer arithmetic here) and "show
+    // me k representative ones" — the profiling query a 100 TB layout
+    // tool answers without rescanning a single data file. Merge is
+    // bottom-k of the DEDUPED union of per-side bottom-k lists —
+    // associative, ≤ 2k rows per cell in, ≤ k out, never a row rescan;
+    // the depth = −1 table row stacks the SECOND merge level (global
+    // bottom-k over the merged per-cell sketches — any hash among the
+    // global k smallest is among its own cell's k smallest, so the
+    // cell sketches are a lossless input for it). A value present on
+    // BOTH sides dedups by hash before re-ranking — per-side DISTINCT
+    // is not enough, which is exactly what the EXACT gate pins (the
+    // oracle replays the one-pass rebuild: merge ≡ rebuild). ----
+    sql("pipe_bottomk_merge", {
+      val hvSql = Hll.hexValSql("hmax", 1)
+      s"""WITH $zLayoutCtesSql,
+        |$frozenCtesSql,
+        |kdx AS (SELECT DISTINCT depth, cell, x FROM fin2),
+        |kdh AS (SELECT depth, cell, x, md5(CAST(x AS VARCHAR)) AS h FROM kdx),
+        |krk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY depth, cell
+        |                                     ORDER BY h) AS rk
+        |        FROM kdh),
+        |ksk AS (SELECT * FROM krk WHERE rk <= $KmvK),
+        |kest AS (SELECT depth, cell, COUNT(*) AS k_used, MAX(h) AS hmax
+        |         FROM ksk GROUP BY depth, cell),
+        |kest2 AS (SELECT depth, cell, CAST(k_used AS BIGINT) AS k_used,
+        |            CASE WHEN k_used < $KmvK THEN CAST(k_used AS BIGINT)
+        |                 ELSE CAST((($KmvK - 1) * 4294967296)
+        |                           // GREATEST($hvSql, 1) AS BIGINT)
+        |            END AS ndv_est
+        |          FROM kest),
+        |gdh AS (SELECT DISTINCT x, md5(CAST(x AS VARCHAR)) AS h FROM kdx),
+        |grk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM gdh),
+        |gsk AS (SELECT * FROM grk WHERE rk <= $KmvK),
+        |gest AS (SELECT COUNT(*) AS k_used, MAX(h) AS hmax FROM gsk),
+        |gest2 AS (SELECT CAST(k_used AS BIGINT) AS k_used,
+        |            CASE WHEN k_used < $KmvK THEN CAST(k_used AS BIGINT)
+        |                 ELSE CAST((($KmvK - 1) * 4294967296)
+        |                           // GREATEST($hvSql, 1) AS BIGINT)
+        |            END AS ndv_est
+        |          FROM gest)
+        |SELECT CAST(depth AS INT) AS depth, CAST(cell AS BIGINT) AS cell,
+        |       CAST(rk AS INT) AS rk, h, CAST(x AS BIGINT) AS x_val,
+        |       k_used, ndv_est
+        |FROM (SELECT s.depth, s.cell, s.rk, s.h, s.x, e.k_used, e.ndv_est
+        |      FROM ksk s JOIN kest2 e USING (depth, cell)
+        |      UNION ALL
+        |      SELECT -1, -1, g.rk, g.h, g.x, e.k_used, e.ndv_est
+        |      FROM gsk g, gest2 e)
+        |ORDER BY depth, cell, rk""".stripMargin
+    }) { (s, dir) =>
+      val (zt, bz, bnb, refined) = frozenParts(s, dir)
+      val byCell = Window.partitionBy(col("depth"), col("cell")).orderBy(col("h"))
+      def sketch(side: org.apache.spark.sql.DataFrame) =
+        frozenAssign(side, bnb, refined)
+          .select(col("depth"), col("cell"), col("x")).distinct()
+          .withColumn("h", md5(col("x").cast("string")))
+          .withColumn("rk", row_number().over(byCell))
+          .filter(col("rk") <= KmvK)
+          .select(col("depth"), col("cell"), col("h"), col("x"))
+      // per-side artifacts, deduped union (same x on both sides must
+      // collapse BEFORE re-ranking), re-rank, keep k — the associative
+      // KMV merge over artifact-sized input
+      val merged = sketch(bz).unionAll(sketch(zt.filter(col("k") >= col("t"))))
+        .dropDuplicates("depth", "cell", "h")
+        .withColumn("rk", row_number().over(byCell).cast("int"))
+        .filter(col("rk") <= KmvK)
+      def estOf(sk: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
+        val grouped =
+          if (keys.isEmpty) sk.groupBy() else sk.groupBy(keys.map(col): _*)
+        grouped
+          .agg(count(lit(1)).cast("long").as("k_used"), max(col("h")).as("hmax"))
+          .withColumn("hv", conv(substring(col("hmax"), 1, 8), 16, 10).cast("long"))
+          .withColumn("ndv_est",
+            when(col("k_used") < KmvK, col("k_used"))
+              .otherwise(expr(s"CAST((($KmvK - 1) * 4294967296)" +
+                s" div greatest(hv, 1) AS BIGINT)")))
+          .drop("hmax", "hv")
+      }
+      val cells = merged.join(estOf(merged, Seq("depth", "cell")),
+        Seq("depth", "cell"))
+      // table-level sketch: global bottom-k over the merged per-cell
+      // sketches (the same x can sit in several cells — dedup by hash
+      // first). The global rank is orderBy+limit — Spark plans
+      // TakeOrderedAndProject (per-partition heaps, never a global
+      // window) — then rk over the ≤ k survivors via a broadcast rank
+      // self-join (rk = #hashes ≤ h), the library's standard shape for
+      // bounded global rankings (see PlanAuditSpec's window audit).
+      val g0 = merged.select(col("h"), col("x")).dropDuplicates("h")
+        .orderBy(col("h")).limit(KmvK)
+      val gsk = g0
+        .join(broadcast(g0.select(col("h").as("h2"))), col("h2") <= col("h"))
+        .groupBy(col("h"), col("x"))
+        .agg(count(lit(1)).cast("int").as("rk"))
+      val tot = gsk.crossJoin(broadcast(estOf(gsk, Seq.empty)))
+        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
+          col("rk"), col("h"), col("x").as("x_val"), col("k_used"), col("ndv_est"))
+      cells
+        .select(col("depth").cast("int").as("depth"),
+          col("cell").cast("long").as("cell"),
+          col("rk"), col("h"), col("x").cast("long").as("x_val"),
+          col("k_used"), col("ndv_est"))
+        .unionAll(tot)
+        .orderBy(col("depth"), col("cell"), col("rk"))
     },
 
     sql("pipe_prune_eval",

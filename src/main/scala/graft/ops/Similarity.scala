@@ -1494,6 +1494,88 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
   }
 
+  /** Matryoshka (MRL, Kusupati 2022) two-stage retrieval: MRL-trained
+    * embeddings pack a usable coarse representation into their first
+    * dimensions, so stage 1 ranks by the cosine of the [[MrlPrefixDims]]-dim
+    * PREFIX (¼ of the multiply-adds and — with the prefix stored as
+    * its own column, the production layout — ¼ of the scanned bytes)
+    * and stage 2 reranks only the [[MrlShortK]]-deep shortlist with
+    * exact full-dim cosine. Per-query work drops from n·d to
+    * n·d/4 + shortK·d; the prefix pass composes with the IVF/IMI cell
+    * dispatch above it exactly as the full-dim scan does. Recall is a
+    * MEASURED property of how much signal the prefix carries
+    * (ss_mrl_recall) — on these synthetic embeddings the prefix is
+    * just the leading coordinates, so the recall gate is honest about
+    * imperfection rather than vacuously 100%. */
+  private val MrlPrefixDims = 16
+  private val MrlShortK = 25
+  private val MrlTopK = 5
+
+  /** Stage-1 prefix shortlist + stage-2 exact rerank, ranked by full
+    * cosine (`rk`); prefix rank kept as `prk` for audit. */
+  private def mrlReranked(v: DataFrame): DataFrame = {
+    val vp = v
+      .withColumn("qp", expr(s"slice(qe, 1, $MrlPrefixDims)"))
+      .withColumn("n2p", dot("qp", "qp"))
+    val qq = vp.filter(expr(QuerySetSql))
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("n2").as("n2_q"), col("qp").as("qqp"), col("n2p").as("n2p_q"))
+    val pcos = col("pdot").cast("double") /
+      sqrt(col("n2p_q").cast("double") * col("n2p").cast("double"))
+    val short = vp.join(broadcast(qq), col("vec_id") =!= col("qid"))
+      .withColumn("pdot", dot("qqp", "qp"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(pcos.desc, col("vec_id"))).cast("int"))
+      .filter(col("prk") <= MrlShortK)
+    short
+      .withColumn("dot", dot("qqe", "qe"))
+      .withColumnRenamed("n2", "n2_v")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+  }
+
+  /** CTE chain extending [[bruteCtesSql]] (qv/norms/qq/…/ranked) with
+    * the MRL stages, ending in `reranked` — shared by ss_mrl_topk and
+    * ss_mrl_recall so shortlist depth / prefix width cannot drift. */
+  private val mrlCtesSql =
+    s"""$bruteCtesSql,
+       |pnorms AS (SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS n2p
+       |           FROM qv WHERE dim < $MrlPrefixDims GROUP BY vec_id),
+       |pdots AS (
+       |  SELECT q.qid, v.vec_id, CAST(SUM(q.qqe * v.qe) AS BIGINT) AS pdot
+       |  FROM qq q JOIN qv v ON v.dim = q.dim
+       |  WHERE q.dim < $MrlPrefixDims
+       |  GROUP BY q.qid, v.vec_id),
+       |pscored AS (
+       |  SELECT d.qid, d.vec_id, d.pdot, nq.n2p AS n2p_q, nv.n2p AS n2p_v
+       |  FROM pdots d
+       |  JOIN pnorms nq ON nq.vec_id = d.qid
+       |  JOIN pnorms nv ON nv.vec_id = d.vec_id
+       |  WHERE d.vec_id <> d.qid),
+       |shortl AS (
+       |  SELECT qid, vec_id,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |           CAST(pdot AS DOUBLE)
+       |             / sqrt(CAST(n2p_q AS DOUBLE) * CAST(n2p_v AS DOUBLE)) DESC,
+       |           vec_id) AS prk
+       |  FROM pscored),
+       |fdots AS (
+       |  SELECT c.qid, c.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+       |  FROM (SELECT qid, vec_id FROM shortl WHERE prk <= $MrlShortK) c
+       |  JOIN qv a ON a.vec_id = c.qid
+       |  JOIN qv b ON b.vec_id = c.vec_id AND b.dim = a.dim
+       |  GROUP BY c.qid, c.vec_id),
+       |fscored AS (
+       |  SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.dot,
+       |         nq.n2 AS n2_q, nv.n2 AS n2_v
+       |  FROM fdots d
+       |  JOIN norms nq ON nq.vec_id = d.qid
+       |  JOIN norms nv ON nv.vec_id = d.vec_id),
+       |reranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
+       |  FROM fscored)""".stripMargin
+
   /** Shared verify tail: candidate pairs → exact integer dot + the
     * cos ≥ 0.35 cross-multiplication (400·dot² ≥ 49·n2a·n2b), as SQL
     * over a CTE chain ending in `cand` — ONE definition so the plain
@@ -1835,6 +1917,47 @@ object Similarity {
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("dot"), col("n2_q"), col("n2_v"))
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- Matryoshka prefix-dimension two-stage retrieval: rank by
+    // 16-dim prefix cosine, exact-rerank the top-25 shortlist (see
+    // mrlReranked's scaladoc for the cost shape) ----
+    sql("ss_mrl_topk",
+      s"""WITH $mrlCtesSql
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dot, n2_q, n2_v
+         |FROM reranked WHERE rk <= $MrlTopK ORDER BY query_id, rk""") { (s, dir) =>
+      mrlReranked(varr(s, dir))
+        .filter(col("rk") <= MrlTopK)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("dot"), col("n2_q"), col("n2_v"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // ---- MRL recall gate: fraction of the exact full-dim top-5 the
+    // prefix-shortlisted rerank recovers — the measurement that tells
+    // a deployment whether 16 prefix dims carry enough signal for a
+    // 25-deep shortlist, before committing the 4× cheaper scan. ----
+    sql("ss_mrl_recall",
+      s"""WITH $mrlCtesSql,
+         |truth AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $MrlTopK),
+         |got AS (SELECT query_id, neighbor_id, 1 AS hit
+         |        FROM reranked WHERE rk <= $MrlTopK)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |       CAST(COUNT(g.hit) AS BIGINT) AS n_recalled,
+         |       CAST(COUNT(g.hit) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
+         |         AS recall_ppm
+         |FROM truth t LEFT JOIN got g
+         |  ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id""") { (s, dir) =>
+      val v = varr(s, dir).cache() // truth + both MRL stages
+      val truth = bruteScored(v).filter(col("rk") <= MrlTopK)
+        .select(col("qid"), col("vec_id"))
+      val got = mrlReranked(v).filter(col("rk") <= MrlTopK)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      truth.join(got, Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_truth"),
+          count(col("hit")).cast("long").as("n_recalled"),
+          expr("CAST(count(hit) * 1000000 div greatest(count(1), 1) AS BIGINT)")
+            .as("recall_ppm"))
     },
 
     // ---- sign-LSH near-duplicate pairs (cos ≥ 0.35): projections and

@@ -259,4 +259,36 @@ class DedupEdgeSpec extends AnyFunSuite {
     // 16-word span (cut) in the same doc — the floor is per SPAN
     assert(rows(4L) == ((45L, 16L, 1L, "trim", 29L)))
   }
+
+  test("dd_span_index_merge: a batch quote creates a span inside an OLD doc") {
+    // The threshold-after-merge class: P occurs ONCE among yesterday's
+    // docs (a singleton gram — no span in any per-side verdict) and
+    // once in the delta batch (doc_id >= (max*4) div 5 = 3). The
+    // merged gram counts cross the >= 2 dup threshold, so the read
+    // view must emit the span in BOTH docs — including old doc 0,
+    // whose text the maintenance path never rescans (its gram rows
+    // are the memoized artifact). A store persisting per-side dup
+    // VERDICTS instead of occurrences would return nothing here.
+    val P = "m1 m2 m3 m4 m5 m6 m7 m8"
+    val dir = corpusDir(Seq(
+      s"a01 a02 $P a03 a04", // OLD: P at pos 2 — singleton among old docs
+      "b01 b02 b03 b04 b05 b06 b07 b08 b09", // OLD: unique words
+      "c01 c02 c03 c04 c05 c06 c07 c08 c09", // OLD: unique words
+      "d01 d02 d03 d04 d05 d06 d07 d08 d09", // BATCH: unique words
+      s"e01 $P e02 e03 e04")) // BATCH: P at pos 1 — the new quote
+    val merged = SparkEntry.queries("dd_span_index_merge")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(merged == Set(
+      (0L, 2, 9, 8, 1L), // the OLD doc's span, created by the batch
+      (4L, 1, 8, 8, 1L)))
+    // and the maintained view is row-identical to the from-scratch
+    // rebuild (what the oracle replays at the fixture SF)
+    val rebuilt = SparkEntry.queries("dd_dup_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(merged == rebuilt)
+  }
 }

@@ -407,4 +407,43 @@ class SimilaritySpec extends AnyFunSuite {
     val (f1, f2) = bq(1L)
     assert(java.lang.Long.bitCount(f1 ^ expH1) + java.lang.Long.bitCount(f2 ^ expH2) == 64)
   }
+
+  test("MRL prefix shortlist misses a suffix-only neighbor; rerank reorders inside it") {
+    // Constructed failure mode of the Matryoshka two-stage scan: the
+    // exact full-dim top-1 carries ALL its similarity in the suffix
+    // dims, while 30 distractors share the query's 16-dim prefix
+    // exactly — so the prefix stage ranks every distractor above the
+    // true neighbor and the 25-deep shortlist provably excludes it.
+    // The recall gate must measure exactly 4/5, not hide it.
+    import spark.implicits._
+    val dims = 64
+    def vec(entries: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dims)(0.0f)
+      entries.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // query: 1.0 at dim 0 (prefix) and dim 16 (suffix)
+    val q = (0L, vec(0 -> 1.0f, 16 -> 1.0f), 0)
+    // true top-1: suffix-aligned with q (cos = 0.707), prefix
+    // orthogonal to q but non-zero (a zero prefix norm would make the
+    // prefix cosine 0/0)
+    val t = (100L, vec(1 -> 0.1f, 16 -> 1.0f), 0)
+    // 30 distractors: q's prefix verbatim, mutually orthogonal
+    // suffixes (cos vs q = 0.5, prefix cos = 1.0)
+    val ds = (0 until 30).map(j =>
+      (101L + j, vec(0 -> 1.0f, (17 + j % 47) -> 1.0f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrl").toString
+    (Seq(q, t) ++ ds).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("ss_mrl_topk")(spark, dir).collect()
+    val neighbors = top.map(r => r.getLong(r.fieldIndex("neighbor_id"))).toSet
+    assert(!neighbors.contains(100L),
+      "suffix-only true neighbor leaked into the prefix shortlist — fixture broken")
+    assert(top.map(r => r.getLong(r.fieldIndex("neighbor_id"))).take(5).toSeq ==
+      Seq(101L, 102L, 103L, 104L, 105L)) // full-cos ties break by vec_id
+    val rec = SparkEntry.queries("ss_mrl_recall")(spark, dir).collect().head
+    assert(rec.getLong(rec.fieldIndex("n_truth")) == 5L)
+    assert(rec.getLong(rec.fieldIndex("n_recalled")) == 4L) // all but the suffix-only top-1
+    assert(rec.getLong(rec.fieldIndex("recall_ppm")) == 800000L)
+  }
 }

@@ -56,4 +56,41 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(merged == rebuilt)
     assert(merged.nonEmpty)
   }
+
+  test("KMV merge dedups a value on BOTH sides; table sketch = brute bottom-k") {
+    // The one step a naive KMV merge gets wrong: a distinct value seen
+    // by base AND delta contributes its hash twice to the unioned
+    // artifacts; without hash-dedup before re-ranking it occupies two
+    // ranks and displaces a genuine k-th smallest. x = 1 lives on both
+    // sides of the l_orderkey threshold ((max k 12)*4 div 5 = 9) in
+    // the same (x, y) cell — its cell sketch must hold exactly ONE
+    // row. And the depth = -1 table row must equal the bottom-8 over
+    // all 9 distinct x computed here from first principles.
+    import spark.implicits._
+    val rows = // (l_partkey = x, l_suppkey = y, l_orderkey = k)
+      (1 to 6).map(i => (i.toLong, 1L, i.toLong)) ++ // base: k = 1..6 < 9
+        Seq((1L, 1L, 9L), (7L, 1L, 10L), (8L, 1L, 11L), (9L, 1L, 12L)) // delta
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    rows.toDF("l_partkey", "l_suppkey", "l_orderkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = graft.SparkEntry.queries("pipe_bottomk_merge")(spark, tmp).collect()
+    val dup = out.filter(r =>
+      r.getInt(r.fieldIndex("depth")) >= 0 &&
+        r.getLong(r.fieldIndex("x_val")) == 1L)
+    assert(dup.length == 1, s"x=1 must hold one sketch row, got ${dup.length}")
+    assert(dup.head.getInt(dup.head.fieldIndex("rk")) == 1)
+    assert(dup.head.getLong(dup.head.fieldIndex("k_used")) == 1L)
+    assert(dup.head.getLong(dup.head.fieldIndex("ndv_est")) == 1L) // < k => exact
+    // table row: bottom-8 of the 9 distinct md5("1").."9" hashes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (1 to 9).map(i => md5hex(i.toString)).sorted.take(8)
+    val tot = out.filter(_.getInt(0) == -1).sortBy(_.getInt(2))
+    assert(tot.map(_.getString(tot.head.fieldIndex("h"))).toSeq == expected)
+    assert(tot.forall(_.getLong(tot.head.fieldIndex("k_used")) == 8L))
+    val expEst = 7L * 4294967296L /
+      java.lang.Long.parseLong(expected.last.substring(0, 8), 16)
+    assert(tot.head.getLong(tot.head.fieldIndex("ndv_est")) == expEst)
+  }
 }
