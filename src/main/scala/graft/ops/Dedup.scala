@@ -876,6 +876,70 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // ---- QUALITY-keeper apply stage: dd_kept_corpus keeps each
+    // cluster's MINIMUM doc_id — cheap and deterministic, but blind to
+    // which copy is best. Production curation (RefinedWeb, Dolma) keeps
+    // the best REPRESENTATIVE instead: here the cluster member with the
+    // highest stopword ratio (Text's quality signal, SAME stopword
+    // list), then most tokens (a truncated copy loses to the full
+    // text — the dd_containment quote class), then min doc_id as the
+    // final deterministic tie-break. Integer arithmetic throughout.
+    // Scale shape: the memoized clusterLabels + tx_quality_score's
+    // explode-agg + ONE window partitioned by cluster_id (clusters are
+    // pair-verified near-dups — small groups by construction, never a
+    // corpus-sized partition). ----
+    sql("dd_quality_kept",
+      s"""WITH RECURSIVE $neardupCtesSql,
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |             FROM reach GROUP BY a),
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents),
+         |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |              SUM(CASE WHEN word IN ${Text.stopSql} THEN 1 ELSE 0 END)
+         |                AS n_stop
+         |       FROM w GROUP BY doc_id),
+         |q AS (SELECT d.doc_id,
+         |             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |             CAST(100 * st.n_stop // st.n_tokens AS INT) AS stop_pct,
+         |             CAST(st.n_tokens AS INT) AS n_tokens
+         |      FROM documents d
+         |      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |      JOIN st ON st.doc_id = d.doc_id),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |         ORDER BY stop_pct DESC, n_tokens DESC, doc_id) AS r
+         |       FROM q)
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |       stop_pct, n_tokens,
+         |       CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM rk ORDER BY doc_id""") { (s, dir) =>
+      val clusters = clusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("label").cast("long").as("cid"))
+      val st = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("word").isInCollection(Text.stopwords), 1).otherwise(0))
+            .as("n_stop"))
+      val q = t(s, dir, "documents").select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .join(st, Seq("doc_id"))
+        .select(col("doc_id"),
+          coalesce(col("cid"), col("doc_id")).cast("long").as("cluster_id"),
+          expr("(100 * n_stop) div n_tokens").cast("int").as("stop_pct"),
+          col("n_tokens").cast("int").as("n_tokens"))
+      q.withColumn("r", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("stop_pct").desc, col("n_tokens").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster_id"), col("stop_pct"),
+          col("n_tokens"),
+          when(col("r") === 1, 1L).otherwise(0L).cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- leakage-safe train/val/test split: the assignment unit is
     // the near-dup CLUSTER, not the document — hash-splitting raw
     // doc_ids puts one copy of a duplicated page in train and its

@@ -147,9 +147,10 @@ object Text {
       .head()
   }
 
-  /** English-ish stopwords for the quality score. */
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
-  private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  /** English-ish stopwords for the quality score (shared with the
+    * dedup pillar's quality-keeper so the two scores cannot drift). */
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  private[ops] val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Gopher signal CTE chain ending in `gq(doc_id, n_words,
     * word_chars, alpha_words, stop_hits, quality_pass)` — shared by
@@ -1192,6 +1193,76 @@ object Text {
         .groupBy(col("doc_id"))
         .agg(lsum(lit(1)).as("n_bigrams"),
           expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("mean_freq_x1000"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- CCNet-style per-language LM buckets (Wenzek 2020): rank each
+    // language's docs by the bigram-LM fluency score (tx_bigram_lm's
+    // mean corpus-frequency — higher = more common language = the
+    // "lower perplexity" end) and split into head / middle / tail
+    // thirds, the signal CCNet uses to keep head+middle and drop tail.
+    // Bucketing is by CUTOFF, not by rank: every doc compares its
+    // score against the lang's two threshold scores, so equal scores
+    // always share a bucket (rank-based thirds would split ties
+    // arbitrarily) — and, at 100 TB, so the per-doc pass is a map-side
+    // join against a tiny broadcast threshold table instead of a
+    // corpus-sized per-lang sort window (one lang dominating a crawl
+    // is the norm, so partition-by-lang windows are the canonical
+    // skew trap). The only window runs over the per-(lang, score)
+    // AGGREGATE — one row per distinct score, no ties in its ordering.
+    // n_better = docs in the lang with a strictly better score;
+    // 3·n_better < n ⇒ head, < 2n ⇒ middle, else tail. ----
+    sql("tx_ccnet_buckets",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |       FROM ws, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+        |cnt AS (SELECT g, COUNT(*) AS n FROM bi GROUP BY g),
+        |lm AS (SELECT b.doc_id, CAST(SUM(c.n) * 1000 // COUNT(*) AS BIGINT) AS score
+        |       FROM bi b JOIN cnt c ON b.g = c.g GROUP BY b.doc_id),
+        |ld AS (SELECT l.doc_id, d.lang, l.score
+        |       FROM lm l JOIN documents d ON d.doc_id = l.doc_id),
+        |sc AS (SELECT lang, score, COUNT(*) AS cnt FROM ld GROUP BY lang, score),
+        |rb AS (SELECT lang, score,
+        |         COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS n
+        |       FROM sc)
+        |SELECT ld.doc_id, ld.lang, ld.score AS mean_freq_x1000,
+        |       CAST(rb.better AS BIGINT) AS n_better,
+        |       CAST(rb.n AS BIGINT) AS n_lang,
+        |       CASE WHEN rb.better * 3 < rb.n THEN 'head'
+        |            WHEN rb.better * 3 < rb.n * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM ld JOIN rb ON rb.lang = ld.lang AND rb.score = ld.score
+        |ORDER BY doc_id""") { (s, dir) =>
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 2
+            |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
+            |  ELSE array()
+            |END""".stripMargin)).as("g"))
+      val lm = bi
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .groupBy(col("doc_id"))
+        .agg(expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("score"))
+      val ld = lm.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val sc = ld.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("cnt"))
+      val rb = sc
+        .withColumn("better", coalesce(
+          sum(col("cnt")).over(Window.partitionBy(col("lang"))
+            .orderBy(col("score").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("score"), col("better"), col("n"))
+      ld.join(broadcast(rb), Seq("lang", "score"))
+        .select(col("doc_id"), col("lang"),
+          col("score").as("mean_freq_x1000"),
+          col("better").cast("long").as("n_better"),
+          col("n").cast("long").as("n_lang"),
+          when(col("better") * 3 < col("n"), "head")
+            .when(col("better") * 3 < col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
     },
 

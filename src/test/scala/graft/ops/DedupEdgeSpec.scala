@@ -291,4 +291,26 @@ class DedupEdgeSpec extends AnyFunSuite {
       .toSet
     assert(merged == rebuilt)
   }
+
+  test("dd_quality_kept keeps the best copy where dd_kept_corpus keeps the min id") {
+    // doc 1 is doc 0 plus a stopword-rich tail: same cluster (J =
+    // 18/22 ≈ 0.82), but the HIGHER id carries the higher stopword
+    // ratio — the quality keeper must flip the verdict the min-id
+    // policy gives. Both policies agree the singleton doc 2 is kept.
+    val base = (1 to 20).map(i => s"qk$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      base,
+      s"$base the of and to",
+      "entirely unrelated filler words that cluster with nothing else here"))
+    def verdicts(q: String): Map[Long, Long] =
+      SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getLong(r.fieldIndex("kept"))).toMap
+    val minId = verdicts("dd_kept_corpus")
+    assert(minId == Map(0L -> 1L, 1L -> 0L, 2L -> 1L),
+      s"fixture must cluster docs 0 and 1 under the min-id policy: $minId")
+    val quality = verdicts("dd_quality_kept")
+    assert(quality == Map(0L -> 0L, 1L -> 1L, 2L -> 1L),
+      s"quality keeper must prefer the stopword-richer copy: $quality")
+  }
 }

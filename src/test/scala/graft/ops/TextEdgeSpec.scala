@@ -154,4 +154,25 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 0L, 0L)))
     assert(out(2L) == ((2L, 1L, 500000L)))
   }
+
+  test("tx_ccnet_buckets: equal scores share a bucket (cutoff, not rank, semantics)") {
+    // Six docs, one lang, exactly TWO distinct scores: docs 0-2 are
+    // identical (their bigrams occur 3x corpus-wide), docs 3-5 use
+    // disjoint vocabularies (every bigram unique, score 1000).
+    // Rank-based thirds would scatter each tied triple across
+    // head/middle/tail; cutoff semantics must give the high-score
+    // triple 'head' (0 better) and the low triple 'middle'
+    // (3 better: 9 < 12), with NO doc in 'tail'.
+    val rep = "r1 r2 r3 r4 r5"
+    val dir = corpusDir(Seq(
+      0L -> rep, 1L -> rep, 2L -> rep,
+      3L -> "s1 s2 s3 s4 s5",
+      4L -> "t1 t2 t3 t4 t5",
+      5L -> "u1 u2 u3 u4 u5"))
+    val out = SparkEntry.queries("tx_ccnet_buckets")(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("bucket"))).toMap
+    assert(out == Map(0L -> "head", 1L -> "head", 2L -> "head",
+      3L -> "middle", 4L -> "middle", 5L -> "middle"), out.toString)
+  }
 }
