@@ -1960,6 +1960,87 @@ object Similarity {
             .as("recall_ppm"))
     },
 
+    // ---- IVF × MRL composition — the production two-stage layout in
+    // one plan: the coarse cell dispatch bounds WHICH vectors are
+    // touched (ss_ivf_topk's join on label), the MRL prefix bounds HOW
+    // MUCH of each is read (16 of 64 dims), and only the 25-deep
+    // shortlist pays a full-dim exact rerank. Per query the cost drops
+    // from |cell|·d (ss_ivf_topk) to |cell|·d/4 + shortK·d — the two
+    // levers multiply because they cut different factors. Same top-3
+    // contract as ss_ivf_topk, so the two are directly comparable. ----
+    sql("ss_mrl_ivf_topk",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |pnorms AS (SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS n2p
+         |           FROM qv WHERE dim < $MrlPrefixDims GROUP BY vec_id),
+         |qq AS (SELECT vec_id AS qid, label FROM embeddings WHERE $QuerySetSql),
+         |cp AS (
+         |  SELECT q.qid, e.vec_id, e.label
+         |  FROM qq q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.qid),
+         |pdots AS (
+         |  SELECT cp.qid, cp.vec_id, cp.label,
+         |         CAST(SUM(a.qe * b.qe) AS BIGINT) AS pdot
+         |  FROM cp
+         |  JOIN qv a ON a.vec_id = cp.qid AND a.dim < $MrlPrefixDims
+         |  JOIN qv b ON b.vec_id = cp.vec_id AND b.dim = a.dim
+         |  GROUP BY cp.qid, cp.vec_id, cp.label),
+         |pscored AS (
+         |  SELECT d.qid, d.vec_id, d.label, d.pdot,
+         |         nq.n2p AS n2p_q, nv.n2p AS n2p_v
+         |  FROM pdots d
+         |  JOIN pnorms nq ON nq.vec_id = d.qid
+         |  JOIN pnorms nv ON nv.vec_id = d.vec_id),
+         |shortl AS (
+         |  SELECT qid, vec_id, label,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+         |           CAST(pdot AS DOUBLE)
+         |             / sqrt(CAST(n2p_q AS DOUBLE) * CAST(n2p_v AS DOUBLE)) DESC,
+         |           vec_id) AS prk
+         |  FROM pscored),
+         |fdots AS (
+         |  SELECT c.qid, c.vec_id, c.label,
+         |         CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |  FROM (SELECT qid, vec_id, label FROM shortl WHERE prk <= $MrlShortK) c
+         |  JOIN qv a ON a.vec_id = c.qid
+         |  JOIN qv b ON b.vec_id = c.vec_id AND b.dim = a.dim
+         |  GROUP BY c.qid, c.vec_id, c.label),
+         |fscored AS (
+         |  SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.label, d.dot,
+         |         nq.n2 AS n2_q, nv.n2 AS n2_v
+         |  FROM fdots d
+         |  JOIN norms nq ON nq.vec_id = d.qid
+         |  JOIN norms nv ON nv.vec_id = d.vec_id),
+         |ranked2 AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
+         |  FROM fscored)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, label, dot
+         |FROM ranked2 WHERE rk <= 3 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = varr(s, dir)
+      val vp = v
+        .withColumn("qp", expr(s"slice(qe, 1, $MrlPrefixDims)"))
+        .withColumn("n2p", dot("qp", "qp"))
+      val qq = vp.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("label"), col("qe").as("qqe"),
+          col("n2").as("n2_q"), col("qp").as("qqp"), col("n2p").as("n2p_q"))
+      val pcos = col("pdot").cast("double") /
+        sqrt(col("n2p_q").cast("double") * col("n2p").cast("double"))
+      vp.join(broadcast(qq), Seq("label"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("pdot", dot("qqp", "qp"))
+        .withColumn("prk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(pcos.desc, col("vec_id"))).cast("int"))
+        .filter(col("prk") <= MrlShortK)
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("label"), col("dot"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- sign-LSH near-duplicate pairs (cos ≥ 0.35): projections and
     // band buckets map-side, candidates meet only inside a (band,
     // bucket) cell, dots verified per candidate pair ----
