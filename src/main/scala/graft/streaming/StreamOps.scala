@@ -56,6 +56,22 @@ private final case class HllState(regs: Array[Int], n_events: Long)
 final case class HourlyUsers(
     window_start: Timestamp, event_type: String, approx_users: Long, n_events: Long)
 
+/** A hashed event entering the streaming KMV sketch. */
+private final case class KmvEvent(
+    ts: Timestamp, event_type: String, h: String, uid: Long)
+
+/** One open (hour, event_type) group's KMV sketch: the ≤ k smallest
+  * distinct user-hashes (sorted) with their user ids — O(k) state
+  * regardless of distinct users, like the HLL registers above. */
+private final case class KmvState(hs: Array[String], ids: Array[Long])
+
+/** One rank row of a finalized per-window KMV sketch: a uniform
+  * distinct-user sample plus the (k−1)·2³²/h_k NDV estimate — the
+  * streaming twin of pipe_bottomk_merge's per-cell artifact. */
+final case class KmvSampleRow(
+    window_start: Timestamp, event_type: String, rk: Int, h: String,
+    user_id: Long, k_used: Int, ndv_est: Long)
+
 /** Structured Streaming expressions of the event-table shapes in
   * [[graft.ops.Events]] — the same semantics, incremental: tumbling
   * windows with watermarks, and gap-based sessionization with
@@ -160,6 +176,66 @@ object StreamOps {
     state.update(HllState(regs, n))
     // the window is final when the watermark passes its end; a late
     // re-open (group already fired) re-times-out on the next batch
+    state.setTimeoutTimestamp(
+      math.max(winMs + 3600 * 1000L + 1, state.getCurrentWatermarkMs + 1))
+    Iterator.empty
+  }
+
+  /** Streaming KMV (bottom-k) distinct-user sample per (hour,
+    * event_type) — the incremental twin of pipe_bottomk_merge's
+    * per-cell artifact, and [[approxUsersHourly]]'s sibling: HLL
+    * answers "how many distinct users", KMV additionally answers
+    * "show me k representative ones" from the SAME O(k) state. A
+    * user seen in several micro-batches of one window dedups by
+    * hash inside the state merge (the exact step the batch op's
+    * both-sides spec pins); emission at watermark timeout, like the
+    * HLL windows. ndv_est = (k−1)·2³²/h_k when the sketch is full,
+    * the exact distinct count when it is not. */
+  def kmvUsersHourly(events: DataFrame, lateness: String = "1 hour",
+      k: Int = 8): Dataset[KmvSampleRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("event_type"),
+        md5(col("user_id").cast("string")).as("h"),
+        col("user_id").cast("long").as("uid"))
+      .as[KmvEvent]
+      .groupByKey(e => (e.ts.getTime / 3600000L * 3600000L, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        kmvFn(k))
+  }
+
+  private def kmvFn(k: Int)(
+      key: (Long, String), events: Iterator[KmvEvent], state: GroupState[KmvState])
+      : Iterator[KmvSampleRow] = {
+    val (winMs, eventType) = key
+    if (events.isEmpty && state.hasTimedOut) {
+      val out = state.getOption.iterator.flatMap { st =>
+        val kUsed = st.hs.length
+        val est =
+          if (kUsed < k) kUsed.toLong
+          else {
+            val hv = java.lang.Long.parseLong(st.hs.last.substring(0, 8), 16)
+            (k - 1).toLong * 4294967296L / math.max(hv, 1L)
+          }
+        st.hs.indices.map(i => KmvSampleRow(
+          new Timestamp(winMs), eventType, i + 1, st.hs(i), st.ids(i), kUsed, est))
+      }
+      state.remove()
+      return out
+    }
+    // merge the batch's hashes into the sorted ≤ k-entry state:
+    // distinct-by-hash first (same user twice is ONE sketch entry),
+    // then keep the k smallest
+    val m = scala.collection.mutable.TreeMap.empty[String, Long]
+    state.getOption.foreach(st => st.hs.indices.foreach(i => m(st.hs(i)) = st.ids(i)))
+    events.foreach { e =>
+      if (!m.contains(e.h)) {
+        m(e.h) = e.uid
+        if (m.size > k) m.remove(m.lastKey)
+      }
+    }
+    state.update(KmvState(m.keys.toArray, m.values.toArray))
     state.setTimeoutTimestamp(
       math.max(winMs + 3600 * 1000L + 1, state.getCurrentWatermarkMs + 1))
     Iterator.empty

@@ -1221,4 +1221,49 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got(20L).admitted && got(20L).used_before == 0, got(20L))
     } finally q2.stop()
   }
+
+  test("kmvUsersHourly: cross-batch dedup, bottom-k parity, exact small windows") {
+    // Window 0 sees users 1..6 split over TWO micro-batches, with user
+    // 1 in BOTH — the state merge must dedup by hash before eviction
+    // (the streaming face of pipe_bottomk_merge's both-sides pin), and
+    // the emitted sketch must equal the bottom-3 of md5("1")..md5("6")
+    // computed here from first principles. Window 1 holds a single
+    // user: k_used = 1 and the estimate is the EXACT count.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val input = MemoryStream[Event]
+    val q = StreamOps.kmvUsersHourly(input.toDF(), lateness = "0 seconds", k = 3)
+      .writeStream.format("memory").queryName("ev_kmv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, 1, "view", ts(5), 0), Event(2, 2, "view", ts(10), 0),
+        Event(3, 3, "view", ts(15), 0))
+      q.processAllAvailable() // micro-batch 1: users 1,2,3 in window 0
+      input.addData(
+        Event(4, 1, "view", ts(20), 0), // user 1 AGAIN — must dedup
+        Event(5, 4, "view", ts(25), 0), Event(6, 5, "view", ts(30), 0),
+        Event(7, 6, "view", ts(35), 0),
+        Event(8, 7, "view", ts(70), 0)) // window 1: its only user
+      q.processAllAvailable()
+      input.addData(Event(9, 9, "view", ts(190), 0)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("ev_kmv").as[KmvSampleRow].collect()
+      val w0 = got.filter(_.window_start == ts(0)).sortBy(_.rk)
+      val expected = (1 to 6).map(u => md5hex(u.toString) -> u.toLong)
+        .sortBy(_._1).take(3)
+      assert(w0.map(_.h).toSeq == expected.map(_._1), w0.mkString("\n"))
+      assert(w0.map(_.user_id).toSeq == expected.map(_._2)) // hash->id aligned
+      assert(w0.forall(_.k_used == 3))
+      val expEst = 2L * 4294967296L /
+        java.lang.Long.parseLong(expected.last._1.substring(0, 8), 16)
+      assert(w0.head.ndv_est == expEst)
+      val w1 = got.filter(_.window_start == ts(60))
+      assert(w1.length == 1 && w1.head.user_id == 7L &&
+        w1.head.k_used == 1 && w1.head.ndv_est == 1L, w1.mkString("\n"))
+    } finally q.stop()
+  }
 }
