@@ -581,16 +581,20 @@ object Dedup {
   /** (doc_id, pos, gh): every W-word gram occurrence. Generate +
     * project stay in one codegen stage; md5 runs OUTSIDE a lambda
     * (measured ~5× faster than transform-embedded md5, see the
-    * signature-stage note above). */
-  private def gramRows(docs: DataFrame): DataFrame =
+    * signature-stage note above). `extra` threads caller columns
+    * (e.g. the stream's `ts`) through unchanged — the streaming
+    * first-pass ([[graft.streaming.StreamOps.dupGramCandidates]])
+    * shares THIS kernel so stream and batch gram math cannot drift. */
+  private[graft] def gramRows(docs: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     docs
-      .select(col("doc_id"),
-        split(coalesce(col("text"), lit("")), " ").as("w"))
+      .select(extra :+ col("doc_id") :+
+        split(coalesce(col("text"), lit("")), " ").as("w"): _*)
       .filter(size(col("w")) >= SpanW)
-      .select(col("doc_id"), col("w"),
-        explode(expr(s"sequence(0, size(w) - $SpanW)")).as("pos"))
-      .select(col("doc_id"), col("pos").cast("int").as("pos"),
-        md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanW))")).as("gh"))
+      .select(extra :+ col("doc_id") :+ col("w") :+
+        explode(expr(s"sequence(0, size(w) - $SpanW)")).as("pos"): _*)
+      .select(extra :+ col("doc_id") :+ col("pos").cast("int").as("pos") :+
+        md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanW))")).as("gh"): _*)
 
   /** Duplicated gram positions coalesced into maximal per-doc spans.
     *

@@ -405,6 +405,47 @@ object StreamOps {
       horizonSeconds, _._2, _._1,
       (r, hit) => (r._2, r._3, hit))(rows, state)
 
+  /** Streaming DUPLICATED-GRAM first-pass — the exact-substring (Lee
+    * 2022) face of the lambda split [[neardupCandidates]] runs for
+    * whole-doc near-dups: each arriving doc's 8-word gram occurrences
+    * (the SAME [[graft.ops.Dedup.gramRows]] kernel as the batch
+    * dd_dup_spans family — one shared definition, so stream and batch
+    * gram math cannot drift) enter one keyed stateful operator per
+    * gram hash. A row emits `hit = true` iff a strictly EARLIER
+    * occurrence of the same gram — earlier in (doc_id, pos) order,
+    * in any batch up to this one — exists: the batch dup rule
+    * "count ≥ 2" evaluated over the stream prefix, covering both the
+    * cross-doc quote AND the within-doc repetition, and
+    * order-insensitive via the shared [[minIdCore]] (a late smaller
+    * occurrence is judged against the min, so out-of-order ingest
+    * cannot false-positive it; the no-retraction residual is the same
+    * one neardupCandidates documents). State per gram bucket is ONE
+    * long — the occurrence id packed as doc_id·2²¹ + pos (docs are
+    * bounded far below 2²¹ words; an at-least-once redelivery of the
+    * same occurrence packs equal and equal ids are not hits) — evicted
+    * a dedup HORIZON past the bucket's last activity. Downstream, the
+    * flagged (doc_id, pos) stream is exactly the input the batch span
+    * coalescing (islands of gap ≤ W) consumes — cheap streaming
+    * candidates, exact batch spans: the Lee-2022 lambda split. */
+  def dupGramCandidates(docs: DataFrame, lateness: String = "1 hour",
+      horizonSeconds: Long = 24 * 3600): Dataset[(Long, Int, Boolean)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.ops.Dedup.gramRows(docs.withWatermark("ts", lateness), Seq(col("ts")))
+      .select(col("ts"), col("doc_id"), col("pos"), col("gh"))
+      .as[(Timestamp, Long, Int, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        gramFn(horizonSeconds))
+  }
+
+  private def gramFn(horizonSeconds: Long)(
+      key: String, rows: Iterator[(Timestamp, Long, Int, String)],
+      state: GroupState[Long]): Iterator[(Long, Int, Boolean)] =
+    minIdCore[(Timestamp, Long, Int, String), (Long, Int, Boolean)](
+      horizonSeconds, r => (r._2 << 21) | (r._3 & 0x1fffffL), _._1,
+      (r, hit) => (r._2, r._3, hit))(rows, state)
+
   /** The shared min-id state core of [[bucketFn]] and the capstone's
     * dedup stage ([[ingestCorpus]]) — ONE definition of the verdict
     * and eviction rules, generic in the row payload.

@@ -1222,6 +1222,46 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("dupGramCandidates flags cross-doc quotes and within-doc repeats, across batches") {
+    // P is an 8-word phrase = exactly one gram. Doc 1 (batch 1)
+    // carries its FIRST occurrence (must emit hit = false); doc 4's
+    // quote arrives in batch 2 (hit = true — the state crossed the
+    // micro-batch boundary); doc 5 repeats P within itself at
+    // positions 0 and 9 (first false, second true — the batch
+    // "count >= 2" rule covers within-doc repetition, which a
+    // doc-id-keyed state would miss). Every other gram is unique:
+    // its occurrence must emit hit = false, not be dropped.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val P = "g1 g2 g3 g4 g5 g6 g7 g8"
+    val input = MemoryStream[Doc]
+    val q = StreamOps.dupGramCandidates(input.toDF(), lateness = "0 seconds")
+      .writeStream.format("memory").queryName("dupgrams")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, ts(1), s"a1 a2 $P a3 a4", "en", "web"), // P at pos 2
+        Doc(2, ts(2), "b1 b2 b3 b4 b5 b6 b7 b8 b9", "en", "web"))
+      q.processAllAvailable()
+      input.addData(
+        Doc(4, ts(3), s"c1 $P c2 c3", "en", "mirror"), // P at pos 1
+        Doc(5, ts(4), s"$P x9 $P", "en", "web")) // P at 0 AND 9
+      q.processAllAvailable()
+      val got = spark.table("dupgrams").as[(Long, Int, Boolean)].collect()
+      val hits = got.filter(_._3).map(r => (r._1, r._2)).toSet
+      assert(hits == Set((4L, 1), (5L, 0), (5L, 9)),
+        s"hits: $hits\nall: ${got.mkString("\n")}")
+      // batch parity: the flagged occurrences are EXACTLY the gram
+      // occurrences the batch dup rule (count >= 2 over these docs,
+      // in-order ingest) marks, minus the unretractable first
+      // occurrence of each duplicated gram — here P@doc1 alone
+      // every gram occurrence emitted exactly once: docs of 12, 9,
+      // 11 and 17 words yield (len - 7) occurrences each
+      assert(got.length == 5 + 2 + 4 + 10)
+      assert(got.filter(r => r._1 == 1L && r._2 == 2).head._3 == false)
+    } finally q.stop()
+  }
+
   test("kmvUsersHourly: cross-batch dedup, bottom-k parity, exact small windows") {
     // Window 0 sees users 1..6 split over TWO micro-batches, with user
     // 1 in BOTH — the state merge must dedup by hash before eviction
