@@ -177,6 +177,16 @@ object Bench {
     val line = mergedLine(partial = false)
     println(line)
     flush(line)
+    // Trailing SHORT summary line (round-12 fix): the full merged line
+    // above grew past the driver's stdout tail-capture window (~6 KB at
+    // 190 queries), so BENCH_r10/r11 recorded `parsed: null` even on
+    // rc=0 runs. The LAST stdout line must always fit the window:
+    // repeat the headline numbers (total/n/failed/sf) in ~150 bytes.
+    // Full per-query data stays in the preceding line and in $outPath.
+    val failedSet = failed.toSet
+    val total = queries.collect { case (n, t) if !failedSet(n) => t }.sum
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${queries.size},"n_failed":${failed.size},"sf":"$sfDir","full":"$outPath"}""")
   }
 
   private def runInProcess(): Unit = {

@@ -900,7 +900,7 @@ object Dedup {
          |          UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
          |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
          |             FROM reach GROUP BY a),
-         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
          |      FROM documents),
          |st AS (SELECT doc_id, COUNT(*) AS n_tokens,
          |              SUM(CASE WHEN word IN ${Text.stopSql} THEN 1 ELSE 0 END)
@@ -922,8 +922,14 @@ object Dedup {
          |FROM rk ORDER BY doc_id""") { (s, dir) =>
       val clusters = clusterLabels(s, dir)
         .select(col("node").as("doc_id"), col("label").cast("long").as("cid"))
+      // text coalesced to '' (gramRows' convention) so a NULL-text doc
+      // still gets a token-stats row and therefore a keep/drop VERDICT
+      // — an apply stage that silently loses docs is a policy hole
+      // (dd_kept_corpus LEFT JOINs for the same reason); '' splits to
+      // one empty token on both engines, so n_tokens = 1, stop_pct = 0
       val st = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("word").isInCollection(Text.stopwords), 1).otherwise(0))

@@ -29,8 +29,11 @@ object Pipeline {
     * hashes per cell. 8 keeps the artifact at cells × 8 rows while the
     * (k−1)/U_(k) estimator stays within ~40% relative error — the
     * sketch here is the SAMPLE primitive; NDV precision is
-    * pipe_ndv_sketches' job (64 HLL registers). */
-  private val KmvK = 8
+    * pipe_ndv_sketches' job (64 HLL registers). `private[graft]` so
+    * the streaming twin (StreamOps.kmvUsersHourly) defaults to the
+    * SAME k — batch/stream sketch parity is a shared constant, not a
+    * convention that can drift. */
+  private[graft] val KmvK = 8
 
   /** Z-order layout CTE chain ending in `zcells(depth, cell, n_rows,
     * x_min, x_max, y_min, y_max)` — shared by pipe_zorder_layout and

@@ -1202,14 +1202,23 @@ object Text {
     // "lower perplexity" end) and split into head / middle / tail
     // thirds, the signal CCNet uses to keep head+middle and drop tail.
     // Bucketing is by CUTOFF, not by rank: every doc compares its
-    // score against the lang's two threshold scores, so equal scores
+    // score against the lang's tertile thresholds, so equal scores
     // always share a bucket (rank-based thirds would split ties
-    // arbitrarily) — and, at 100 TB, so the per-doc pass is a map-side
-    // join against a tiny broadcast threshold table instead of a
-    // corpus-sized per-lang sort window (one lang dominating a crawl
-    // is the norm, so partition-by-lang windows are the canonical
-    // skew trap). The only window runs over the per-(lang, score)
-    // AGGREGATE — one row per distinct score, no ties in its ordering.
+    // arbitrarily). Scale shape (reworked round 12 — the previous
+    // version broadcast the whole per-(lang, score) rank table, whose
+    // cardinality grows with the corpus): the per-doc pass is now a
+    // plain SHUFFLED (lang, score) equi-join, and the rank table is
+    // built with a TWO-LEVEL prefix sum so no window partition is
+    // unbounded — distinct integer scores bucket into 1024-wide
+    // blocks, the within-block window sees ≤ 1024 rows BY
+    // CONSTRUCTION, and the cross-block window runs over the
+    // per-(lang, blk) aggregate, 1024× fewer rows than distinct
+    // scores (the same blocking recurses if a lang's score RANGE
+    // ever made even that level heavy). One lang dominating a crawl
+    // is the norm, so partition-by-lang windows over doc rows — or
+    // even over all distinct scores — are the canonical skew trap
+    // this shape avoids. The only broadcast left is the per-lang
+    // totals: one row per LANGUAGE, genuinely bounded.
     // n_better = docs in the lang with a strictly better score;
     // 3·n_better < n ⇒ head, < 2n ⇒ middle, else tail. ----
     sql("tx_ccnet_buckets",
@@ -1248,14 +1257,34 @@ object Text {
         .agg(expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("score"))
       val ld = lm.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
       val sc = ld.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("cnt"))
-      val rb = sc
-        .withColumn("better", coalesce(
-          sum(col("cnt")).over(Window.partitionBy(col("lang"))
-            .orderBy(col("score").desc)
+        .withColumn("blk", expr("score div 1024"))
+      // within-block suffix count: sc has one row per DISTINCT integer
+      // score, so a 1024-wide block holds ≤ 1024 rows — this window's
+      // partitions are hard-bounded regardless of corpus size
+      val within = sc.withColumn("wb", coalesce(
+        sum(col("cnt")).over(Window.partitionBy(col("lang"), col("blk"))
+          .orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // cross-block prefix over the per-(lang, blk) AGGREGATE. blk is
+      // monotone in score, and a strictly-higher block holds only
+      // strictly-greater scores, so better = pb (higher blocks) + wb
+      // (greater scores inside this block).
+      val blkPre = sc.groupBy(col("lang"), col("blk"))
+        .agg(sum(col("cnt")).as("bcnt"))
+        .withColumn("pb", coalesce(
+          sum(col("bcnt")).over(Window.partitionBy(col("lang"))
+            .orderBy(col("blk").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("blk"), col("pb"))
+      // per-lang totals via groupBy (map-side partials absorb the
+      // one-lang-dominates skew); one row per LANGUAGE — the one
+      // genuinely bounded frame here, hence the one broadcast
+      val nLang = ld.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val rb = within.join(blkPre, Seq("lang", "blk"))
+        .join(broadcast(nLang), Seq("lang"))
+        .withColumn("better", col("pb") + col("wb"))
         .select(col("lang"), col("score"), col("better"), col("n"))
-      ld.join(broadcast(rb), Seq("lang", "score"))
+      ld.join(rb, Seq("lang", "score"))
         .select(col("doc_id"), col("lang"),
           col("score").as("mean_freq_x1000"),
           col("better").cast("long").as("n_better"),

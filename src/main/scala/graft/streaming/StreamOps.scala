@@ -192,7 +192,7 @@ object StreamOps {
     * HLL windows. ndv_est = (k−1)·2³²/h_k when the sketch is full,
     * the exact distinct count when it is not. */
   def kmvUsersHourly(events: DataFrame, lateness: String = "1 hour",
-      k: Int = 8): Dataset[KmvSampleRow] = {
+      k: Int = graft.ops.Pipeline.KmvK): Dataset[KmvSampleRow] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", lateness)
@@ -420,9 +420,10 @@ object StreamOps {
     * occurrence is judged against the min, so out-of-order ingest
     * cannot false-positive it; the no-retraction residual is the same
     * one neardupCandidates documents). State per gram bucket is ONE
-    * long — the occurrence id packed as doc_id·2²¹ + pos (docs are
-    * bounded far below 2²¹ words; an at-least-once redelivery of the
-    * same occurrence packs equal and equal ids are not hits) — evicted
+    * long — the occurrence id packed as doc_id·2²¹ + pos (the 2²¹
+    * position bound is ENFORCED: an oversized doc fails the query
+    * loudly instead of aliasing ids; an at-least-once redelivery of
+    * the same occurrence packs equal and equal ids are not hits) — evicted
     * a dedup HORIZON past the bucket's last activity. Downstream, the
     * flagged (doc_id, pos) stream is exactly the input the batch span
     * coalescing (islands of gap ≤ W) consumes — cheap streaming
@@ -443,8 +444,21 @@ object StreamOps {
       key: String, rows: Iterator[(Timestamp, Long, Int, String)],
       state: GroupState[Long]): Iterator[(Long, Int, Boolean)] =
     minIdCore[(Timestamp, Long, Int, String), (Long, Int, Boolean)](
-      horizonSeconds, r => (r._2 << 21) | (r._3 & 0x1fffffL), _._1,
+      horizonSeconds, r => packOccurrence(r._2, r._3), _._1,
       (r, hit) => (r._2, r._3, hit))(rows, state)
+
+  /** Occurrence-id packing for [[dupGramCandidates]]: doc_id·2²¹ + pos,
+    * strictly monotone in (doc_id, pos) — which is what min-id state
+    * compares. The position bound is ENFORCED, not just documented: a
+    * doc with ≥ 2²¹ word positions would alias ids (a mask would wrap)
+    * and silently corrupt min-id ordering, so the query fails loudly
+    * instead — split such a doc upstream or widen the shift if the
+    * doc-id range allows. */
+  private[graft] def packOccurrence(docId: Long, pos: Int): Long = {
+    require(pos >= 0 && pos < (1 << 21),
+      s"dupGramCandidates: doc $docId gram position $pos outside [0, 2^21) — occurrence-id packing would alias")
+    (docId << 21) | pos.toLong
+  }
 
   /** The shared min-id state core of [[bucketFn]] and the capstone's
     * dedup stage ([[ingestCorpus]]) — ONE definition of the verdict

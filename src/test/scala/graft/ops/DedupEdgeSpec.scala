@@ -313,4 +313,26 @@ class DedupEdgeSpec extends AnyFunSuite {
     assert(quality == Map(0L -> 0L, 1L -> 1L, 2L -> 1L),
       s"quality keeper must prefer the stopword-richer copy: $quality")
   }
+
+  test("dd_quality_kept emits a verdict for a NULL-text doc (no silently lost docs)") {
+    // An apply stage that silently drops docs is a policy hole: a
+    // NULL text must still receive a (cluster_id, kept) row. It
+    // tokenizes as '' (ONE empty token, gramRows' convention), is its
+    // own singleton cluster, and is kept.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-edge-").toString
+    Seq(
+      (0L, Option("alpha beta gamma delta epsilon"), "en", "test", 29L),
+      (1L, Option.empty[String], "en", "test", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dd_quality_kept")(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("cluster_id")),
+          r.getInt(r.fieldIndex("stop_pct")),
+          r.getInt(r.fieldIndex("n_tokens")),
+          r.getLong(r.fieldIndex("kept"))))).toMap
+    assert(out.keySet == Set(0L, 1L), s"NULL-text doc lost: $out")
+    assert(out(1L) == ((1L, 0, 1, 1L)), out(1L).toString)
+  }
 }

@@ -1262,6 +1262,17 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packOccurrence: monotone in (doc_id, pos), loud failure past the 2^21 bound") {
+    assert(StreamOps.packOccurrence(3L, 5) == ((3L << 21) | 5L))
+    assert(StreamOps.packOccurrence(3L, 5) < StreamOps.packOccurrence(3L, 6))
+    // max pos of one doc still orders below pos 0 of the next doc
+    assert(StreamOps.packOccurrence(3L, (1 << 21) - 1) <
+      StreamOps.packOccurrence(4L, 0))
+    // the aliasing cases fail LOUDLY instead of wrapping the mask
+    intercept[IllegalArgumentException](StreamOps.packOccurrence(3L, 1 << 21))
+    intercept[IllegalArgumentException](StreamOps.packOccurrence(3L, -1))
+  }
+
   test("kmvUsersHourly: cross-batch dedup, bottom-k parity, exact small windows") {
     // Window 0 sees users 1..6 split over TWO micro-batches, with user
     // 1 in BOTH — the state merge must dedup by hash before eviction
