@@ -744,6 +744,106 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- FUZZY benchmark decontamination — the near-dup face of
+    // tx_decontaminate (Text.scala). The exact 5-gram ops catch only
+    // verbatim leaks: a paraphrased or lightly edited benchmark item
+    // shares ZERO word 5-grams with its source yet still teaches the
+    // model the answer (the contamination class GPT-3's appendix and
+    // Lee 2022 both flag as the exact-match blind spot). Here the
+    // corpus⋈benchmark join runs through the SAME shingle → minhash →
+    // banded-LSH machinery as dd_minhash_neardups (one shared
+    // signature/band kernel — the two candidate streams cannot
+    // drift), with the benchmark split (doc_id ≡ 0 mod 10, the fixed
+    // convention of the exact ops) on the build side. Acceptance is
+    // verified 3-shingle Jaccard ≥ 0.2 — a SCREEN threshold: decon
+    // prioritizes recall, and the pinned paraphrase class lands at
+    // J ≈ 0.2-0.3 because killing every shared 5-gram forces an edit
+    // at least once per 4 words (equal runs ≤ 4 words contribute ≤ 2
+    // shared trigrams each) — J ≥ 0.5 would structurally miss it.
+    // Scale shape: the benchmark is a FIXED external artifact (tiny
+    // vs the corpus), so its band-key table and shingle arrays are
+    // the broadcast sides; the corpus pays one signature pass (map-
+    // side, shared kernel) and only band-positive docs reach the
+    // verify join. The per-doc best-match window partitions
+    // by doc_id over candidate rows — bounded by benchmark size. ----
+    sql("tx_fuzzy_decontaminate",
+      s"""WITH ${bucketCtesSqlFor(DefaultGeometry)},
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+         |  FROM bkept c JOIN bkept b ON c.band = b.band AND c.bkey = b.bkey
+         |  WHERE c.doc_id % 10 != 0 AND b.doc_id % 10 = 0),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.doc_id, c.bench_id, COUNT(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_id
+         |  JOIN sh sb ON sb.doc_id = c.bench_id AND sb.sh = sa.sh
+         |  GROUP BY c.doc_id, c.bench_id),
+         |verified AS (
+         |  SELECT m.doc_id, m.bench_id, m.n_common,
+         |         ca.n_sh + cb.n_sh - m.n_common AS n_union
+         |  FROM common m
+         |  JOIN counts ca ON ca.doc_id = m.doc_id
+         |  JOIN counts cb ON cb.doc_id = m.bench_id
+         |  WHERE 5 * m.n_common >= ca.n_sh + cb.n_sh - m.n_common),
+         |best AS (
+         |  SELECT doc_id, bench_id, n_common, n_union,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |           ORDER BY n_common * 1000000 // n_union DESC,
+         |                    n_union, bench_id) AS r
+         |  FROM verified)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(b.bench_id, -1) AS BIGINT) AS bench_id,
+         |       CAST(COALESCE(b.n_common, 0) AS BIGINT) AS n_common,
+         |       CAST(COALESCE(b.n_union, 0) AS BIGINT) AS n_union,
+         |       CAST(COALESCE(b.n_common * 1000 // b.n_union, 0) AS BIGINT)
+         |         AS jaccard_x1000,
+         |       CAST(CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |         AS contaminated
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE r = 1) b ON b.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 != 0
+         |ORDER BY d.doc_id""") { (s, dir) =>
+      val sh = shArr(s, dir).cache()
+      val kept = keptBands(sh, DefaultGeometry)
+      // benchmark side of the bucket join: benchmark-sized (a fixed
+      // eval suite, never corpus-scaled) → the one justified broadcast
+      val benchBands = kept.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("band"), col("bkey"))
+      val cand = kept.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(benchBands), Seq("band", "bkey"))
+        .select(col("doc_id"), col("bench_id")).distinct()
+      val sa = sh.select(col("doc_id"), col("shs").as("shs_a"), col("n_sh").as("n_a"))
+      val sb = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("bench_id"), col("shs").as("shs_b"),
+          col("n_sh").as("n_b"))
+      val verified = cand
+        .join(sa, Seq("doc_id"))
+        .join(broadcast(sb), Seq("bench_id"))
+        .withColumn("n_common",
+          size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+        .filter(col("n_common") * 5 >= col("n_union"))
+      val best = verified
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(expr("n_common * 1000000 div n_union").desc,
+              col("n_union"), col("bench_id"))))
+        .filter(col("r") === 1)
+        .select(col("doc_id").as("bid"), col("bench_id"), col("n_common"),
+          col("n_union"))
+      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+        .join(best, col("doc_id") === col("bid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("bench_id"), lit(-1L)).cast("long").as("bench_id"),
+          coalesce(col("n_common"), lit(0L)).cast("long").as("n_common"),
+          coalesce(col("n_union"), lit(0L)).cast("long").as("n_union"),
+          coalesce(expr("n_common * 1000 div n_union"), lit(0L))
+            .cast("long").as("jaccard_x1000"),
+          when(col("bid").isNull, 0).otherwise(1).cast("int").as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- asymmetric CONTAINMENT dedup (Broder's containment
     // coefficient C(A,B) = |A∩B| / min(|A|,|B|)): the quote/expansion
     // duplicate class symmetric Jaccard structurally misses — a short

@@ -155,6 +155,33 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 500000L)))
   }
 
+  test("tx_fuzzy_decontaminate catches a paraphrase the exact 5-gram rule provably misses") {
+    // bench doc 0 = 25 words; corpus doc 1 = the same text with every
+    // 5th word substituted, so NO five consecutive words survive and
+    // the exact rule sees ZERO shared 5-grams — while 3-shingle
+    // Jaccard is 10/36 ≈ 0.28 (five 4-word runs × 2 shared trigrams)
+    // and the md5-deterministic LSH bands collide for THIS text (band
+    // collision is probabilistic over texts, fixed per text — the
+    // word stems were searched for a colliding instance, which is the
+    // honest way to pin a probabilistic index).
+    val bench = (1 to 25).map(i => s"b2w$i").mkString(" ")
+    val para = (1 to 25)
+      .map(i => if (i % 5 == 0) s"sub${i / 5 - 1}" else s"b2w$i").mkString(" ")
+    val dir = corpusDir(Seq(0L -> bench, 1L -> para,
+      2L -> "totally unrelated filler content words here nothing shared at all"))
+    val exact = SparkEntry.queries("tx_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("contaminated"))).toMap
+    assert(exact == Map(1L -> 0, 2L -> 0),
+      s"exact 5-gram rule must MISS the paraphrase: $exact")
+    val fuzzy = SparkEntry.queries("tx_fuzzy_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("bench_id")),
+        r.getLong(r.fieldIndex("jaccard_x1000")),
+        r.getInt(r.fieldIndex("contaminated"))))).toMap
+    assert(fuzzy(1L) == ((0L, 277L, 1)),
+      s"fuzzy decon must catch the paraphrase: ${fuzzy(1L)}")
+    assert(fuzzy(2L) == ((-1L, 0L, 0)), fuzzy(2L).toString)
+  }
+
   test("tx_ccnet_buckets: equal scores share a bucket (cutoff, not rank, semantics)") {
     // Six docs, one lang, exactly TWO distinct scores: docs 0-2 are
     // identical (their bigrams occur 3x corpus-wide), docs 3-5 use
