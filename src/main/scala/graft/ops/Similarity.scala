@@ -1504,7 +1504,7 @@ object Similarity {
     * n·d/4 + shortK·d; the prefix pass composes with the IVF/IMI cell
     * dispatch above it exactly as the full-dim scan does. Recall is a
     * MEASURED property of how much signal the prefix carries
-    * (ss_mrl_recall) — on these synthetic embeddings the prefix is
+    * (ss_mrl_width_recall) — on these synthetic embeddings the prefix is
     * just the leading coordinates, so the recall gate is honest about
     * imperfection rather than vacuously 100%. */
   private val MrlPrefixDims = 16
@@ -1512,10 +1512,12 @@ object Similarity {
   private val MrlTopK = 5
 
   /** Stage-1 prefix shortlist + stage-2 exact rerank, ranked by full
-    * cosine (`rk`); prefix rank kept as `prk` for audit. */
-  private def mrlReranked(v: DataFrame): DataFrame = {
+    * cosine (`rk`); prefix rank kept as `prk` for audit. Parameterized
+    * by prefix width `w` so the width-sweep op (ss_mrl_width_recall)
+    * derives every curve point from the SAME two-stage definition. */
+  private def mrlReranked(v: DataFrame, w: Int = MrlPrefixDims): DataFrame = {
     val vp = v
-      .withColumn("qp", expr(s"slice(qe, 1, $MrlPrefixDims)"))
+      .withColumn("qp", expr(s"slice(qe, 1, $w)"))
       .withColumn("n2p", dot("qp", "qp"))
     val qq = vp.filter(expr(QuerySetSql))
       .select(col("vec_id").as("qid"), col("qe").as("qqe"),
@@ -1534,47 +1536,55 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
   }
 
-  /** CTE chain extending [[bruteCtesSql]] (qv/norms/qq/…/ranked) with
-    * the MRL stages, ending in `reranked` — shared by ss_mrl_topk and
-    * ss_mrl_recall so shortlist depth / prefix width cannot drift. */
-  private val mrlCtesSql =
-    s"""$bruteCtesSql,
-       |pnorms AS (SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS n2p
-       |           FROM qv WHERE dim < $MrlPrefixDims GROUP BY vec_id),
-       |pdots AS (
+  /** The MRL stages (prefix norms → prefix dots → shortlist → exact
+    * rerank) as a CTE fragment appended to [[bruteCtesSql]]'s
+    * qv/norms/qq, ending in `reranked$sfx` — parameterized by prefix
+    * width `w` (and a name suffix, so the width-sweep op can chain
+    * three instances in one statement) so every consumer derives from
+    * the SAME definitions and shortlist depth / width cannot drift. */
+  private def mrlStagesSqlFor(w: Int, sfx: String): String =
+    s"""pnorms$sfx AS (SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS n2p
+       |           FROM qv WHERE dim < $w GROUP BY vec_id),
+       |pdots$sfx AS (
        |  SELECT q.qid, v.vec_id, CAST(SUM(q.qqe * v.qe) AS BIGINT) AS pdot
        |  FROM qq q JOIN qv v ON v.dim = q.dim
-       |  WHERE q.dim < $MrlPrefixDims
+       |  WHERE q.dim < $w
        |  GROUP BY q.qid, v.vec_id),
-       |pscored AS (
+       |pscored$sfx AS (
        |  SELECT d.qid, d.vec_id, d.pdot, nq.n2p AS n2p_q, nv.n2p AS n2p_v
-       |  FROM pdots d
-       |  JOIN pnorms nq ON nq.vec_id = d.qid
-       |  JOIN pnorms nv ON nv.vec_id = d.vec_id
+       |  FROM pdots$sfx d
+       |  JOIN pnorms$sfx nq ON nq.vec_id = d.qid
+       |  JOIN pnorms$sfx nv ON nv.vec_id = d.vec_id
        |  WHERE d.vec_id <> d.qid),
-       |shortl AS (
+       |shortl$sfx AS (
        |  SELECT qid, vec_id,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
        |           CAST(pdot AS DOUBLE)
        |             / sqrt(CAST(n2p_q AS DOUBLE) * CAST(n2p_v AS DOUBLE)) DESC,
        |           vec_id) AS prk
-       |  FROM pscored),
-       |fdots AS (
+       |  FROM pscored$sfx),
+       |fdots$sfx AS (
        |  SELECT c.qid, c.vec_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
-       |  FROM (SELECT qid, vec_id FROM shortl WHERE prk <= $MrlShortK) c
+       |  FROM (SELECT qid, vec_id FROM shortl$sfx WHERE prk <= $MrlShortK) c
        |  JOIN qv a ON a.vec_id = c.qid
        |  JOIN qv b ON b.vec_id = c.vec_id AND b.dim = a.dim
        |  GROUP BY c.qid, c.vec_id),
-       |fscored AS (
+       |fscored$sfx AS (
        |  SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.dot,
        |         nq.n2 AS n2_q, nv.n2 AS n2_v
-       |  FROM fdots d
+       |  FROM fdots$sfx d
        |  JOIN norms nq ON nq.vec_id = d.qid
        |  JOIN norms nv ON nv.vec_id = d.vec_id),
-       |reranked AS (
+       |reranked$sfx AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY $cosExprSql DESC, neighbor_id) AS rk
-       |  FROM fscored)""".stripMargin
+       |  FROM fscored$sfx)""".stripMargin
+
+  /** CTE chain extending [[bruteCtesSql]] (qv/norms/qq/…/ranked) with
+    * the MRL stages at the default width, ending in `reranked`. */
+  private val mrlCtesSql =
+    s"""$bruteCtesSql,
+       |${mrlStagesSqlFor(MrlPrefixDims, "")}""".stripMargin
 
   /** Shared verify tail: candidate pairs → exact integer dot + the
     * cos ≥ 0.35 cross-multiplication (400·dot² ≥ 49·n2a·n2b), as SQL
@@ -1933,31 +1943,51 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     },
 
-    // ---- MRL recall gate: fraction of the exact full-dim top-5 the
-    // prefix-shortlisted rerank recovers — the measurement that tells
-    // a deployment whether 16 prefix dims carry enough signal for a
-    // 25-deep shortlist, before committing the 4× cheaper scan. ----
-    sql("ss_mrl_recall",
-      s"""WITH $mrlCtesSql,
-         |truth AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $MrlTopK),
-         |got AS (SELECT query_id, neighbor_id, 1 AS hit
-         |        FROM reranked WHERE rk <= $MrlTopK)
-         |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
-         |       CAST(COUNT(g.hit) AS BIGINT) AS n_recalled,
-         |       CAST(COUNT(g.hit) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
-         |         AS recall_ppm
-         |FROM truth t LEFT JOIN got g
-         |  ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id""") { (s, dir) =>
-      val v = varr(s, dir).cache() // truth + both MRL stages
+    // ---- MRL recall CURVE: recall@5 of the prefix-shortlisted rerank
+    // at prefix widths 16/32/48 — the tunable accuracy/cost trade a
+    // deployment actually reads (each width w costs n·w per query at
+    // stage 1; Kusupati 2022's whole point is that the width is the
+    // knob). Supersedes the former single-point ss_mrl_recall: the
+    // w = 16 row IS that measurement (SimilaritySpec pins it), so the
+    // single-point query is retired rather than kept as a redundant
+    // bench line. Every width runs through the ONE parameterized
+    // mrlStagesSqlFor/mrlReranked definition — the sweep cannot drift
+    // from the serving op. Output is 3 rows total (one per width):
+    // driver-side UNION of three bounded aggregates, nothing
+    // corpus-sized leaves the executors. ----
+    sql("ss_mrl_width_recall",
+      s"""WITH $bruteCtesSql,
+         |${mrlStagesSqlFor(16, "_16")},
+         |${mrlStagesSqlFor(32, "_32")},
+         |${mrlStagesSqlFor(48, "_48")},
+         |truth AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $MrlTopK)
+         |SELECT * FROM (
+         |  ${Seq(16, 32, 48).map(w =>
+            s"""SELECT CAST($w AS INT) AS prefix_dims,
+               |       CAST(COUNT(*) AS BIGINT) AS n_truth,
+               |       CAST(COUNT(g.hit) AS BIGINT) AS n_recalled,
+               |       CAST(COUNT(g.hit) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
+               |         AS recall_ppm
+               |FROM truth t LEFT JOIN
+               |  (SELECT query_id, neighbor_id, 1 AS hit
+               |   FROM reranked_$w WHERE rk <= $MrlTopK) g
+               |  ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id"""
+              .stripMargin).mkString("\nUNION ALL\n")})
+         |ORDER BY prefix_dims""") { (s, dir) =>
+      val v = varr(s, dir).cache() // truth + all three width sweeps
       val truth = bruteScored(v).filter(col("rk") <= MrlTopK)
         .select(col("qid"), col("vec_id"))
-      val got = mrlReranked(v).filter(col("rk") <= MrlTopK)
-        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-      truth.join(got, Seq("qid", "vec_id"), "left")
-        .agg(count(lit(1)).cast("long").as("n_truth"),
-          count(col("hit")).cast("long").as("n_recalled"),
-          expr("CAST(count(hit) * 1000000 div greatest(count(1), 1) AS BIGINT)")
-            .as("recall_ppm"))
+      Seq(16, 32, 48).map { w =>
+        val got = mrlReranked(v, w).filter(col("rk") <= MrlTopK)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        truth.join(got, Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).cast("long").as("n_truth"),
+            count(col("hit")).cast("long").as("n_recalled"),
+            expr("CAST(count(hit) * 1000000 div greatest(count(1), 1) AS BIGINT)")
+              .as("recall_ppm"))
+          .select(lit(w).cast("int").as("prefix_dims"),
+            col("n_truth"), col("n_recalled"), col("recall_ppm"))
+      }.reduce(_.unionAll(_)).orderBy(col("prefix_dims"))
     },
 
     // ---- IVF × MRL composition — the production two-stage layout in

@@ -441,9 +441,19 @@ class SimilaritySpec extends AnyFunSuite {
       "suffix-only true neighbor leaked into the prefix shortlist — fixture broken")
     assert(top.map(r => r.getLong(r.fieldIndex("neighbor_id"))).take(5).toSeq ==
       Seq(101L, 102L, 103L, 104L, 105L)) // full-cos ties break by vec_id
-    val rec = SparkEntry.queries("ss_mrl_recall")(spark, dir).collect().head
-    assert(rec.getLong(rec.fieldIndex("n_truth")) == 5L)
-    assert(rec.getLong(rec.fieldIndex("n_recalled")) == 4L) // all but the suffix-only top-1
-    assert(rec.getLong(rec.fieldIndex("recall_ppm")) == 800000L)
+    // the width CURVE: at w = 16 the suffix-only neighbor is provably
+    // excluded (4/5); widening the prefix past dim 16 pulls its
+    // similarity INSIDE the prefix, so w = 32 and w = 48 recover it
+    // (5/5) — recall is monotone in width on this fixture, and the
+    // w = 16 row is exactly the retired single-point ss_mrl_recall
+    // measurement.
+    val curve = SparkEntry.queries("ss_mrl_width_recall")(spark, dir).collect()
+      .map(r => r.getInt(r.fieldIndex("prefix_dims")) ->
+        ((r.getLong(r.fieldIndex("n_truth")),
+          r.getLong(r.fieldIndex("n_recalled")),
+          r.getLong(r.fieldIndex("recall_ppm"))))).toMap
+    assert(curve(16) == ((5L, 4L, 800000L)), curve.toString)
+    assert(curve(32) == ((5L, 5L, 1000000L)), curve.toString)
+    assert(curve(48) == ((5L, 5L, 1000000L)), curve.toString)
   }
 }
