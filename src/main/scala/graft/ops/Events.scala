@@ -920,6 +920,74 @@ object Events {
             .as("approx_users"),
           col("n_events"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- per-(hour, type) KMV bottom-k distinct-user SAMPLE + NDV
+    // estimate: the registered batch twin of streaming kmvUsersHourly
+    // (StreamOps.scala) — a closed streaming window equals these rows
+    // exactly (StreamOpsSpec parity), which puts the streaming op's
+    // math under the DuckDB oracle, the same anchoring ev_approx_users
+    // gives the HLL windows. k is the SHARED Pipeline.KmvK, so batch,
+    // stream and the layout sketch (pipe_bottomk_merge) agree by
+    // construction. Estimator: exact count when the sketch is not
+    // full, (k−1)·2³²/h_k (first 8 hex chars of the k-th smallest
+    // hash) when it is. Scale shape: one distinct-users groupBy
+    // (map-side partials), then TopKPerKey's bounded heaps carry
+    // ≤ k rows per key per partition across the exchange — no window
+    // ever sees a full (hour, type) group; kth/est are ≤ k-row and
+    // 1-row per-key aggregates. ----
+    sql("ev_kmv_users", {
+      val k = Pipeline.KmvK
+      val hkv = Hll.hexValSql("hk", 1)
+      s"""WITH e AS ($baseSql),
+         |du AS (SELECT DISTINCT tsec // 3600 AS epoch_hour, event_type, user_id
+         |       FROM e),
+         |dh AS (SELECT epoch_hour, event_type, user_id,
+         |              md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+         |cnt AS (SELECT epoch_hour, event_type, COUNT(*) AS nd
+         |        FROM dh GROUP BY epoch_hour, event_type),
+         |rnk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY epoch_hour, event_type
+         |                                     ORDER BY h) AS rk FROM dh),
+         |bk AS (SELECT * FROM rnk WHERE rk <= $k),
+         |kth AS (SELECT epoch_hour, event_type, MAX(h) AS hk
+         |        FROM bk GROUP BY epoch_hour, event_type),
+         |est AS (SELECT c.epoch_hour, c.event_type,
+         |               CAST(LEAST(c.nd, $k) AS INT) AS k_used,
+         |               CAST(CASE WHEN c.nd < $k THEN c.nd
+         |                    ELSE ${(k - 1).toLong} * 4294967296 // GREATEST($hkv, 1)
+         |                    END AS BIGINT) AS ndv_est
+         |        FROM cnt c JOIN kth t
+         |          ON t.epoch_hour = c.epoch_hour AND t.event_type = c.event_type)
+         |SELECT b.epoch_hour, b.event_type, CAST(b.rk AS INT) AS rk, b.h,
+         |       b.user_id, s.k_used, s.ndv_est
+         |FROM bk b JOIN est s
+         |  ON s.epoch_hour = b.epoch_hour AND s.event_type = b.event_type
+         |ORDER BY b.epoch_hour, b.event_type, b.rk"""
+    }) { (s, dir) =>
+      val k = Pipeline.KmvK
+      val du = base(s, dir)
+        .select(expr("tsec div 3600").as("epoch_hour"), col("event_type"),
+          col("user_id"))
+        .distinct()
+        .withColumn("h", md5(col("user_id").cast("string")))
+      val cnt = du.groupBy(col("epoch_hour"), col("event_type"))
+        .agg(count(lit(1)).as("nd"))
+      val bk = graft.plans.TopK.perKey(du,
+        keyNames = Seq("epoch_hour", "event_type"),
+        order = Seq(col("h").asc), k = k, rankName = "rk")
+      val kth = bk.groupBy(col("epoch_hour"), col("event_type"))
+        .agg(max(col("h")).as("hk"))
+      val est = cnt.join(kth, Seq("epoch_hour", "event_type"))
+        .select(col("epoch_hour"), col("event_type"),
+          least(col("nd"), lit(k.toLong)).cast("int").as("k_used"),
+          when(col("nd") < k, col("nd"))
+            .otherwise(expr(s"CAST(${(k - 1).toLong} * 4294967296L div " +
+              "greatest(CAST(conv(substring(hk, 1, 8), 16, 10) AS BIGINT), 1L) AS BIGINT)"))
+            .cast("long").as("ndv_est"))
+      bk.join(est, Seq("epoch_hour", "event_type"))
+        .select(col("epoch_hour"), col("event_type"), col("rk").cast("int").as("rk"),
+          col("h"), col("user_id"), col("k_used"), col("ndv_est"))
+        .orderBy(col("epoch_hour"), col("event_type"), col("rk"))
     })
 }
 

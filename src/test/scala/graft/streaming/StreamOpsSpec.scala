@@ -1317,4 +1317,50 @@ class StreamOpsSpec extends AnyFunSuite {
         w1.head.k_used == 1 && w1.head.ndv_est == 1L, w1.mkString("\n"))
     } finally q.stop()
   }
+
+  test("kmvUsersHourly parity: closed windows equal the registered ev_kmv_users rows") {
+    // The batch twin is the DuckDB-oracled ev_kmv_users query — every
+    // window the stream closes must match its rows FIELD-FOR-FIELD
+    // (sample hashes, user ids, k_used, estimate), which puts the
+    // streaming sketch's math under the oracle, the way the HLL parity
+    // test above anchors approxUsersHourly to ev_approx_users.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("ev_kmv_users")(spark, dir).collect()
+      .map(r => ((r.getLong(r.fieldIndex("epoch_hour")),
+        r.getString(r.fieldIndex("event_type")),
+        r.getInt(r.fieldIndex("rk")))) ->
+        ((r.getString(r.fieldIndex("h")), r.getLong(r.fieldIndex("user_id")),
+          r.getInt(r.fieldIndex("k_used")),
+          r.getLong(r.fieldIndex("ndv_est"))))).toMap
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ev-kmv-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val src = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+    val stream = src.select(
+      graft.ops.Events.tsTimestampOf(src).as("ts"),
+      col("event_type"), col("user_id"))
+    val q = StreamOps.kmvUsersHourly(stream, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("ev_kmv_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_kmv_parity").as[KmvSampleRow].collect()
+        .map(r => ((r.window_start.getTime / 3600000L, r.event_type, r.rk)) ->
+          ((r.h, r.user_id, r.k_used, r.ndv_est))).toMap
+      got.foreach { case (k, v) =>
+        assert(batch.get(k).contains(v), s"row $k: stream=$v batch=${batch.get(k)}")
+      }
+      // all but the watermark-open tail must have emitted
+      val maxHour = batch.keys.map(_._1).max
+      val mustEmit = batch.keys.filter(_._1 + 1 < maxHour)
+      mustEmit.foreach { k =>
+        assert(got.contains(k), s"window $k closed but never emitted")
+      }
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
