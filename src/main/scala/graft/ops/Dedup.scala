@@ -717,10 +717,17 @@ object Dedup {
         |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
         |FROM documents
         |ORDER BY doc_id""") { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
-            .as("canonical_id"))
+      // canonical id via groupBy(hash) + join back, not a window
+      // partitioned by md5(text): a window partition = the largest
+      // duplicate cluster (millions of rows at web scale) through one
+      // task; the aggregate takes map-side partials and the join-back
+      // is AQE-splittable. Null-safe join: md5(NULL) is NULL and the
+      // window shape groups null-text docs together, so the join must
+      // too (<=> keeps the two formulations identical row-for-row).
+      val d = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+      val canon = d.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
+      d.join(canon, d("h") <=> canon("h"))
+        .select(col("doc_id"), col("canonical_id"))
         .orderBy(col("doc_id"))
     },
 
@@ -1360,10 +1367,15 @@ object Dedup {
         |FROM ng n JOIN df d ON n.g = d.g
         |GROUP BY n.doc_id ORDER BY n.doc_id""") { (s, dir) =>
       val ng = Text.ng5(t(s, dir, "documents"))
-      // doc-frequency via a window partitioned on the n-gram: the
-      // stream is exploded ONCE and shuffled once on g (vs the
-      // aggregate-then-join-back formulation's second explode pass)
-      ng.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      // doc-frequency via groupBy + equi-join back on g, NOT a window
+      // partitioned on the raw 5-gram: on a Zipfian corpus the hottest
+      // gram's entire occurrence set would land in ONE window partition
+      // = one unsplittable task, while the join's hot probe key is
+      // fanned across tasks by AQE skew-join and the aggregate absorbs
+      // it with map-side partials. ReusedExchange recovers the shared
+      // shuffle on g, so the join-back costs no extra exchange.
+      val df = ng.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      ng.join(df, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_ngrams"),
           sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("dup_ngrams"),

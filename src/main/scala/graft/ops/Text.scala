@@ -1187,9 +1187,14 @@ object Text {
             |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
             |  ELSE array()
             |END""".stripMargin)).as("g"))
-      // corpus frequency via a window partitioned on the bigram — one
-      // explode pass, one shuffle on g (see dd_ngram_coverage)
-      bi.withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      // corpus frequency via groupBy + join back on g (the oracle's own
+      // shape), NOT a window partitioned on the raw bigram: the hottest
+      // bigram ("of the"-class, ~1% of a Zipfian crawl) would put its
+      // entire occurrence set through ONE window task, and a window
+      // partition can never be AQE-skew-split — the join's probe side
+      // can. ReusedExchange recovers the shared shuffle on g.
+      val cnt = bi.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      bi.join(cnt, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(lsum(lit(1)).as("n_bigrams"),
           expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("mean_freq_x1000"))
@@ -1251,8 +1256,10 @@ object Text {
             |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
             |  ELSE array()
             |END""".stripMargin)).as("g"))
-      val lm = bi
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      // corpus bigram frequency by groupBy + join back, same rationale
+      // (and same shape) as tx_bigram_lm: no window on the raw gram key
+      val cnt = bi.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val lm = bi.join(cnt, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("score"))
       val ld = lm.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))

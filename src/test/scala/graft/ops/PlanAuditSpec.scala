@@ -46,6 +46,85 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unpartitioned windows over possibly-unbounded input: ${offenders.mkString(", ")}")
   }
 
+  test("no registered query plans a window partitioned by a raw content key") {
+    // The round-12 finding: a Window partitioned by a raw Zipfian
+    // token/gram/content key (an exploded n-gram, or md5(text)) puts
+    // the hottest key's ENTIRE occurrence set in one window partition
+    // = one task. Unlike a join's probe side, a window partition can
+    // never be skew-split by AQE — at the 100 TB design point the
+    // "of the"-class bigram is ~10^10 rows through a single sort.
+    // The scale-safe shape is groupBy(key) + equi-join back.
+    //
+    // Decision rule per Window partition expression, tracing through
+    // the optimized plan:
+    //   - resolves to a Generate (explode) output        -> CONTENT
+    //   - references the leaf `text` column (any table)   -> CONTENT
+    //   - resolves into an Aggregate output               -> BOUNDED
+    //     (the window's input then carries one row per distinct
+    //     group, the join-back shape this guard exists to enforce)
+    //   - any other leaf column (doc_id, lang, hour, ...) -> BOUNDED
+    // A Window is an offender iff EVERY partition expression is
+    // CONTENT-derived (a composite key containing doc_id/qid/... is
+    // bounded by that key's per-group row count).
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LeafNode, LogicalPlan, Window => LWindow}
+
+    def contentDerived(plan: LogicalPlan): Expression => Boolean = {
+      // def-site map over the whole tree: ExprId -> how the attr is born
+      sealed trait Def
+      case class FromAlias(child: Expression) extends Def
+      case object FromGenerate extends Def
+      case object FromAggregate extends Def
+      case class FromLeaf(name: String) extends Def
+      val defs = scala.collection.mutable.Map[Long, Def]()
+      (plan +: plan.subqueriesAll).foreach(_.foreach {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.foreach {
+            case a: Alias => defs(a.exprId.id) = FromAlias(a.child)
+            case _ =>
+          }
+        case a: Aggregate =>
+          a.aggregateExpressions.foreach(ne => defs(ne.exprId.id) = FromAggregate)
+        case g: Generate =>
+          g.generatorOutput.foreach(attr => defs(attr.exprId.id) = FromGenerate)
+        case l: LeafNode =>
+          l.output.foreach(attr => defs.getOrElseUpdate(attr.exprId.id, FromLeaf(attr.name)))
+        case _ =>
+      })
+      def exprIsContent(e: Expression, seen: Set[Long]): Boolean = e match {
+        case attr: Attribute => attrIsContent(attr, seen)
+        case other => other.references.exists(a => attrIsContent(a, seen))
+      }
+      def attrIsContent(attr: Attribute, seen: Set[Long]): Boolean = {
+        val id = attr.exprId.id
+        if (seen(id)) false
+        else defs.get(id) match {
+          case Some(FromGenerate) => true
+          case Some(FromLeaf(n)) => n == "text"
+          case Some(FromAggregate) => false
+          case Some(FromAlias(child)) => exprIsContent(child, seen + id)
+          case None => false
+        }
+      }
+      e => exprIsContent(e, Set.empty)
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        val isContent = contentDerived(plan)
+        val bad = (plan +: plan.subqueriesAll).flatMap(_.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(isContent) => w.partitionSpec.mkString(", ")
+        })
+        if (bad.nonEmpty) Some(s"$name: window partitioned only by raw content keys [${bad.head}]")
+        else None
+      } catch { case e: Exception => Some(s"$name (failed to plan: ${e.getMessage.take(80)})") }
+    }
+    assert(offenders.isEmpty,
+      s"windows partitioned by raw Zipfian content keys (AQE cannot split these):\n${offenders.mkString("\n")}")
+  }
+
   test("q27's correlated scalar subquery is de-correlated to a join") {
     val plan = SparkEntry.queries("q27_scalar_subquery")(spark, dir)
       .queryExecution.executedPlan.toString
