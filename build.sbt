@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default forked-run output strategy wraps every line in
+// "[info] " and then prints its own "[success] Total time: ..." after
+// the program exits — both defeat the parse (BENCH_r09..r12 all carry
+// parsed: null). StdoutOutput passes the forked JVM's stdout through
+// bare; showSuccess kills the trailing [success] line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
