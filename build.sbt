@@ -19,6 +19,9 @@ run / fork := true
 // bare; showSuccess kills the trailing [success] line.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1483,15 +1483,20 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
   }
 
-  /** Spark twin of `ranked`, minus the rank: scored query×corpus. */
-  private def bruteScored(v: DataFrame): DataFrame = {
+  /** Spark twin of `ranked`, sliced to the top `k` per query: scored
+    * query×corpus, ranked via [[graft.plans.TopK.perKey]] bounded
+    * heaps — ≤ k rows per qid per input partition cross the exchange,
+    * where the former `row_number` window shuffled and sorted the
+    * WHOLE corpus once per query id. Every consumer slices at
+    * rk ≤ [[MrlTopK]], so nothing above k is ever needed. */
+  private def bruteScored(v: DataFrame, k: Int = MrlTopK): DataFrame = {
     val qq = v.filter(expr(QuerySetSql))
       .select(col("vec_id").as("qid"), col("qe").as("qqe"), col("n2").as("n2_q"))
-    v.join(broadcast(qq), col("vec_id") =!= col("qid"))
+    val scored = v.join(broadcast(qq), col("vec_id") =!= col("qid"))
       .withColumn("dot", dot("qqe", "qe"))
       .withColumnRenamed("n2", "n2_v")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+    graft.plans.TopK.perKey(scored, keyNames = Seq("qid"),
+      order = Seq(cosCol.desc, col("vec_id").asc), k = k, rankName = "rk")
   }
 
   /** Matryoshka (MRL, Kusupati 2022) two-stage retrieval: MRL-trained
@@ -1524,16 +1529,20 @@ object Similarity {
         col("n2").as("n2_q"), col("qp").as("qqp"), col("n2p").as("n2p_q"))
     val pcos = col("pdot").cast("double") /
       sqrt(col("n2p_q").cast("double") * col("n2p").cast("double"))
-    val short = vp.join(broadcast(qq), col("vec_id") =!= col("qid"))
+    // stage-1 shortlist via TopKPerKey bounded heaps: ≤ MrlShortK rows
+    // per qid per input partition cross the exchange — the former
+    // row_number window sorted the whole corpus once per query id
+    val scored = vp.join(broadcast(qq), col("vec_id") =!= col("qid"))
       .withColumn("pdot", dot("qqp", "qp"))
-      .withColumn("prk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(pcos.desc, col("vec_id"))).cast("int"))
-      .filter(col("prk") <= MrlShortK)
-    short
+    val short = graft.plans.TopK.perKey(scored, keyNames = Seq("qid"),
+      order = Seq(pcos.desc, col("vec_id").asc), k = MrlShortK, rankName = "prk")
+    // stage-2 exact rerank over the ≤ MrlShortK-deep shortlist: same
+    // operator, k = MrlShortK keeps ALL shortlist ranks (callers slice)
+    val full = short
       .withColumn("dot", dot("qqe", "qe"))
       .withColumnRenamed("n2", "n2_v")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
+    graft.plans.TopK.perKey(full, keyNames = Seq("qid"),
+      order = Seq(cosCol.desc, col("vec_id").asc), k = MrlShortK, rankName = "rk")
   }
 
   /** The MRL stages (prefix norms → prefix dots → shortlist → exact
@@ -2055,17 +2064,19 @@ object Similarity {
           col("n2").as("n2_q"), col("qp").as("qqp"), col("n2p").as("n2p_q"))
       val pcos = col("pdot").cast("double") /
         sqrt(col("n2p_q").cast("double") * col("n2p").cast("double"))
-      vp.join(broadcast(qq), Seq("label"))
+      // both rank stages via TopKPerKey bounded heaps (see mrlReranked):
+      // the cell dispatch bounds the candidate set, the heaps bound what
+      // crosses the exchange — ≤ MrlShortK (then ≤ 3) rows per qid
+      val cand = vp.join(broadcast(qq), Seq("label"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("pdot", dot("qqp", "qp"))
-        .withColumn("prk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(pcos.desc, col("vec_id"))).cast("int"))
-        .filter(col("prk") <= MrlShortK)
+      val short = graft.plans.TopK.perKey(cand, keyNames = Seq("qid"),
+        order = Seq(pcos.desc, col("vec_id").asc), k = MrlShortK, rankName = "prk")
+      val full = short
         .withColumn("dot", dot("qqe", "qe"))
         .withColumnRenamed("n2", "n2_v")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(cosCol.desc, col("vec_id"))).cast("int"))
-        .filter(col("rk") <= 3)
+      graft.plans.TopK.perKey(full, keyNames = Seq("qid"),
+        order = Seq(cosCol.desc, col("vec_id").asc), k = 3, rankName = "rk")
         .select(col("qid").as("query_id"), col("rk"),
           col("vec_id").as("neighbor_id"), col("label"), col("dot"))
         .orderBy(col("query_id"), col("rk"))

@@ -457,6 +457,12 @@ object StreamOps {
   private[graft] def packOccurrence(docId: Long, pos: Int): Long = {
     require(pos >= 0 && pos < (1 << 21),
       s"dupGramCandidates: doc $docId gram position $pos outside [0, 2^21) — occurrence-id packing would alias")
+    // doc_id gets the remaining 42 bits (sign bit excluded): a doc id
+    // at/above 2^42 would overflow the shift and alias/reorder
+    // occurrence ids — the same silent-corruption path as an oversized
+    // pos, so it fails just as loudly
+    require(docId >= 0 && docId < (1L << 42),
+      s"dupGramCandidates: doc_id $docId outside [0, 2^42) — occurrence-id packing would overflow")
     (docId << 21) | pos.toLong
   }
 

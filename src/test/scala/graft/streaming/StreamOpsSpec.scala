@@ -1271,6 +1271,11 @@ class StreamOpsSpec extends AnyFunSuite {
     // the aliasing cases fail LOUDLY instead of wrapping the mask
     intercept[IllegalArgumentException](StreamOps.packOccurrence(3L, 1 << 21))
     intercept[IllegalArgumentException](StreamOps.packOccurrence(3L, -1))
+    // ...and so does a doc_id past the 42-bit budget (the << 21 shift
+    // would overflow into the sign bit and reorder occurrence ids)
+    assert(StreamOps.packOccurrence((1L << 42) - 1, 5) > 0)
+    intercept[IllegalArgumentException](StreamOps.packOccurrence(1L << 42, 0))
+    intercept[IllegalArgumentException](StreamOps.packOccurrence(-1L, 0))
   }
 
   test("kmvUsersHourly: cross-batch dedup, bottom-k parity, exact small windows") {
