@@ -357,26 +357,51 @@ object Dedup {
        |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
        |FROM cont ORDER BY contained_doc, container_doc""".stripMargin
 
-  /** (doc_id, off, shs): one rung's window shingle SETS — the window
-    * analogue of [[shArr]], same 3-gram split, deduped map-side. */
-  private def windowShingleArr(docs: DataFrame, r: ContainmentRung): DataFrame =
+  /** (doc_id, grams): the per-position word-3-gram stream — ONE text
+    * tokenization shared by every ladder rung. The rungs differ only
+    * in stride/span over THIS array (grams(i) = the 3-gram starting at
+    * word i), so the split + concat work — a third of each rung's
+    * from-scratch map cost — need not be repeated per rung. */
+  private def gramArrOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("w"),
-        explode(expr(s"sequence(0, size(w) - 3, ${r.stride})")).as("off"))
-      .select(col("doc_id"), col("off"),
-        expr("array_distinct(transform(" +
-          s"sequence(off, least(off + ${r.spanSh - 1}, size(w) - 3)), " +
-          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("shs"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("grams"))
 
-  /** One rung's UNCAPPED window band rows (doc_id, band, bkey),
-    * deduped per doc — the persistable window-index artifact. Like
-    * [[bandRows]], the hot-bucket cap is applied at READ time over
-    * merged counts ([[Skew.dropOversizeGroups]]), never baked in. */
-  private def windowBandRows(docs: DataFrame, r: ContainmentRung,
+  /** [[gramArrOf]], memoized per fixture (TrainMemo, localCheckpoint):
+    * the three containment rungs and the merge op all build their
+    * window indexes from the one materialized gram pass instead of
+    * re-tokenizing the corpus three times. Inputs without a file
+    * identity build uncached, like every other memo site. */
+  private def memoGramArr(s: SparkSession, docs: DataFrame): DataFrame =
+    TrainMemo.memoKeyOf(docs) match {
+      case Some(k) => TrainMemo.getOrTrain(
+        s"grams3:${TrainMemo.sessionKeyOf(s)}:$k")(
+        TrainMemo.checkpointReleasing(gramArrOf(docs)))
+      case None => gramArrOf(docs)
+    }
+
+  /** (doc_id, off, shs): one rung's window shingle SETS over the
+    * shared gram stream — slice [off, off+span) of `grams`, deduped
+    * map-side (the window analogue of [[shArr]]). */
+  private def windowShingleArr(grams: DataFrame, r: ContainmentRung): DataFrame =
+    grams
+      .select(col("doc_id"), col("grams"),
+        explode(expr(s"sequence(0, size(grams) - 1, ${r.stride})")).as("off"))
+      .select(col("doc_id"), col("off"),
+        expr(s"array_distinct(slice(grams, off + 1, " +
+          s"least(${r.spanSh}, size(grams) - off)))").as("shs"))
+
+  /** One rung's UNCAPPED window band rows (doc_id, band, bkey) over a
+    * gram stream ([[gramArrOf]] shape), deduped per doc — the
+    * persistable window-index artifact. Like [[bandRows]], the
+    * hot-bucket cap is applied at READ time over merged counts
+    * ([[Skew.dropOversizeGroups]]), never baked in. */
+  private def windowBandRows(grams: DataFrame, r: ContainmentRung,
       g: LshGeometry): DataFrame =
-    signaturesBy(windowShingleArr(docs, r), Seq("doc_id", "off"), g)
+    signaturesBy(windowShingleArr(grams, r), Seq("doc_id", "off"), g)
       .select(col("doc_id"), explode(array(bandStructCols(g): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .distinct()
@@ -416,7 +441,7 @@ object Dedup {
       .join(sh.filter(col("n_sh").between(r.loSh, r.hiSh))
         .select(col("doc_id")), Seq("doc_id"))
     val chkept = Skew.dropOversizeGroups(
-      windowBandRows(t(s, dir, "documents"), r, g),
+      windowBandRows(memoGramArr(s, t(s, dir, "documents")), r, g),
       Seq("band", "bkey"), g.maxBucketSize)
     val cand = probe
       .join(chkept.select(col("doc_id").as("cid"), col("band"), col("bkey")),
@@ -442,18 +467,22 @@ object Dedup {
       r: ContainmentRung, g: LshGeometry = DefaultGeometry): DataFrame = {
     val d = t(s, dir, "documents")
     val thr = d.agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
-    val dOld = d.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
-      .select(d.columns.map(col): _*)
-    val dBatch = d.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
-      .select(d.columns.map(col): _*)
+    // both halves slice the one memoized gram pass (filter commutes
+    // with the per-doc map, so the rows are identical to tokenizing
+    // each half separately)
+    val grams = memoGramArr(s, d)
+    val gOld = grams.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
+      .select(grams.columns.map(col): _*)
+    val gBatch = grams.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
+      .select(grams.columns.map(col): _*)
     val key = TrainMemo.memoKeyOf(d)
     val oldIndex = key match {
       case Some(k) => TrainMemo.getOrTrain(
         s"chidx_old:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k")(
-        TrainMemo.checkpointReleasing(windowBandRows(dOld, r, g)))
-      case None => windowBandRows(dOld, r, g)
+        TrainMemo.checkpointReleasing(windowBandRows(gOld, r, g)))
+      case None => windowBandRows(gOld, r, g)
     }
-    val merged = oldIndex.unionAll(windowBandRows(dBatch, r, g))
+    val merged = oldIndex.unionAll(windowBandRows(gBatch, r, g))
     val artifact = key match {
       case Some(k) =>
         val cp = merged.localCheckpoint() // materialize, truncate lineage
@@ -811,22 +840,36 @@ object Dedup {
          |LEFT JOIN (SELECT * FROM best WHERE r = 1) b ON b.doc_id = d.doc_id
          |WHERE d.doc_id % 10 != 0
          |ORDER BY d.doc_id""") { (s, dir) =>
-      val sh = shArr(s, dir).cache()
+      // NOT cached: a full-corpus shingle-array cache is the memory
+      // hazard at 100 TB — recomputing the map-side shingle pass per
+      // consumer is cheaper than spilling it. The band kernel must
+      // still run over the COMBINED stream (the oversize-bucket drop
+      // counts corpus+bench occupants together; banding the sides
+      // separately would change which buckets are dropped), and
+      // keptBands caches only its band rows, which it materializes
+      // for that count anyway.
+      val sh = shArr(s, dir)
       val kept = keptBands(sh, DefaultGeometry)
-      // benchmark side of the bucket join: benchmark-sized (a fixed
-      // eval suite, never corpus-scaled) → the one justified broadcast
+      // Benchmark side: under the production convention this is a
+      // FIXED eval suite, but this fixture's doc_id % 10 == 0 split is
+      // 10% of the corpus — a broadcast would grow linearly with it.
+      // Plain equi-joins instead: AQE broadcasts a genuinely small
+      // benchmark at runtime and shuffles a fixture-sized one.
       val benchBands = kept.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("bench_id"), col("band"), col("bkey"))
       val cand = kept.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(benchBands), Seq("band", "bkey"))
+        .join(benchBands, Seq("band", "bkey"))
         .select(col("doc_id"), col("bench_id")).distinct()
       val sa = sh.select(col("doc_id"), col("shs").as("shs_a"), col("n_sh").as("n_a"))
+      // only the benchmark-side arrays are cached (bench-sized); the
+      // corpus side is pruned to band-positive docs by the cand join
       val sb = sh.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("bench_id"), col("shs").as("shs_b"),
           col("n_sh").as("n_b"))
+        .cache()
       val verified = cand
         .join(sa, Seq("doc_id"))
-        .join(broadcast(sb), Seq("bench_id"))
+        .join(sb, Seq("bench_id"))
         .withColumn("n_common",
           size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
         .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
