@@ -113,6 +113,12 @@ object Events {
       |       CAST(round(value * 100) AS BIGINT) AS cents
       |FROM events""".stripMargin
 
+  /** KMV size for the pairwise-overlap sketch (see ev_kmv_overlap):
+    * intersection estimates need a deeper sample than per-key NDV —
+    * relative error ~1/√(J·k), so k = 8 (Pipeline.KmvK) would
+    * quantize Jaccard to eighths. */
+  private[graft] val KmvOverlapK = 64
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- tumbling 1-hour window per event_type: the canonical
@@ -988,6 +994,108 @@ object Events {
         .select(col("epoch_hour"), col("event_type"), col("rk").cast("int").as("rk"),
           col("h"), col("user_id"), col("k_used"), col("ndv_est"))
         .orderBy(col("epoch_hour"), col("event_type"), col("rk"))
+    },
+
+    // ---- KMV SET ALGEBRA — estimated audience overlap between event
+    // types (theta-sketch intersection, Dasgupta 2016; KMV synopses,
+    // Beyer 2007 / Bar-Yossef 2002): from each type's bottom-k
+    // distinct-user sample alone, estimate |A∪B|, |A∩B| and Jaccard
+    // for every type pair — the sketch-only computation a pipeline
+    // runs when the raw user sets are long gone. Method: merge the
+    // two samples, keep the k smallest of the union (θ = k-th), and
+    // count how many of those k appear in BOTH samples (n_both);
+    // union_est = (k−1)·2³²/θ (the ev_kmv_users estimator on the
+    // union), inter_est = n_both·union_est/k, exact when the union
+    // sample is not full (the same dichotomy as ev_kmv_users). k is
+    // [[KmvOverlapK]], NOT Pipeline.KmvK: an NDV sketch is fine at
+    // k = 8, but the intersection estimate has relative error
+    // ~1/√(J·k) (Beyer 2007 §4) — at k = 8 Jaccard is quantized to
+    // eighths. Scale shape: one distinct-users pass (map-side
+    // partials), TopKPerKey bounded heaps per type, and everything
+    // after operates on ≤ 2k rows per pair BY CONSTRUCTION — the
+    // type-pair frame is |types|² rows, broadcast. ----
+    sql("ev_kmv_overlap", {
+      val k = KmvOverlapK
+      val thv = Hll.hexValSql("th", 1)
+      s"""WITH e AS ($baseSql),
+         |du AS (SELECT DISTINCT event_type, user_id FROM e),
+         |dh AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+         |srk AS (SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type
+         |                                                 ORDER BY h) AS rk FROM dh),
+         |s AS (SELECT event_type, h FROM srk WHERE rk <= $k),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |u AS (SELECT p.type_a, p.type_b, s.h,
+         |             MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         |             MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+         |      FROM pairs p JOIN s ON s.event_type IN (p.type_a, p.type_b)
+         |      GROUP BY p.type_a, p.type_b, s.h),
+         |cu AS (SELECT type_a, type_b, COUNT(*) AS cnt_u FROM u
+         |       GROUP BY type_a, type_b),
+         |urk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+         |                                     ORDER BY h) AS ur FROM u),
+         |top AS (SELECT * FROM urk WHERE ur <= $k),
+         |ag AS (SELECT type_a, type_b, COUNT(*) AS k_used, MAX(h) AS th,
+         |              SUM(in_a * in_b) AS n_both
+         |       FROM top GROUP BY type_a, type_b)
+         |SELECT g.type_a, g.type_b,
+         |       CAST(g.k_used AS INT) AS k_used,
+         |       CAST(g.n_both AS BIGINT) AS n_both,
+         |       CAST(CASE WHEN c.cnt_u < $k THEN c.cnt_u
+         |            ELSE ${(k - 1).toLong} * 4294967296 // GREATEST($thv, 1)
+         |            END AS BIGINT) AS union_est,
+         |       CAST(CASE WHEN c.cnt_u < $k THEN g.n_both
+         |            ELSE (g.n_both * (${(k - 1).toLong} * 4294967296
+         |                  // GREATEST($thv, 1))) // $k
+         |            END AS BIGINT) AS inter_est,
+         |       CAST(g.n_both * 1000000 // GREATEST(g.k_used, 1) AS BIGINT)
+         |         AS jaccard_ppm
+         |FROM ag g JOIN cu c ON c.type_a = g.type_a AND c.type_b = g.type_b
+         |ORDER BY g.type_a, g.type_b"""
+    }) { (s, dir) =>
+      val k = KmvOverlapK
+      val du = base(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", md5(col("user_id").cast("string")))
+      val sk = graft.plans.TopK.perKey(du, keyNames = Seq("event_type"),
+        order = Seq(col("h").asc), k = k, rankName = "rk")
+        .select(col("event_type"), col("h"))
+      val ty = du.select(col("event_type")).distinct()
+      // |types|² candidate pairs — a bounded non-equi join against a
+      // broadcast frame of the distinct types, never row-scaled
+      val pairs = ty.select(col("event_type").as("type_a"))
+        .join(broadcast(ty.select(col("event_type").as("type_b"))),
+          col("type_a") < col("type_b"))
+      val pe = pairs.select(col("type_a"), col("type_b"),
+        explode(array(col("type_a"), col("type_b"))).as("event_type"))
+      val u = sk.join(broadcast(pe), Seq("event_type"))
+        .groupBy(col("type_a"), col("type_b"), col("h"))
+        .agg(max(when(col("event_type") === col("type_a"), 1).otherwise(0)).as("in_a"),
+          max(when(col("event_type") === col("type_b"), 1).otherwise(0)).as("in_b"))
+      val cu = u.groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("cnt_u"))
+      val top = graft.plans.TopK.perKey(u, keyNames = Seq("type_a", "type_b"),
+        order = Seq(col("h").asc), k = k, rankName = "ur")
+      val ag = top.groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("th"),
+          sum(col("in_a") * col("in_b")).as("n_both"))
+      ag.join(cu, Seq("type_a", "type_b"))
+        .withColumn("uest",
+          when(col("cnt_u") < k, col("cnt_u"))
+            .otherwise(expr(s"CAST(${(k - 1).toLong} * 4294967296L div " +
+              "greatest(CAST(conv(substring(th, 1, 8), 16, 10) AS BIGINT), 1L) AS BIGINT)"))
+            .cast("long"))
+        .select(col("type_a"), col("type_b"),
+          col("k_used").cast("int").as("k_used"),
+          col("n_both").cast("long").as("n_both"),
+          col("uest").as("union_est"),
+          when(col("cnt_u") < k, col("n_both"))
+            .otherwise(expr(s"(n_both * uest) div $k"))
+            .cast("long").as("inter_est"),
+          expr("CAST(n_both * 1000000 div greatest(k_used, 1) AS BIGINT)")
+            .as("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
     })
 }
 

@@ -1938,6 +1938,56 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ---- HARD-NEGATIVE MINING (ANCE, Xiong 2020): for each query,
+    // the top-5 highest-cosine corpus vectors with a DIFFERENT label —
+    // the contrastive-training pairs an embedding-model pipeline
+    // exports (easy random negatives teach nothing; the negatives that
+    // move the loss are the ones the current space already confuses
+    // with the query). Label plays the "positive class" role here the
+    // way it plays the IVF-cell role in ss_ivf_topk — same fixture,
+    // opposite predicate. Scale shape: the query set is the broadcast
+    // side (bounded, same contract as ss_brute_topk), the corpus pays
+    // one dot per (query, candidate), and TopKPerKey's bounded heaps
+    // carry ≤ 5 rows per qid per partition across the exchange. ----
+    sql("ss_hard_negatives",
+      s"""WITH qv AS ($qvSql),
+         |norms AS ($normsSql),
+         |qq AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+         |       WHERE $QuerySetSql),
+         |negc AS (SELECT q.qid, e.vec_id, e.label
+         |         FROM qq q JOIN embeddings e ON e.label <> q.qlabel),
+         |dots AS (SELECT n.qid, n.vec_id, n.label,
+         |                CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |         FROM negc n
+         |         JOIN qv a ON a.vec_id = n.qid
+         |         JOIN qv b ON b.vec_id = n.vec_id AND b.dim = a.dim
+         |         GROUP BY n.qid, n.vec_id, n.label),
+         |scored AS (SELECT d.qid AS query_id, d.vec_id AS neighbor_id,
+         |                  d.label, d.dot, nq.n2 AS n2_q, nv.n2 AS n2_v
+         |           FROM dots d
+         |           JOIN norms nq ON nq.vec_id = d.qid
+         |           JOIN norms nv ON nv.vec_id = d.vec_id),
+         |hneg AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY $cosExprSql DESC, neighbor_id) AS rk
+         |         FROM scored)
+         |SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id,
+         |       CAST(label AS INT) AS label, dot, n2_q, n2_v
+         |FROM hneg WHERE rk <= 5 ORDER BY query_id, rk""") { (s, dir) =>
+      val v = varr(s, dir)
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("qe").as("qqe"), col("n2").as("n2_q"))
+      val scored = v.join(broadcast(qq), col("label") =!= col("qlabel"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+      graft.plans.TopK.perKey(scored, keyNames = Seq("qid"),
+        order = Seq(cosCol.desc, col("vec_id").asc), k = 5, rankName = "rk")
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("label").cast("int").as("label"),
+          col("dot"), col("n2_q"), col("n2_v"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- Matryoshka prefix-dimension two-stage retrieval: rank by
     // 16-dim prefix cosine, exact-rerank the top-25 shortlist (see
     // mrlReranked's scaladoc for the cost shape) ----

@@ -25,6 +25,47 @@ class SimilaritySpec extends AnyFunSuite {
       s"multiprobe recalled nothing beyond plain (${multi.size} pairs)")
   }
 
+  test("hard negatives exclude the query's label and sit below the brute optimum") {
+    val qLabel = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nLabel = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cosOf(r: org.apache.spark.sql.Row, dotIdx: Int, nqIdx: Int, nvIdx: Int) =
+      r.getLong(dotIdx).toDouble /
+        math.sqrt(r.getLong(nqIdx).toDouble * r.getLong(nvIdx).toDouble)
+    val hard = SparkEntry.queries("ss_hard_negatives")(spark, dir).collect()
+    assert(hard.length == qLabel.size * 5, "5 rows per query")
+    // the defining predicate: no mined negative shares its query's label
+    hard.foreach { r =>
+      assert(r.getInt(3) != qLabel(r.getLong(0)),
+        s"query ${r.getLong(0)} mined a same-label 'negative' ${r.getLong(2)}")
+    }
+    // (query_id, rk, neighbor_id, dot, n2_q, n2_v) in both queries:
+    // the best different-label cosine can never beat the best
+    // unrestricted cosine, and must EQUAL it whenever the brute top-1
+    // is already cross-label
+    val brute1 = SparkEntry.queries("ss_brute_topk")(spark, dir).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(2), cosOf(r, 3, 4, 5))).toMap
+    val hard1 = hard.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(2), cosOf(r, 4, 5, 6))).toMap
+    qLabel.keys.foreach { q =>
+      val (bn, bc) = brute1(q); val (hn, hc) = hard1(q)
+      assert(hc <= bc + 1e-12, s"query $q: hard-neg cos $hc beats brute $bc")
+      if (nLabel(bn) != qLabel(q))
+        assert(hn == bn, s"query $q: brute top-1 $bn is cross-label but hard-neg picked $hn")
+    }
+    // the predicate must BITE somewhere: at least one query's brute
+    // TOP-5 contains a same-label neighbor (so the mined set really
+    // differs from ss_brute_topk — at sf0.01 this happens at ranks
+    // 2-5 of queries 1/3/7, verified against the oracle)
+    val brute5 = SparkEntry.queries("ss_brute_topk")(spark, dir).collect()
+    assert(brute5.exists(r => nLabel(r.getLong(2)) == qLabel(r.getLong(0))),
+      "fixture has no same-label brute top-5 row — the label filter never bites")
+  }
+
   test("occupied-cell probe prefilter drops nothing at a large bucket domain") {
     // 11 planes/band → 2048-cell domain, far sparser than the ~500-doc
     // sf0.01 corpus can fill: most one-bit-flip probes target empty

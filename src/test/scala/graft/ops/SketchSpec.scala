@@ -43,6 +43,35 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_kmv_overlap: sketch union/intersection track the exact overlap") {
+    val rows = SparkEntry.queries("ev_kmv_overlap")(spark, dir).collect()
+    val types = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type")).distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "one row per unordered type pair")
+    val du = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (kUsed, nBoth) = (r.getInt(2), r.getLong(3))
+      val (unionEst, interEst, jppm) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      // structural invariants of the estimator
+      assert(a < b && kUsed <= 64 && nBoth <= kUsed)
+      assert(interEst <= unionEst)
+      assert(jppm == nBoth * 1000000L / math.max(kUsed, 1))
+      // accuracy vs the exact sets: KMV at k=64 has rsd ≈ 1/√63 ≈ 12.6%
+      // on the union (allow 3σ); the intersection adds the binomial
+      // noise of n_both (sd ≈ √(k·J(1−J)) of k), so its absolute error
+      // is bounded in UNION units — allow 3·√k/k ≈ 0.38·union.
+      val exactU = (du(a) union du(b)).size.toLong
+      val exactI = (du(a) intersect du(b)).size.toLong
+      assert(math.abs(unionEst - exactU) <= math.max(3, 0.38 * exactU),
+        s"$a×$b: union_est=$unionEst exact=$exactU")
+      assert(math.abs(interEst - exactI) <= math.max(3, 0.38 * exactU),
+        s"$a×$b: inter_est=$interEst exact=$exactI (union=$exactU)")
+    }
+  }
+
   test("q21_approx_quantiles: sample quantiles and native sketch within rank bounds") {
     val rows = SparkEntry.queries("q21_approx_quantiles")(spark, dir).collect()
     rows.foreach { r =>
