@@ -266,7 +266,13 @@ object Text {
     val dup = ck.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("digest"))
-    val rm = ck.join(broadcast(dup), Seq("digest"))
+    // dup is the corpus-derived duplicate-digest set — on a boilerplate-
+    // heavy crawl it grows with the corpus, so it is NOT hinted as a
+    // broadcast (the same unbounded-forced-broadcast class fixed in
+    // tx_ccnet_buckets/tx_fuzzy_decontaminate): AQE broadcasts it when
+    // it measures small and shuffles the digest-only chunk stream (no
+    // text) on digest when it doesn't.
+    val rm = ck.join(dup, Seq("digest"))
       .groupBy(col("doc_id")).agg(collect_list(col("chunk_idx")).as("removed"))
     ws.join(rm, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
