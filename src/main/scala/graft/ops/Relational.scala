@@ -703,15 +703,21 @@ object Relational {
         |                    s.s_suppkey) AS INT) AS rk
         |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey) x
         |WHERE rk <= 3 ORDER BY n_name, rk""") { (s, dir) =>
+      // top-3 per nation via TopKPerKey bounded heaps, not a window:
+      // n_name is a 25-value dimension key over corpus-scaled supplier
+      // rows, so row_number() OVER (PARTITION BY n_name) sorts 1/25th
+      // of the supplier table in ONE task — the same hot-partition
+      // class as a metadata-key running sum. The plan node's partial
+      // exec keeps ≤ 3 rows per nation per input partition, so the
+      // exchange moves ≤ 75 rows per partition at any scale.
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
-      val w = Window.partitionBy(col("n_name"))
-        .orderBy(col("acctbal_c").desc, col("s_suppkey"))
-      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      val joined = su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .select(col("n_name"), col("s_suppkey"), col("s_name"),
           cents(col("s_acctbal")).as("acctbal_c"))
-        .withColumn("rk", row_number().over(w).cast("int"))
-        .filter(col("rk") <= 3)
+      graft.plans.TopK.perKey(joined, keyNames = Seq("n_name"),
+          order = Seq(col("acctbal_c").desc, col("s_suppkey").asc), k = 3,
+          rankName = "rk")
         .select(col("n_name"), col("rk"), col("s_suppkey"), col("s_name"), col("acctbal_c"))
         .orderBy(col("n_name"), col("rk"))
     },

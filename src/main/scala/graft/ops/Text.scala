@@ -1386,10 +1386,11 @@ object Text {
     // ---- concat-and-chunk sequence packing (the GPT-style batch
     // builder): within each (lang, source) stream, docs concatenate in
     // doc_id order and split every 256 tokens; a doc's bin is its
-    // start offset ÷ 256. The running offset is a windowed prefix sum
-    // PARTITIONED BY the stream — each stream packs independently, so
-    // the window never degenerates to a single global partition (the
-    // 100 TB failure mode of orderBy-the-world cumsums). ----
+    // start offset ÷ 256. The running offset is a blocked two-level
+    // prefix sum ([[Prefix.exclusiveRunningSum]]): a stream key is
+    // #langs × #sources values, so a plain per-stream window would put
+    // a constant fraction of the CORPUS through one sort task — the
+    // round-13 `weak` finding this rework closes. ----
     sql("tx_pack_manifest",
       """WITH d AS (SELECT doc_id, lang, source,
         |                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
@@ -1404,13 +1405,11 @@ object Text {
         |SELECT doc_id, lang, source, n_tokens, start_tok,
         |       CAST(start_tok // 256 AS BIGINT) AS bin
         |FROM p ORDER BY doc_id""") { (s, dir) =>
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, dir)
+      val d = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
-        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      Prefix.exclusiveRunningSum(d, Seq("lang", "source"), "doc_id",
+          col("n_tokens"), "start_tok")
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
           col("start_tok"),
           expr("CAST(start_tok div 256 AS BIGINT)").as("bin"))
@@ -1487,8 +1486,9 @@ object Text {
     // exactly what "stop crawling this domain at N tokens" means; the
     // 800-token budget is a FIXED policy constant like the
     // decontamination benchmark, not corpus-scaled). used_before is a
-    // windowed prefix sum PARTITIONED BY source — each source admits
-    // independently, nothing global. [[graft.streaming.StreamOps
+    // blocked two-level prefix sum ([[Prefix.exclusiveRunningSum]]) —
+    // a per-source WINDOW would funnel each source's whole stream
+    // through one sort task. [[graft.streaming.StreamOps
     // .quotaAdmit]] is the stateful streaming twin (state = one long
     // per source); StreamOpsSpec asserts verdict parity across a
     // micro-batch split. ----
@@ -1507,12 +1507,11 @@ object Text {
         |       CAST(CASE WHEN used_before + n_tokens <= 800 THEN 1 ELSE 0 END AS INT)
         |         AS admitted
         |FROM p ORDER BY doc_id""") { (s, dir) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, dir)
+      val d = docs(s, dir)
         .select(col("doc_id"), col("source"),
           size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
-        .withColumn("used_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      Prefix.exclusiveRunningSum(d, Seq("source"), "doc_id",
+          col("n_tokens"), "used_before")
         .select(col("doc_id"), col("source"), col("n_tokens"), col("used_before"),
           when(col("used_before") + col("n_tokens") <= 800, 1).otherwise(0)
             .cast("int").as("admitted"))
@@ -1523,8 +1522,8 @@ object Text {
     // numbers a batch-builder tunes against — bins produced, fill
     // percentage of the 256-token sequences, and how many documents
     // straddle a bin boundary (get split across training sequences).
-    // One aggregation over the same windowed prefix-sum relation as
-    // tx_pack_manifest. ----
+    // One aggregation over the same blocked prefix-sum relation as
+    // tx_pack_manifest ([[Prefix.exclusiveRunningSum]]). ----
     sql("tx_pack_stats",
       """WITH d AS (SELECT doc_id, lang, source,
         |                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
@@ -1546,13 +1545,11 @@ object Text {
         |       CAST(SUM(CASE WHEN start_tok // 256 <> (start_tok + n_tokens - 1) // 256
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
         |FROM p GROUP BY lang, source ORDER BY lang, source""") { (s, dir) =>
-      val w = Window.partitionBy(col("lang"), col("source"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, dir)
+      val d = docs(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tokens"))
-        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      Prefix.exclusiveRunningSum(d, Seq("lang", "source"), "doc_id",
+          col("n_tokens"), "start_tok")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"),
