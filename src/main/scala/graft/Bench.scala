@@ -56,6 +56,33 @@ object Bench {
   private def f(v: Double): String =
     "%.4f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Ambient-noise canary: a fixed, deterministic, single-threaded
+    * CPU loop (2^25 xorshift64 steps, ~40 ms on an idle core) timed at
+    * bench start and end. Two rounds running, driver-side and
+    * builder-side runs of IDENTICAL code disagreed by a uniform
+    * 25-30% (median per-query ratio 1.28× spread across untouched
+    * families — machine load, not plans), and proving that each time
+    * cost a ratio-distribution analysis. The canary puts the
+    * machine's speed IN the artifact: readers normalize totals by
+    * canary ratio instead of re-deriving ambient load forensically.
+    */
+  private def canaryMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < (1 << 25)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    // sink the value so the loop cannot be dead-code-eliminated
+    if (x == 42L) System.err.println("canary")
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def canaryJson(samples: Seq[Double]): String =
+    if (samples.isEmpty) ""
+    else s""","canary_ms":[${samples.map(f).mkString(",")}]"""
+
   /** q1..q28 share the "q" family; everything else groups on the
     * prefix before the first underscore (tx, ss, ev, dd, md, pipe,
     * mm). */
@@ -97,6 +124,10 @@ object Bench {
     var failed = Vector.empty[String]
     var runsAll = Vector.empty[(String, Seq[Double])]
     var coldTotal = 0.0 // accumulated from each child's cold_total
+    // chronological canary samples: parent start, each child's two
+    // (start/end of that family's JVM), parent end — a reader sees
+    // WHEN during the run the machine slowed, not just that it did
+    var canaries = Vector(canaryMs())
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "docs/bench_latest.json")
     // merged-artifact line over everything collected SO FAR. Written
     // after EVERY family (partial: true) and once at the end (no
@@ -122,7 +153,7 @@ object Bench {
           "\"" + k + "\":[" + ts.map(f).mkString(",") + "]"
         }.mkString(""","runs":{""", ",", "}")
       val partialJson = if (partial) ""","partial":true""" else ""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_total":${f(coldTotal)},"queries":$qs$failedJson$runsJson$partialJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_total":${f(coldTotal)},"queries":$qs$failedJson$runsJson${canaryJson(canaries)}$partialJson,"sf":"$sfDir"}"""
     }
     def flush(line: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
@@ -176,9 +207,14 @@ object Bench {
           case v: org.json4s.JValue if v != org.json4s.JNothing => coldTotal += toD(v)
           case _ =>
         }
+        j \ "canary_ms" match {
+          case JArray(xs) => canaries ++= xs.map(toD)
+          case _ =>
+        }
       }
       flush(mergedLine(partial = true)) // timeout ⇒ partial data, not none
     }
+    canaries :+= canaryMs()
     val line = mergedLine(partial = false)
     println(line)
     flush(line)
@@ -196,11 +232,18 @@ object Bench {
     val failedSet = failed.toSet
     val total = queries.collect { case (n, t) if !failedSet(n) => t }.sum
     val nTimed = queries.count { case (n, _) => !failedSet(n) }
+    // min = the machine's clean speed, max/min = jitter during the run;
+    // totals from different machines/runs compare after dividing by
+    // canary_min_ms (the summary stays ~150 bytes — see line-size note)
+    val canarySummary =
+      if (canaries.isEmpty) ""
+      else s""","canary_min_ms":${f(canaries.min)},"canary_max_ms":${f(canaries.max)}"""
     println(
-      s"""{"metric":"total_summary","value":${f(total)},"unit":"sec","cold_total":${f(coldTotal)},"n_queries":$nTimed,"n_failed":${failed.size},"sf":"$sfDir","full":"$outPath"}""")
+      s"""{"metric":"total_summary","value":${f(total)},"unit":"sec","cold_total":${f(coldTotal)}$canarySummary,"n_queries":$nTimed,"n_failed":${failed.size},"sf":"$sfDir","full":"$outPath"}""")
   }
 
   private def runInProcess(): Unit = {
+    val canaryStart = canaryMs() // before ANY Spark/JIT cost lands
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -291,16 +334,21 @@ object Bench {
           "\"" + k + "\":[" + ts.map(t => f(t._1)).mkString(",") + "]"
         }.mkString(""","runs":{""", ",", "}")
       else ""
-    // cold total = sum of FIRST runs (non-failed queries): the headline
-    // min-of-N total is a WARM number — one-time TrainMemo index builds
-    // amortize into later runs — and the artifact must disclose what it
-    // amortizes (at sf10 the gap is ~1000 s of train-once cost).
+    // cold total = sum of first SUCCESSFUL runs (non-failed queries):
+    // the headline min-of-N total is a WARM number — one-time TrainMemo
+    // index builds amortize into later runs — and the artifact must
+    // disclose what it amortizes (at sf10 the gap is ~1000 s of
+    // train-once cost). First SUCCESSFUL, not first: a fail-fast crash
+    // (0.08 s) on run 1 of a query that later succeeds would otherwise
+    // UNDERSTATE the train-once gap this field exists to disclose.
     val failedSet2 = failed.toSet
     val coldTotal = allRuns.collect {
-      case (n, ts) if !failedSet2(n) && ts.nonEmpty => ts.head._1
+      case (n, ts) if !failedSet2(n) && ts.exists(_._2) =>
+        ts.collectFirst { case (t, true) => t }.get
     }.sum
+    val canaries = Seq(canaryStart, canaryMs())
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_total":${f(coldTotal)},"queries":$qs$failedJson$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_total":${f(coldTotal)},"queries":$qs$failedJson$runsJson${canaryJson(canaries)},"sf":"$sfDir"}"""
     println(line)
     // full-artifact file: the driver's stdout capture keeps only the
     // LAST 2000 chars (BENCH_r06 lost 81 of 143 per-query times), so
