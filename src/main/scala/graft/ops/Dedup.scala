@@ -370,16 +370,27 @@ object Dedup {
         expr("transform(sequence(0, size(w) - 3), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("grams"))
 
-  /** [[gramArrOf]], memoized per fixture (TrainMemo, localCheckpoint):
-    * the three containment rungs and the merge op all build their
-    * window indexes from the one materialized gram pass instead of
-    * re-tokenizing the corpus three times. Inputs without a file
-    * identity build uncached, like every other memo site. */
+  /** [[gramArrOf]], memoized per fixture (TrainMemo): the three
+    * containment rungs and the merge op all build their window indexes
+    * from the one materialized gram pass instead of re-tokenizing the
+    * corpus three times. DISK_ONLY, not localCheckpoint's
+    * MEMORY_AND_DISK: the per-doc gram array is a RAW TEXT derivative
+    * (~3× text bytes) — at 100 TB it must never compete with executor
+    * memory the way a compact index artifact (chidx/chwin band rows)
+    * legitimately does; on local disk it costs what a shuffle spill
+    * costs and is recomputed from lineage if a block is lost. The
+    * entry is unpublished, so cap eviction reclaims it; inputs
+    * without a file identity build uncached, like every other memo
+    * site. */
   private def memoGramArr(s: SparkSession, docs: DataFrame): DataFrame =
     TrainMemo.memoKeyOf(docs) match {
       case Some(k) => TrainMemo.getOrTrain(
-        s"grams3:${TrainMemo.sessionKeyOf(s)}:$k")(
-        TrainMemo.checkpointReleasing(gramArrOf(docs)))
+        s"grams3:${TrainMemo.sessionKeyOf(s)}:$k") {
+        val g = gramArrOf(docs)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        g.count() // materialize now — consumers time index work, not this pass
+        g
+      }
       case None => gramArrOf(docs)
     }
 
@@ -440,9 +451,21 @@ object Dedup {
     val probe = keptBands(sh, g)
       .join(sh.filter(col("n_sh").between(r.loSh, r.hiSh))
         .select(col("doc_id")), Seq("doc_id"))
-    val chkept = Skew.dropOversizeGroups(
-      windowBandRows(memoGramArr(s, t(s, dir, "documents")), r, g),
-      Seq("band", "bkey"), g.maxBucketSize)
+    // the rung's UNCAPPED band rows are a compact derived index
+    // (doc_id, band, bkey — no text), built once per (rung, fixture)
+    // and memoized the way trained k-means cells are: a warm serving
+    // run probes the artifact instead of re-running the gram/minhash
+    // pass; cold_total discloses the one-time build. The hot-bucket
+    // cap stays at READ time so the artifact composes with merges.
+    val d = t(s, dir, "documents")
+    val uncapped = TrainMemo.memoKeyOf(d) match {
+      case Some(k) => TrainMemo.getOrTrain(
+        s"chwin:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k")(
+        TrainMemo.checkpointReleasing(windowBandRows(memoGramArr(s, d), r, g)))
+      case None => windowBandRows(memoGramArr(s, d), r, g)
+    }
+    val chkept = Skew.dropOversizeGroups(uncapped, Seq("band", "bkey"),
+      g.maxBucketSize)
     val cand = probe
       .join(chkept.select(col("doc_id").as("cid"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -860,14 +883,28 @@ object Dedup {
       val cand = kept.filter(col("doc_id") % 10 =!= 0)
         .join(benchBands, Seq("band", "bkey"))
         .select(col("doc_id"), col("bench_id")).distinct()
-      val sa = sh.select(col("doc_id"), col("shs").as("shs_a"), col("n_sh").as("n_a"))
-      // only the benchmark-side arrays are cached (bench-sized); the
-      // corpus side is pruned to band-positive docs by the cand join
-      val sb = sh.filter(col("doc_id") % 10 === 0)
+      // band-positive refinement (round-13 demand: the sf10 tail back
+      // without the corpus-sized cache): materialize the candidate
+      // PAIRS once, then re-materialize ONLY band-colliding docs'
+      // shingle sets — one shared artifact for both verify sides,
+      // bounded by candidate count, never corpus-sized. The cold run
+      // pays exactly two corpus map passes (the band kernel and this
+      // pruned re-shingle); the former session-lifetime `.cache()` of
+      // the bench-side arrays (10% of the corpus under this fixture's
+      // % 10 split) is gone. Both localCheckpoints are
+      // candidate-bounded and GC-reclaimed (ContextCleaner) when the
+      // run's frames go out of scope.
+      val candCp = cand.localCheckpoint()
+      val posIds = candCp.select(col("doc_id"))
+        .unionAll(candCp.select(col("bench_id").as("doc_id")))
+        .distinct()
+      val shPos = sh.join(posIds, Seq("doc_id"), "left_semi").localCheckpoint()
+      val sa = shPos.select(col("doc_id"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a"))
+      val sb = shPos.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("bench_id"), col("shs").as("shs_b"),
           col("n_sh").as("n_b"))
-        .cache()
-      val verified = cand
+      val verified = candCp
         .join(sa, Seq("doc_id"))
         .join(sb, Seq("bench_id"))
         .withColumn("n_common",
