@@ -72,6 +72,22 @@ final case class KmvSampleRow(
     window_start: Timestamp, event_type: String, rk: Int, h: String,
     user_id: Long, k_used: Int, ndv_est: Long)
 
+/** One type-pair's theta-sketch set algebra for a closed hour window
+  * — the streaming twin of ev_kmv_overlap's per-pair row, with the
+  * window it was computed over. */
+final case class KmvOverlapRow(
+    window_start: Timestamp, type_a: String, type_b: String,
+    k_used: Int, n_both: Long, union_est: Long, inter_est: Long,
+    jaccard_ppm: Long)
+
+/** One open window's overlap state: each event type's finalized
+  * bottom-k hash sample as it arrives from the KMV stage (≤ k·|types|
+  * strings — domain-bounded, never user-scaled), plus the "a|b" pair
+  * keys already emitted (append mode cannot retract; first emission
+  * wins — see [[StreamOps.kmvOverlapHourly]]). */
+private final case class KmvOverlapState(
+    types: Map[String, Seq[String]], emitted: Seq[String])
+
 /** Structured Streaming expressions of the event-table shapes in
   * [[graft.ops.Events]] — the same semantics, incremental: tumbling
   * windows with watermarks, and gap-based sessionization with
@@ -239,6 +255,91 @@ object StreamOps {
     state.setTimeoutTimestamp(
       math.max(winMs + 3600 * 1000L + 1, state.getCurrentWatermarkMs + 1))
     Iterator.empty
+  }
+
+  /** Streaming KMV SET ALGEBRA — ev_kmv_overlap's theta-sketch
+    * pairwise |A∪B| / |A∩B| / Jaccard per closed hour window, over
+    * the per-type bottom-k samples [[kmvUsersHourly]] finalizes.
+    *
+    * Plan shape (the capstone's chained-stateful pattern): stage 1 is
+    * the existing per-(window, type) KMV operator — the heavy, keyed,
+    * parallel pass over events; stage 2 re-keys the finalized SAMPLE
+    * rows by window only, so its groups carry ≤ k·|types| rows per
+    * window BY CONSTRUCTION (domain-bounded, never user-scaled) — the
+    * bounded second level that makes a window-keyed group safe where
+    * keying raw events by window alone would be the round-14 guard's
+    * corpus-scaled-partition offender in streaming clothes.
+    *
+    * Stage 2 is NoTimeout and processes every input row
+    * unconditionally (no watermark predicate), so the hazard Spark's
+    * chained-stateful guard conservatively assumes cannot occur —
+    * start the query inside [[withChainedStatefulGuardDisabled]],
+    * exactly like [[ingestCorpus]]. Emission: stage 1 finalizes every
+    * type of one window in the same micro-batch (their timeouts share
+    * the watermark edge), so the window's full pair frame emits in
+    * the following trigger; a late-re-opened type (the no-retraction
+    * residual every streaming op here documents) forms only its NEW
+    * pairs — already-emitted pairs are never re-emitted or retracted,
+    * first emission wins. Pair math is pinned field-for-field to the
+    * DuckDB-oracled batch op by StreamOpsSpec, k = the batch op's
+    * [[graft.ops.Events.KmvOverlapK]] with the same error argument. */
+  def kmvOverlapHourly(events: DataFrame, lateness: String = "1 hour",
+      k: Int = graft.ops.Events.KmvOverlapK): Dataset[KmvOverlapRow] = {
+    import events.sparkSession.implicits._
+    kmvUsersHourly(events, lateness, k)
+      .groupByKey(_.window_start.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        overlapFn(k))
+  }
+
+  private def overlapFn(k: Int)(
+      winMs: Long, rows: Iterator[KmvSampleRow],
+      state: GroupState[KmvOverlapState]): Iterator[KmvOverlapRow] = {
+    val st = state.getOption.getOrElse(KmvOverlapState(Map.empty, Seq.empty))
+    // each type's sample arrives COMPLETE (stage 1 emits a window's
+    // rows atomically at its timeout); first arrival wins on the
+    // re-open residual, matching the no-retraction contract
+    val arrived = rows.toSeq.groupBy(_.event_type)
+      .map { case (t, rs) => t -> rs.sortBy(_.rk).map(_.h) }
+    val types = arrived.filterNot { case (t, _) => st.types.contains(t) } ++ st.types
+    val emitted = st.emitted.toSet
+    val all = types.keys.toSeq.sorted
+    val fresh = for {
+      a <- all; b <- all
+      if a < b && !emitted(s"$a|$b")
+    } yield (a, b)
+    state.update(KmvOverlapState(types, st.emitted ++ fresh.map { case (a, b) => s"$a|$b" }))
+    fresh.iterator.map { case (a, b) =>
+      val (kUsed, nBoth, uEst, iEst, jPpm) = kmvPairStats(types(a), types(b), k)
+      KmvOverlapRow(new Timestamp(winMs), a, b, kUsed, nBoth, uEst, iEst, jPpm)
+    }
+  }
+
+  /** The ev_kmv_overlap pair estimator over two finalized bottom-k
+    * hash samples — merge, keep the k smallest of the union
+    * (θ = the k-th), count both-sides members among them:
+    * union_est = (k−1)·2³²/θ, inter_est = n_both·union_est/k, both
+    * EXACT when the union sample is not full (the ev_kmv_users
+    * dichotomy). Integer math identical to the batch SQL so the
+    * parity pin is field-for-field. */
+  private[streaming] def kmvPairStats(hA: Seq[String], hB: Seq[String], k: Int)
+      : (Int, Long, Long, Long, Long) = {
+    val setA = hA.toSet
+    val setB = hB.toSet
+    val union = (setA ++ setB).toSeq.sorted
+    val cntU = union.size.toLong
+    val top = union.take(k)
+    val kUsed = top.size
+    val nBoth = top.count(h => setA(h) && setB(h)).toLong
+    val unionEst =
+      if (cntU < k) cntU
+      else {
+        val theta = java.lang.Long.parseLong(top.last.substring(0, 8), 16)
+        (k - 1).toLong * 4294967296L / math.max(theta, 1L)
+      }
+    val interEst = if (cntU < k) nBoth else nBoth * unionEst / k
+    val jaccardPpm = nBoth * 1000000L / math.max(kUsed, 1)
+    (kUsed, nBoth, unionEst, interEst, jaccardPpm)
   }
 
   /** Stream-stream interval join: each purchase is attributed to the

@@ -1368,4 +1368,158 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("kmvOverlapHourly: full-sketch pair algebra from first principles, k=3") {
+    // Window 0, two types sharing users: view sees 1..6, click sees
+    // 1..4 — both sketches FULL at k=3, so the theta estimator (not
+    // the exact small-union path) is what the assertion pins. Expected
+    // values are derived here from first principles (md5 sort + the
+    // Beyer 2007 arithmetic), independently of kmvPairStats.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val input = MemoryStream[Event]
+    val q = StreamOps.withChainedStatefulGuardDisabled(spark) {
+      StreamOps.kmvOverlapHourly(input.toDF(), lateness = "0 seconds", k = 3)
+        .writeStream.format("memory").queryName("ev_kmv_overlap_s")
+        .outputMode(OutputMode.Append()).start()
+    }
+    try {
+      input.addData(
+        (1L to 6L).map(u => Event(u, u, "view", ts(u), 0)) ++
+          (1L to 4L).map(u => Event(10 + u, u, "click", ts(30 + u), 0)): _*)
+      q.processAllAvailable()
+      input.addData(Event(99, 99, "error", ts(190), 0)) // advance watermark
+      q.processAllAvailable()
+      input.addData(Event(100, 99, "error", ts(400), 0))
+      q.processAllAvailable()
+      val got = spark.table("ev_kmv_overlap_s").as[KmvOverlapRow].collect()
+        .filter(_.window_start == ts(0))
+      assert(got.length == 1, got.toSeq.mkString("\n"))
+      val r = got.head
+      assert(r.type_a == "click" && r.type_b == "view")
+      // first principles: per-type bottom-3 samples, union, bottom-3
+      val sView = (1 to 6).map(u => md5hex(u.toString)).sorted.take(3)
+      val sClick = (1 to 4).map(u => md5hex(u.toString)).sorted.take(3)
+      val union = (sView.toSet ++ sClick.toSet).toSeq.sorted
+      val top = union.take(3)
+      val expBoth = top.count(h => sView.contains(h) && sClick.contains(h)).toLong
+      val theta = java.lang.Long.parseLong(top.last.substring(0, 8), 16)
+      val expUnion =
+        if (union.size < 3) union.size.toLong else 2L * 4294967296L / theta
+      val expInter =
+        if (union.size < 3) expBoth else expBoth * expUnion / 3
+      assert(r.k_used == top.size && r.n_both == expBoth, r)
+      assert(r.union_est == expUnion && r.inter_est == expInter, r)
+      assert(r.jaccard_ppm == expBoth * 1000000L / top.size, r)
+      assert(union.size >= 3, "fixture must exercise the FULL-sketch path")
+    } finally q.stop()
+  }
+
+  test("kmvOverlapHourly parity: a closed window equals the oracled batch ev_kmv_overlap") {
+    // The batch op is global over its fixture; restricting the fixture
+    // to ONE hour (plus a same-(type, user) sentinel in a later hour,
+    // which changes no per-type distinct set but advances the
+    // watermark past the hour) makes the global batch computation and
+    // the per-window streaming one range over identical per-type user
+    // sets — so every pair row must match FIELD-FOR-FIELD, putting the
+    // streaming pair math under the DuckDB oracle the way the KMV
+    // sample parity test above anchors kmvUsersHourly.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val hourSec = 473632L * 3600
+    val hour = raw.filter(unix_timestamp(col("ts")).between(hourSec, hourSec + 3599))
+    // sentinel: a (type, user) pair the hour already contains, 2 h later
+    val seed = hour.select(col("event_type"), col("user_id")).head()
+    val sentinel = hour.limit(1)
+      .withColumn("ts", timestamp_seconds(lit(hourSec + 7200)))
+      .withColumn("event_type", lit(seed.getString(0)))
+      .withColumn("user_id", lit(seed.getLong(1)))
+    val work = java.nio.file.Files.createTempDirectory("graft-kmv-ov-")
+    hour.unionByName(sentinel).coalesce(1).write.mode("overwrite")
+      .parquet(s"$work/events.parquet")
+    val batch = graft.SparkEntry.queries("ev_kmv_overlap")(spark, work.toString)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1))) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val src = spark.readStream.schema(raw.schema).parquet(s"$work/events.parquet")
+    val stream = src.select(graft.ops.Events.tsTimestampOf(src).as("ts"),
+      col("event_type"), col("user_id"))
+    val q = StreamOps.withChainedStatefulGuardDisabled(spark) {
+      StreamOps.kmvOverlapHourly(stream, lateness = "0 seconds")
+        .writeStream.format("memory").queryName("ev_kmv_overlap_parity")
+        .outputMode(OutputMode.Append()).start()
+    }
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_kmv_overlap_parity").as[KmvOverlapRow].collect()
+        .filter(_.window_start.getTime == hourSec * 1000)
+      assert(got.nonEmpty, "the pinned hour emitted no pair rows")
+      // 5 event types in hour 473632 → all 10 pairs must have closed
+      assert(got.length == batch.size,
+        s"stream closed ${got.length} pairs, batch has ${batch.size}")
+      got.foreach { r =>
+        val v = (r.k_used, r.n_both, r.union_est, r.inter_est, r.jaccard_ppm)
+        assert(batch.get((r.type_a, r.type_b)).contains(v),
+          s"(${r.type_a}, ${r.type_b}): stream=$v batch=${batch.get((r.type_a, r.type_b))}")
+      }
+    } finally q.stop()
+  }
+
+  test("kmvOverlapHourly state survives a kill-restart between sample and pair emission") {
+    // Phase 1 lands half of each type's users and stops the query with
+    // the window OPEN (stage-1 KMV state mid-sketch). Phase 2 lands
+    // the rest plus the watermark-advancing tail, restarts from the
+    // checkpoint, and the emitted pair must equal the uninterrupted
+    // computation over BOTH phases — recovered sketches, not reset.
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val work = java.nio.file.Files.createTempDirectory("graft-kmv-ov-restart-")
+    val (in, out, ckpt) = (s"$work/in", s"$work/out", s"$work/ckpt")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(in))
+    val schema = Seq.empty[Event].toDF().schema
+    def start() = StreamOps.withChainedStatefulGuardDisabled(spark) {
+      StreamOps.kmvOverlapHourly(
+          spark.readStream.schema(schema).parquet(in), lateness = "0 seconds", k = 3)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
+    val phase1 = Seq(Event(1, 1, "view", ts(5), 0), Event(2, 2, "view", ts(6), 0),
+      Event(3, 1, "click", ts(7), 0), Event(4, 3, "click", ts(8), 0))
+    landFile(work, in, "a", phase1)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val phase2 = Seq(Event(5, 5, "view", ts(20), 0), Event(6, 6, "view", ts(21), 0),
+      Event(7, 4, "click", ts(22), 0), Event(8, 2, "click", ts(23), 0),
+      Event(9, 99, "error", ts(190), 0))
+    landFile(work, in, "b", phase2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      landFile(work, in, "c", Seq(Event(10, 99, "error", ts(400), 0)))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[KmvOverlapRow].collect()
+        .filter(r => r.window_start == ts(0) &&
+          r.type_a == "click" && r.type_b == "view")
+      assert(got.length == 1, s"pair must emit exactly once: ${got.toSeq}")
+      // uninterrupted expectation over both phases, from first principles
+      val sView = Seq(1, 2, 5, 6).map(u => md5hex(u.toString)).sorted.take(3)
+      val sClick = Seq(1, 3, 4, 2).map(u => md5hex(u.toString)).sorted.take(3)
+      val (kU, nB, uE, iE, jP) = StreamOps.kmvPairStats(sView, sClick, 3)
+      val r = got.head
+      assert((r.k_used, r.n_both, r.union_est, r.inter_est, r.jaccard_ppm) ==
+        ((kU, nB, uE, iE, jP)), r)
+      // and the sketches were truly cross-phase: a reset phase-2-only
+      // view sketch would be {5,6}'s hashes, not the 4-user bottom-3
+      assert(sView != Seq(5, 6).map(u => md5hex(u.toString)).sorted.take(3))
+    } finally q2.stop()
+  }
 }
