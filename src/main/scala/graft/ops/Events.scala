@@ -1096,6 +1096,138 @@ object Events {
           expr("CAST(n_both * 1000000 div greatest(k_used, 1) AS BIGINT)")
             .as("jaccard_ppm"))
         .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---- HLL register-max set algebra (Flajolet 2007 §4: union is
+    // the ONE exact operation on HLL sketches — max registers of A
+    // and B IS the sketch of A∪B, no error beyond the union's own
+    // estimate): per event-type pair, |A|, |B|, |A∪B| from merged
+    // registers, and the inclusion-exclusion intersection
+    // |A|+|B|−|A∪B|. The mergeable-sketch complement of
+    // ev_kmv_overlap: a rollup tree merges HLL registers losslessly
+    // at every level (the reason production NDV pipelines ship
+    // registers, not estimates), while intersections inherit the
+    // DIFFERENCE of two estimates' errors — the documented motivation
+    // for the theta/KMV op when J is small (SketchSpec pins both
+    // against exact on the same fixture). Scale shape: ONE register
+    // pass over events (map-side MAX partials, ≤ 64 rows per type);
+    // everything after operates on register tables and the |types|²
+    // broadcast pair frame — sketch-sized, never event-scaled. ----
+    sql("ev_hll_pair_union", {
+      val hx1 = Hll.hexValSql("hx", 1)
+      val hx9 = Hll.hexValSql("hx", 9)
+      val estSql = s"CAST(${Hll.ScaledAlphaM2} // (1000 * (sp + (${Hll.M} - np) * 8589934592)) AS BIGINT)"
+      s"""WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         |v AS (SELECT event_type, $hx1 % ${Hll.M} AS bucket, $hx9 AS w FROM h),
+         |r AS (SELECT event_type, bucket, MAX(${Hll.rhoLadderSql}) AS mrho
+         |      FROM v GROUP BY event_type, bucket),
+         |s1 AS (SELECT event_type,
+         |              CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+         |              COUNT(*) AS np
+         |       FROM r GROUP BY event_type),
+         |e1 AS (SELECT event_type, $estSql AS est FROM s1),
+         |ty AS (SELECT DISTINCT event_type FROM r),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+         |          FROM ty a JOIN ty b ON a.event_type < b.event_type),
+         |ur AS (SELECT p.type_a, p.type_b, r.bucket, MAX(r.mrho) AS mrho
+         |       FROM pairs p JOIN r ON r.event_type IN (p.type_a, p.type_b)
+         |       GROUP BY p.type_a, p.type_b, r.bucket),
+         |us AS (SELECT type_a, type_b,
+         |              CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INTEGER)) AS BIGINT) AS sp,
+         |              COUNT(*) AS np
+         |       FROM ur GROUP BY type_a, type_b),
+         |ue AS (SELECT type_a, type_b, $estSql AS union_est FROM us)
+         |SELECT u.type_a, u.type_b,
+         |       ea.est AS est_a, eb.est AS est_b, u.union_est,
+         |       CAST(ea.est + eb.est - u.union_est AS BIGINT) AS inter_incl_excl
+         |FROM ue u
+         |JOIN e1 ea ON ea.event_type = u.type_a
+         |JOIN e1 eb ON eb.event_type = u.type_b
+         |ORDER BY u.type_a, u.type_b"""
+    }) { (s, dir) =>
+      val estExpr = s"CAST(${Hll.ScaledAlphaM2}L div (1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)"
+      val v = base(s, dir)
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("hx"))
+        .select(col("event_type"),
+          (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
+          conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+      val r = v.groupBy(col("event_type"), col("bucket"))
+        .agg(max(expr(Hll.rhoLadderSql)).as("mrho"))
+      val e1 = r.groupBy(col("event_type"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"))
+        .select(col("event_type"), expr(estExpr).as("est"))
+      val ty = r.select(col("event_type")).distinct()
+      val pairs = ty.select(col("event_type").as("type_a"))
+        .join(broadcast(ty.select(col("event_type").as("type_b"))),
+          col("type_a") < col("type_b"))
+      val pe = pairs.select(col("type_a"), col("type_b"),
+        explode(array(col("type_a"), col("type_b"))).as("event_type"))
+      val ur = r.join(broadcast(pe), Seq("event_type"))
+        .groupBy(col("type_a"), col("type_b"), col("bucket"))
+        .agg(max(col("mrho")).as("mrho"))
+      val ue = ur.groupBy(col("type_a"), col("type_b"))
+        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
+          count(lit(1)).as("np"))
+        .select(col("type_a"), col("type_b"), expr(estExpr).as("union_est"))
+      ue.join(broadcast(e1.select(col("event_type").as("type_a"), col("est").as("est_a"))),
+          Seq("type_a"))
+        .join(broadcast(e1.select(col("event_type").as("type_b"), col("est").as("est_b"))),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+          col("union_est"),
+          (col("est_a") + col("est_b") - col("union_est")).cast("long")
+            .as("inter_incl_excl"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // ---- Count-Min heavy hitters (Cormode & Muthukrishnan 2005):
+    // the frequency face of the sketch family (HLL answers "how many
+    // distinct", KMV "which ones", Bloom "was it seen", CMS "how
+    // OFTEN") — per-user event counts estimated from a d=4 × w=256
+    // counter grid, hash row j = hex pair j of md5(user_id) (the
+    // DSIR bucket idiom, identical in both engines). CMS is LINEAR,
+    // so counters built from per-user partial counts equal per-event
+    // insertion — which is exactly why it distributes: at 100 TB the
+    // event stream aggregates ONCE (map-side partials on user_id),
+    // the 1,024-cell grid is an aggregate that BROADCASTS back, and
+    // the estimate join touches 4 rows per distinct user. est ≥ true
+    // always (overcount = collision mass, ≤ 2N/w with prob 1−2⁻⁴ per
+    // the paper's ε-δ bound); the top-20 ranking is orderBy+limit
+    // (TakeOrderedAndProject), never a global window. ----
+    sql("ev_count_min_sketch",
+      s"""WITH e AS ($baseSql),
+         |uc AS (SELECT user_id, COUNT(*) AS cnt FROM e GROUP BY user_id),
+         |ub AS (SELECT user_id, cnt, j,
+         |         (strpos('0123456789abcdef',
+         |            substr(md5(CAST(user_id AS VARCHAR)), 2*j + 1, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef',
+         |            substr(md5(CAST(user_id AS VARCHAR)), 2*j + 2, 1)) - 1) AS b
+         |       FROM uc, UNNEST([0, 1, 2, 3]) AS t(j)),
+         |ctr AS (SELECT j, b, SUM(cnt) AS c FROM ub GROUP BY j, b),
+         |est AS (SELECT u.user_id, u.cnt, MIN(c.c) AS est
+         |        FROM ub u JOIN ctr c ON c.j = u.j AND c.b = u.b
+         |        GROUP BY u.user_id, u.cnt)
+         |SELECT user_id, CAST(cnt AS BIGINT) AS true_cnt,
+         |       CAST(est AS BIGINT) AS est_cnt,
+         |       CAST(est - cnt AS BIGINT) AS overcount
+         |FROM est ORDER BY est_cnt DESC, user_id LIMIT 20""") { (s, dir) =>
+      val uc = base(s, dir).groupBy(col("user_id")).agg(lsum(lit(1)).as("cnt"))
+      val ub = uc.withColumn("j", explode(expr("sequence(0, 3)")))
+        .withColumn("b", expr(
+          """(instr('0123456789abcdef',
+            |   substring(md5(CAST(user_id AS STRING)), 2*j + 1, 1)) - 1) * 16
+            | + (instr('0123456789abcdef',
+            |   substring(md5(CAST(user_id AS STRING)), 2*j + 2, 1)) - 1)""".stripMargin))
+      val ctr = ub.groupBy(col("j"), col("b")).agg(lsum(col("cnt")).as("c"))
+      ub.join(broadcast(ctr), Seq("j", "b"))
+        .groupBy(col("user_id"), col("cnt"))
+        .agg(min(col("c")).as("est"))
+        .select(col("user_id"), col("cnt").cast("long").as("true_cnt"),
+          col("est").cast("long").as("est_cnt"),
+          (col("est") - col("cnt")).cast("long").as("overcount"))
+        .orderBy(col("est_cnt").desc, col("user_id"))
+        .limit(20)
     })
 }
 

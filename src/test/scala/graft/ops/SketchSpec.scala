@@ -72,6 +72,83 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("ev_hll_pair_union: register-max union is exact sketch algebra; estimates track exact sets") {
+    val rows = SparkEntry.queries("ev_hll_pair_union")(spark, dir).collect()
+    val perType = SparkEntry.queries("ev_approx_users")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val du = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    val types = du.size
+    assert(rows.length == types * (types - 1) / 2, "one row per unordered type pair")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (estA, estB, unionEst, interIE) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // the per-type estimates are literally ev_approx_users' rows —
+      // ONE register definition, two queries
+      assert(estA == perType(a) && estB == perType(b), s"$a×$b: per-type drift")
+      assert(interIE == estA + estB - unionEst)
+      // the union sketch of A∪B is exact ALGEBRA (max registers), so
+      // its estimate obeys the same m=64 HLL bound as any single set
+      // (2σ at rsd 13%); the intersection inherits the DIFFERENCE of
+      // three estimates' errors — bounded in union units at 3σ, and
+      // the reason ev_kmv_overlap exists for small-J pairs
+      val exactU = (du(a) union du(b)).size.toLong
+      val exactI = (du(a) intersect du(b)).size.toLong
+      assert(math.abs(unionEst - exactU) <= math.max(3, 0.26 * exactU),
+        s"$a×$b: union_est=$unionEst exact=$exactU")
+      assert(math.abs(interIE - exactI) <= math.max(5, 0.39 * exactU),
+        s"$a×$b: inter_incl_excl=$interIE exact=$exactI (union=$exactU)")
+      // union estimate is monotone: at least each side's register sums
+      assert(unionEst >= math.max(estA, estB) - 1,
+        s"$a×$b: union below a member estimate")
+    }
+  }
+
+  test("ev_count_min_sketch: est >= true always; collisions pinned from first principles") {
+    // Fixture sweep: the CMS overestimate invariant must hold on every
+    // emitted row (a single violation means the hash rows or the min
+    // disagree between grid build and probe).
+    val rows = SparkEntry.queries("ev_count_min_sketch")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (tr, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= tr && over == est - tr, r.toString)
+    }
+    // ranking is by estimate, descending, user_id-tiebroken
+    val ests = rows.map(r => (-r.getLong(2), r.getLong(0)))
+    assert(ests.sameElements(ests.sorted), "top-20 order drift")
+
+    // First-principles pin on a constructed fixture: exact expected
+    // estimates INCLUDING collision mass, computed here from md5
+    // directly — users 1..8 with counts 1..8 (event ids unique).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-").toString
+    val evs = for (u <- 1 to 8; i <- 1 to u) yield (u * 100 + i, u)
+    spark.createDataFrame(evs.map { case (eid, u) =>
+      (eid.toLong, new java.sql.Timestamp(1700000000000L + eid * 1000L),
+        u.toLong, "view", 1.0, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(u: Int, j: Int): Int = {
+      val hx = md5hex(u.toString)
+      val hex = "0123456789abcdef"
+      (hex.indexOf(hx(2 * j)) * 16) + hex.indexOf(hx(2 * j + 1))
+    }
+    val expected = (1 to 8).map { u =>
+      val est = (0 until 4).map { j =>
+        (1 to 8).filter(v => bucket(v, j) == bucket(u, j)).map(_.toLong).sum
+      }.min
+      u.toLong -> ((u.toLong, est))
+    }.toMap
+    val got = SparkEntry.queries("ev_count_min_sketch")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("q21_approx_quantiles: sample quantiles and native sketch within rank bounds") {
     val rows = SparkEntry.queries("q21_approx_quantiles")(spark, dir).collect()
     rows.foreach { r =>
