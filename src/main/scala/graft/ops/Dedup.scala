@@ -443,6 +443,29 @@ object Dedup {
       .orderBy(col("contained_doc"), col("container_doc"))
   }
 
+  /** [[containmentVerified]] behind band-positive pruning (the
+    * tx_fuzzy_decontaminate shape): the candidate pairs materialize
+    * once, then ONLY band-colliding docs' shingle sets feed the verify
+    * joins — the pruned side is bounded by candidate count, and the
+    * semi-join's build side (bare doc_ids) broadcasts, so no
+    * full-corpus shingle-ARRAY relation crosses the verify exchange.
+    * Without this, `cand ⋈ sa ⋈ sb` shuffles every doc's array twice
+    * per consumer; at 100 TB that exchange dwarfs the candidate volume
+    * it exists to score, and in a many-query session the array
+    * shuffles are exactly what churns against the resident caches
+    * (the r14 full-family sf10 runs measured the containment verifies
+    * swinging 2-3× run-to-run from that contention). Both
+    * localCheckpoints are candidate-bounded and GC-reclaimed
+    * (ContextCleaner) when the run's frames drop. */
+  private def containmentVerifiedPruned(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val candCp = cand.localCheckpoint()
+    val posIds = candCp.select(col("doc_a").as("doc_id"))
+      .unionAll(candCp.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shPos = sh.join(posIds, Seq("doc_id"), "left_semi").localCheckpoint()
+    containmentVerified(shPos, candCp)
+  }
+
   /** One rung end-to-end: window index (capped at read), probed by the
     * rung's whole-doc-signature stratum, shared containment verify. */
   private def containmentIndexFrame(s: SparkSession, dir: String,
@@ -473,7 +496,7 @@ object Dedup {
       .select(least(col("doc_id"), col("cid")).as("doc_a"),
         greatest(col("doc_id"), col("cid")).as("doc_b"))
       .distinct()
-    containmentVerified(sh, cand)
+    containmentVerifiedPruned(sh, cand)
   }
 
   /** Window-index MAINTENANCE — [[mergeBandIndex]]'s delta pattern for
@@ -970,7 +993,7 @@ object Dedup {
          |                 THEN 1 ELSE 0 END AS INT) AS jaccard_pass
          |FROM cont ORDER BY contained_doc, container_doc""") { (s, dir) =>
       val sh = shArr(s, dir).cache()
-      containmentVerified(sh, candidatePairs(sh, DefaultGeometry))
+      containmentVerifiedPruned(sh, candidatePairs(sh, DefaultGeometry))
     },
 
     // ---- containment-TARGETED candidate index LADDER: the window

@@ -1180,6 +1180,70 @@ object Pipeline {
     // tokens only: rejected/dup/val/test docs never consume budget —
     // the ordering dependency a sequential pipeline runner gets wrong
     // when it meters raw ingest instead of curated yield. ----
+    // ---- mixture-weighted sampling APPLY: tx_mix_weights computes the
+    // per-(lang, source) equalizing weight; this op materializes it as
+    // a per-doc integer COPY COUNT — the artifact an epoch builder
+    // actually consumes (full copies = weight div 1e6; the fractional
+    // remainder is a deterministic md5(doc_id) gate, so the sampled
+    // corpus is bit-reproducible across runs, machines and engines —
+    // no RNG state to ship). E[copies per domain token] = weight_ppm /
+    // 1e6 by construction, which is what makes the downstream token
+    // mixture match the target in expectation. Scale shape: ONE
+    // word-count aggregation (map-side partials) for the domain
+    // masses, the |domains|-row weight table broadcast back, then a
+    // pure map — no corpus-keyed shuffle at all; the hash gate keeps
+    // sampling embarrassingly parallel where an exact per-domain
+    // quota would serialize on a running sum. ----
+    sql("pipe_mixture_sample", {
+      val hashPpm = s"${Hll.hexValSql("mx", 1)} % 1000000"
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |                  len(string_split(text, ' ')) AS n_tokens
+         |           FROM documents),
+         |g AS (SELECT lang, source, SUM(n_tokens) AS toks
+         |      FROM d GROUP BY lang, source),
+         |tot AS (SELECT SUM(toks) AS all_toks, COUNT(*) AS n_domains FROM g),
+         |w AS (SELECT lang, source,
+         |             CAST(all_toks * 1000000 // (n_domains * toks) AS BIGINT)
+         |               AS weight_ppm
+         |      FROM g, tot),
+         |m AS (SELECT d.*, w.weight_ppm,
+         |             md5(CAST(d.doc_id AS VARCHAR)) AS mx
+         |      FROM d JOIN w USING (lang, source)),
+         |h AS (SELECT doc_id, lang, source, n_tokens, weight_ppm,
+         |             $hashPpm AS hash_ppm
+         |      FROM m)
+         |SELECT doc_id, lang, source,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens, weight_ppm,
+         |       CAST(hash_ppm AS BIGINT) AS hash_ppm,
+         |       CAST(weight_ppm // 1000000
+         |            + CASE WHEN hash_ppm < weight_ppm % 1000000
+         |                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |FROM h ORDER BY doc_id"""
+    }) { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val g = d.groupBy(col("lang"), col("source"))
+        .agg(lsum(col("n_tokens")).as("toks"))
+      val tot = g.agg(lsum(col("toks")).as("all_toks"),
+        lsum(lit(1)).as("n_domains"))
+      val w = g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"),
+          expr("CAST(all_toks * 1000000 div (n_domains * toks) AS BIGINT)")
+            .as("weight_ppm"))
+      d.join(broadcast(w), Seq("lang", "source"))
+        .withColumn("hash_ppm",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000000L).as("hash_ppm"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("weight_ppm"), col("hash_ppm"),
+          expr("""CAST(weight_ppm div 1000000
+                 |     + (CASE WHEN hash_ppm < weight_ppm % 1000000
+                 |             THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin)
+            .as("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
     sql("pipe_llm_corpus",
       s"""WITH RECURSIVE ${Dedup.neardupCtesSql},
         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -1988,6 +1988,79 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ---- FILTERED vector search (the pre-filter vs post-filter
+    // strategy question every production vector store answers —
+    // Qdrant/Vespa/Milvus expose it as a query-planner choice): a
+    // metadata predicate (label = query's label) constrains the
+    // neighbor set. PRE-filter (the correct plan when the predicate
+    // is selective) scores ONLY in-filter vectors — exact by
+    // construction; POST-filter runs the unfiltered top-S shortlist
+    // (S = RerankShortlist, the depth the rerank family already
+    // serves) and filters afterwards — cheap, but a ~1/|labels|
+    // selectivity keeps only ~S/|labels| shortlist survivors, so it
+    // structurally misses most of the true top-5. Output is the
+    // pre-filter ground truth with `in_post` marking which rows the
+    // post-filter strategy would also have served — the per-row form
+    // of the recall@5 a deployment reads before picking a plan.
+    // Scale shape: query side broadcast (bounded ≤ 10 by the
+    // QuerySetSql contract), the filtered scan pays one dot per
+    // (query, in-filter vector) — selectivity × the brute cost —
+    // and both rankings go through TopKPerKey bounded heaps; the
+    // post list is ≤ S·|queries| rows, broadcast into the marker
+    // join. ----
+    sql("ss_filtered_topk",
+      s"""WITH $bruteCtesSql,
+         |fq AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+         |       WHERE $QuerySetSql),
+         |fc AS (SELECT q.qid, e.vec_id FROM fq q JOIN embeddings e
+         |       ON e.label = q.qlabel AND e.vec_id <> q.qid),
+         |fdots AS (SELECT f.qid, f.vec_id,
+         |                 CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+         |          FROM fc f
+         |          JOIN qv a ON a.vec_id = f.qid
+         |          JOIN qv b ON b.vec_id = f.vec_id AND b.dim = a.dim
+         |          GROUP BY f.qid, f.vec_id),
+         |fsc AS (SELECT d.qid AS query_id, d.vec_id AS neighbor_id, d.dot,
+         |               nq.n2 AS n2_q, nv.n2 AS n2_v
+         |        FROM fdots d
+         |        JOIN norms nq ON nq.vec_id = d.qid
+         |        JOIN norms nv ON nv.vec_id = d.vec_id),
+         |pre AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY $cosExprSql DESC, neighbor_id) AS rk
+         |        FROM fsc),
+         |post AS (SELECT r.query_id, r.neighbor_id FROM ranked r
+         |         JOIN fq q ON q.qid = r.query_id
+         |         JOIN embeddings en ON en.vec_id = r.neighbor_id
+         |         WHERE r.rk <= $RerankShortlist AND en.label = q.qlabel)
+         |SELECT p.query_id, CAST(p.rk AS INT) AS rk, p.neighbor_id,
+         |       p.dot, p.n2_q, p.n2_v,
+         |       CAST(CASE WHEN po.neighbor_id IS NULL THEN 0 ELSE 1 END AS INT)
+         |         AS in_post
+         |FROM pre p
+         |LEFT JOIN post po ON po.query_id = p.query_id
+         |  AND po.neighbor_id = p.neighbor_id
+         |WHERE p.rk <= 5 ORDER BY p.query_id, p.rk""") { (s, dir) =>
+      val v = varr(s, dir)
+      val qq = v.filter(expr(QuerySetSql))
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("qe").as("qqe"), col("n2").as("n2_q"))
+      val fscored = v.join(broadcast(qq),
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot("qqe", "qe"))
+        .withColumnRenamed("n2", "n2_v")
+      val pre = graft.plans.TopK.perKey(fscored, keyNames = Seq("qid"),
+        order = Seq(cosCol.desc, col("vec_id").asc), k = 5, rankName = "rk")
+      val post = bruteScored(v, k = RerankShortlist)
+        .join(broadcast(qq.select(col("qid"), col("qlabel").as("ql"))), Seq("qid"))
+        .filter(col("label") === col("ql"))
+        .select(col("qid"), col("vec_id"), lit(1).as("in_post_hit"))
+      pre.join(broadcast(post), Seq("qid", "vec_id"), "left")
+        .select(col("qid").as("query_id"), col("rk"),
+          col("vec_id").as("neighbor_id"), col("dot"), col("n2_q"), col("n2_v"),
+          coalesce(col("in_post_hit"), lit(0)).cast("int").as("in_post"))
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // ---- Matryoshka prefix-dimension two-stage retrieval: rank by
     // 16-dim prefix cosine, exact-rerank the top-25 shortlist (see
     // mrlReranked's scaladoc for the cost shape) ----

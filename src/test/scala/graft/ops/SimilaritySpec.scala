@@ -66,6 +66,49 @@ class SimilaritySpec extends AnyFunSuite {
       "fixture has no same-label brute top-5 row — the label filter never bites")
   }
 
+  test("filtered top-k: label predicate holds, post-filter marks are consistent and lossy") {
+    val qLabel = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter("vec_id < 10").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nLabel = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // (query_id, rk, neighbor_id, dot, n2_q, n2_v, in_post)
+    val rows = SparkEntry.queries("ss_filtered_topk")(spark, dir).collect()
+    assert(rows.length == qLabel.size * 5, "5 rows per query (classes are large)")
+    // the defining predicate: every served neighbor is in-filter
+    rows.foreach { r =>
+      assert(nLabel(r.getLong(2)) == qLabel(r.getLong(0)),
+        s"query ${r.getLong(0)} served out-of-filter neighbor ${r.getLong(2)}")
+    }
+    def cosOf(r: org.apache.spark.sql.Row) =
+      r.getLong(3).toDouble / math.sqrt(r.getLong(4).toDouble * r.getLong(5).toDouble)
+    // pre-filter is a ranking: cosine non-increasing in rk per query
+    rows.groupBy(_.getLong(0)).values.foreach { qs =>
+      val byRk = qs.sortBy(_.getInt(1)).map(cosOf).toSeq
+      byRk.zip(byRk.drop(1)).foreach { case (a, b) =>
+        assert(a >= b - 1e-12, "cosine must be non-increasing in rank")
+      }
+    }
+    // consistency with the unfiltered optimum: a same-label row of
+    // brute's top-5 is inside the post-filter shortlist (depth 10 ≥ 5)
+    // AND inside the true same-label top-5, so it must appear here
+    // with in_post = 1
+    val served = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(6)).toMap
+    SparkEntry.queries("ss_brute_topk")(spark, dir).collect()
+      .filter(r => nLabel(r.getLong(2)) == qLabel(r.getLong(0)))
+      .foreach { r =>
+        val k = (r.getLong(0), r.getLong(2))
+        assert(served.get(k).contains(1),
+          s"brute same-label row $k missing or unmarked in filtered results")
+      }
+    // the measurement must BITE: at ~1/10 selectivity a 10-deep
+    // unfiltered shortlist cannot contain all 5 true in-filter
+    // neighbors for every query — some in_post = 0 row exists
+    assert(rows.exists(_.getInt(6) == 0),
+      "post-filter missed nothing — the recall measurement is vacuous on this fixture")
+  }
+
   test("occupied-cell probe prefilter drops nothing at a large bucket domain") {
     // 11 planes/band → 2048-cell domain, far sparser than the ~500-doc
     // sf0.01 corpus can fill: most one-bit-flip probes target empty
