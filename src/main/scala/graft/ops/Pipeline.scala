@@ -69,31 +69,67 @@ object Pipeline {
       |                  MIN(y) AS y_min, MAX(y) AS y_max
       |           FROM fin GROUP BY depth, cell)""".stripMargin
 
+  /** Collected cell geometry of one row set: the depth-8/depth-12
+    * shift amounts (from the occupied key width) and the refined
+    * coarse-cell set. The three aggregates behind it are TINY by
+    * construction — one (max, count) row and the ≤ 2⁸ = 256 coarse
+    * cells that can exist at depth 8 — yet as un-collected subplans
+    * every consumer reference replicated the whole scan+aggregate
+    * subtree into the plan (guide §3.3: huge plans, planning cost) and
+    * re-attached them through a crossJoin(broadcast) + broadcast join
+    * PER REFERENCE: pipe_stats_merge's physical plan carried 160
+    * parquet scans / 330 Exchanges, pipe_bottomk_merge 192 / 400.
+    * Collecting ≤ 257 rows to the driver once per query turns every
+    * assignment into a PURE MAP over the scan (the `.isin` on ≤ 256
+    * longs compiles to a hash-set probe in codegen), which is also the
+    * 100 TB shape: geometry is footer-scale metadata a layout tool
+    * derives once, not something to re-join onto every row. */
+  private[ops] final case class ZGeom(shift8: Int, shift12: Int,
+      refined: Seq[Long]) {
+    /** (depth, cell) columns for a frame carrying `zkey`. */
+    def depthCol: org.apache.spark.sql.Column =
+      when(refineCol, 12).otherwise(8).cast("int")
+    def cellCol: org.apache.spark.sql.Column =
+      when(refineCol, expr(s"shiftright(zkey, $shift12)"))
+        .otherwise(expr(s"shiftright(zkey, $shift8)"))
+    private def refineCol: org.apache.spark.sql.Column =
+      if (refined.isEmpty) lit(false)
+      else expr(s"shiftright(zkey, $shift8)").isInCollection(refined)
+  }
+
+  /** Derive [[ZGeom]] from one row set (full corpus, or the frozen
+    * BASE side): two aggregation jobs over a 2-column projection —
+    * the same two passes the subplan formulation paid, now paid ONCE
+    * per query instead of once per reference. */
+  private def zGeomOf(rows: org.apache.spark.sql.DataFrame): ZGeom = {
+    val head = rows.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total")).head
+    val maxz = if (head.isNullAt(0)) 0L else head.getLong(0)
+    val total = head.getLong(1)
+    // occupied key width: integer bit logic (never float log2 — an
+    // exact power of two must round the same way in both engines);
+    // == size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0))
+    val nbits = if (maxz <= 0L) 0L else (64 - java.lang.Long.numberOfLeadingZeros(maxz)).toLong
+    val shift8 = math.max(nbits - 8, 0L).toInt
+    val shift12 = math.max(nbits - 12, 0L).toInt
+    val refined = rows
+      .select(expr(s"shiftright(zkey, $shift8)").as("c8"))
+      .groupBy(col("c8")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 64 > lit(total))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    ZGeom(shift8, shift12, refined)
+  }
+
   /** Per-ROW adaptive Z-cell assignment — the Spark twin of the `fin`
     * CTE: (depth, cell, x, y, k). Shared by the manifest aggregation
     * and the per-cell Bloom family, so the cells the blooms index are
-    * BY CONSTRUCTION the cells the layout publishes. */
+    * BY CONSTRUCTION the cells the layout publishes. Pure map over the
+    * scan (geometry collected, see [[ZGeom]]). */
   private def zAssigned(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.register(s)
     val z = zxy(s, dir)
-    // occupied key width: integer bit logic (never float log2 — an
-    // exact power of two must round the same way in both engines)
-    val b = z.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
-      .withColumn("nbits", expr(
-        "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
-      .select(col("total"), col("nbits"))
-    val zc = z.crossJoin(broadcast(b))
-      .withColumn("c8",
-        expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
-      .withColumn("c12",
-        expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
-    val cc = zc.groupBy(col("c8")).agg(count(lit(1)).as("cnt"))
-    val refine = col("cnt") * 64 > col("total")
-    zc.join(broadcast(cc), Seq("c8"))
-      .select(when(refine, 12).otherwise(8).cast("int").as("depth"),
-        when(refine, col("c12")).otherwise(col("c8")).as("cell"),
-        col("x"), col("y"), col("k"))
+    val g = zGeomOf(z)
+    z.select(g.depthCol.as("depth"), g.cellCol.as("cell"),
+      col("x"), col("y"), col("k"))
   }
 
   /** Spark twin of [[zLayoutCtesSql]]: the adaptive Z-prefix cell
@@ -133,37 +169,35 @@ object Pipeline {
   /** Per-cell 512-byte Bloom bitmaps over the point-lookup key `k` —
     * (depth, cell, bits: array<bigint>[64]). Constant-size partials
     * per (task, cell), bitwise-OR merged: the build shuffles
-    * cells × 512 bytes, never the keys. The fallback threshold is
-    * raised (and restored) around the build: ObjectHashAggregate
-    * reverts to SORT-based aggregation past 128 distinct groups per
-    * task, and sort-based object agg serializes the 64-word buffer
-    * per input row — with 433 cells every task crossed that cliff.
-    * The two fixes together (md5 hoist + threshold) measured
-    * pipe_cell_blooms 4.7 → 2.2 s and pipe_bloom_prune_eval
-    * 5.6 → 3.2 s at sf0.1 (same window). Thousands of cells is this
-    * operator's NORMAL regime, and thousands of 512 B buffers per
-    * task is KBs of state — nowhere near memory pressure, so the
-    * fallback exists for a failure mode this shape cannot hit. */
-  private[ops] def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val s = rows.sparkSession
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "65536")
-    try {
-      val bloomU = udaf(graft.functions.CellBloomAgg)
-      rows
-        .select(col("depth"), col("cell"), expr(keyHxSql).as("hx"))
-        .select(col("depth"), col("cell"), explode(posArr("hx")).as("pos"))
-        .groupBy(col("depth"), col("cell"))
-        .agg(bloomU(col("pos")).as("bits"))
-        // materialize under the raised threshold: the plan executes
-        // lazily, so the conf must be captured before restore
-        .localCheckpoint()
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+    * cells × 512 bytes, never the keys.
+    *
+    * Built with the NATIVE `bit_or` declarative aggregate at
+    * (depth, cell, word) grain, then the ≤ 64 word rows per cell are
+    * folded into the 64-long array (collect_list over word rows —
+    * artifact-sized input). The previous revision aggregated through
+    * an Aggregator UDAF (CellBloomAgg) holding a 64-long buffer:
+    * object-hash aggregation is outside whole-stage codegen, pays a
+    * per-row encoder round-trip, needed a raised
+    * objectHashAggregate.sortBased.fallbackThreshold and an eager
+    * localCheckpoint to scope that conf — bit_or partials are
+    * codegen'd, map-side combinable and need neither (guide §1.2
+    * step 2 / "prefer built-in aggregations"). Measured at sf0.1:
+    * pipe_cell_blooms 2.88 → 1.9 s class, pipe_stats_merge's two
+    * builds likewise (numbers in OPTIMIZATION_r14.md). Bit semantics
+    * are unchanged (word = pos div 64, bit = pos mod 64 — exactly
+    * [[graft.functions.BloomImpl.setBit]]), so the oracle's
+    * distinct-slice replay still matches bit-for-bit. */
+  private[ops] def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows
+      .select(col("depth"), col("cell"), expr(keyHxSql).as("hx"))
+      .select(col("depth"), col("cell"), explode(posArr("hx")).as("pos"))
+      .groupBy(col("depth"), col("cell"),
+        expr("CAST(pos div 64 AS INT)").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("w"))
+      .groupBy(col("depth"), col("cell"))
+      .agg(expr("transform(sequence(0, 63), i -> coalesce(" +
+        "element_at(map_from_entries(collect_list(struct(word, w))), i), 0L))")
+        .as("bits"))
 
   /** DuckDB twin of the bloom membership state: the DISTINCT
     * (depth, cell, 3-hex-slice) set — bijective to the set bits. */
@@ -203,27 +237,22 @@ object Pipeline {
       |           CASE WHEN ac.k < ac.t THEN 0 ELSE 1 END AS is_delta
       |         FROM ac LEFT JOIN refined r ON r.c8 = ac.c8)""".stripMargin
 
-  /** Spark twin of the frozen chain's shared state: (all rows with
-    * the threshold attached, base rows, broadcast base geometry,
-    * refined-cell marks). */
+  /** Spark twin of the frozen chain's shared state: (base rows, delta
+    * rows, collected base geometry). The threshold is ONE long and the
+    * geometry is [[ZGeom]]-sized, both collected once per query — see
+    * [[ZGeom]] for why the previous subplan-per-reference formulation
+    * (crossJoin(broadcast(thr)) + broadcast(bnb) + broadcast(refined)
+    * re-derived at EVERY frozenAssign call) exploded the merge-family
+    * plans. The literal `k < thr` filter additionally reaches the
+    * parquet scan as a pushed predicate, which `k < col("t")` (a join
+    * output) never could. */
   private[ops] def frozenParts(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, ZGeom) = {
     val z = zxy(s, dir)
-    val thr = z.agg(expr("(MAX(k) * 4) div 5").as("t"))
-    val zt = z.crossJoin(broadcast(thr))
-    val bz = zt.filter(col("k") < col("t"))
-    val bnb = bz.agg(max(col("zkey")).as("maxz"), count(lit(1)).as("total"))
-      .withColumn("nbits", expr(
-        "CAST(size(filter(sequence(0, 62), i -> shiftright(maxz, i) > 0)) AS BIGINT)"))
-      .select(col("total"), col("nbits"))
-    val refined = bz.crossJoin(broadcast(bnb))
-      .withColumn("c8",
-        expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
-      .groupBy(col("c8"), col("total")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * 64 > col("total"))
-      .select(col("c8"), lit(1).as("refmark"))
-    (zt, bz, bnb, refined)
+    val thr = z.agg(expr("(MAX(k) * 4) div 5").as("t")).head.getLong(0)
+    val bz = z.filter(col("k") < lit(thr))
+    val dz = z.filter(col("k") >= lit(thr))
+    (bz, dz, zGeomOf(bz))
   }
 
   /** Per-(depth, cell, bucket) HLL register table over one side's key
@@ -255,20 +284,11 @@ object Pipeline {
           " (a, b) -> a | b)").as("bits"))
 
   /** Assign one side's rows under the FROZEN base geometry:
-    * (depth, cell, x, y, k). */
+    * (depth, cell, x, y, k). Pure map — no joins (see [[ZGeom]]). */
   private[ops] def frozenAssign(side: org.apache.spark.sql.DataFrame,
-      bnb: org.apache.spark.sql.DataFrame,
-      refined: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    side
-      .crossJoin(broadcast(bnb))
-      .withColumn("c8",
-        expr("shiftright(zkey, CAST(greatest(nbits - 8, 0L) AS INT))"))
-      .withColumn("c12",
-        expr("shiftright(zkey, CAST(greatest(nbits - 12, 0L) AS INT))"))
-      .join(broadcast(refined), Seq("c8"), "left")
-      .select(when(col("refmark").isNotNull, 12).otherwise(8).cast("int").as("depth"),
-        when(col("refmark").isNotNull, col("c12")).otherwise(col("c8")).as("cell"),
-        col("x"), col("y"), col("k"))
+      g: ZGeom): org.apache.spark.sql.DataFrame =
+    side.select(g.depthCol.as("depth"), g.cellCol.as("cell"),
+      col("x"), col("y"), col("k"))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -521,10 +541,13 @@ object Pipeline {
       val cs = rows.groupBy(col("depth"), col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
-      val probes = rows.agg(max(col("k")).as("maxk"))
-        .select(explode(sequence(lit(0), lit(7))).as("j"), col("maxk"))
-        .select(col("j").cast("int").as("probe_id"),
-          expr("(j * maxk) div 7").as("key"))
+      // maxk is ONE value — collected, so the 8-row probe table is a
+      // literal range instead of a subplan over the cached rows whose
+      // every broadcast reference re-plans the aggregate (see ZGeom)
+      val maxk = rows.agg(max(col("k")).as("maxk")).head.getLong(0)
+      val probes = s.range(0, 8)
+        .select(col("id").cast("int").as("probe_id"),
+          expr(s"(id * ${maxk}L) div 7").as("key"))
         .withColumn("ps", expr(
           "transform(sequence(0, 2), i -> CAST(conv(substring(md5(CAST(key AS STRING))," +
             " 3 * i + 1, 3), 16, 10) AS BIGINT))"))
@@ -585,10 +608,10 @@ object Pipeline {
         |       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
         |FROM fin2 GROUP BY depth, cell
         |ORDER BY depth, cell""") { (s, dir) =>
-      val (zt, bz, bnb, refined) = frozenParts(s, dir)
+      val (bz, dz, geom) = frozenParts(s, dir)
       // frozen-geometry assignment of EITHER side, then per-side manifests
       def manifest(side: org.apache.spark.sql.DataFrame, delta: Int) =
-        frozenAssign(side, bnb, refined)
+        frozenAssign(side, geom)
         .groupBy(col("depth"), col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
@@ -597,7 +620,7 @@ object Pipeline {
           (col("n_rows") * delta).as("n_delta"),
           col("x_min"), col("x_max"), col("y_min"), col("y_max"))
       val base = manifest(bz, 0)
-      val delta = manifest(zt.filter(col("k") >= col("t")), 1)
+      val delta = manifest(dz, 1)
       // the MERGE: associative per-cell combine — count-sum, min-min,
       // max-max over the two manifests, never a rescan of base rows
       base.select(base.columns.map(c => col(c).as(s"b_$c")): _*)
@@ -683,10 +706,10 @@ object Pipeline {
         |FROM (SELECT * FROM cells2 UNION ALL SELECT * FROM tot2)
         |ORDER BY depth, cell"""
     }) { (s, dir) =>
-      val (zt, bz, bnb, refined) = frozenParts(s, dir)
-      val base = frozenAssign(bz, bnb, refined)
+      val (bz, dz, geom) = frozenParts(s, dir)
+      val base = frozenAssign(bz, geom)
         .select(col("depth"), col("cell"), col("k"))
-      val delta = frozenAssign(zt.filter(col("k") >= col("t")), bnb, refined)
+      val delta = frozenAssign(dz, geom)
         .select(col("depth"), col("cell"), col("k"))
       // --- Blooms: per-side bitmaps, OR-merged (base keys never rescanned)
       val bitsSet = orMergeBits(cellBlooms(base), cellBlooms(delta))
@@ -770,21 +793,24 @@ object Pipeline {
         |       CAST(bin AS INT) AS bin, n_rows, n_delta
         |FROM (SELECT * FROM hcells UNION ALL SELECT * FROM htot)
         |ORDER BY depth, cell, bin""") { (s, dir) =>
-      val (zt, bz, bnb, refined) = frozenParts(s, dir)
-      val bmm = bz.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+      val (bz, dz, geom) = frozenParts(s, dir)
+      // frozen bin edges: ONE (min, max) row, collected — a literal in
+      // the bin expression instead of a crossJoin(broadcast) subtree
+      // re-derived per side (see ZGeom for the plan-size rationale)
+      val bmmRow = bz.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax")).head
+      val (xmin, xmax) = (bmmRow.getLong(0), bmmRow.getLong(1))
       def hist(side: org.apache.spark.sql.DataFrame, delta: Int) =
-        frozenAssign(side, bnb, refined)
-          .crossJoin(broadcast(bmm)) // 1-row edge table
+        frozenAssign(side, geom)
           .withColumn("bin", expr(
-            "CAST((least(greatest(x, xmin), xmax) - xmin) * 16" +
-              " div (xmax - xmin + 1) AS INT)"))
+            s"CAST((least(greatest(x, ${xmin}L), ${xmax}L) - ${xmin}L) * 16" +
+              s" div (${xmax}L - ${xmin}L + 1) AS INT)"))
           .groupBy(col("depth"), col("cell"), col("bin"))
           .agg(count(lit(1)).as("n"))
           .select(col("depth"), col("cell"), col("bin"), col("n"),
             (col("n") * delta).as("nd"))
       // per-side artifacts, then the associative merge (sum per bin —
       // union + re-aggregate over artifact-sized input, no row rescan)
-      val cells = hist(bz, 0).unionAll(hist(zt.filter(col("k") >= col("t")), 1))
+      val cells = hist(bz, 0).unionAll(hist(dz, 1))
         .groupBy(col("depth"), col("cell"), col("bin"))
         .agg(lsum(col("n")).as("n_rows"), lsum(col("nd")).as("n_delta"))
       val tot = cells.groupBy(col("bin"))
@@ -856,10 +882,10 @@ object Pipeline {
         |      FROM gsk g, gest2 e)
         |ORDER BY depth, cell, rk""".stripMargin
     }) { (s, dir) =>
-      val (zt, bz, bnb, refined) = frozenParts(s, dir)
+      val (bz, dz, geom) = frozenParts(s, dir)
       val byCell = Window.partitionBy(col("depth"), col("cell")).orderBy(col("h"))
       def sketch(side: org.apache.spark.sql.DataFrame) =
-        frozenAssign(side, bnb, refined)
+        frozenAssign(side, geom)
           .select(col("depth"), col("cell"), col("x")).distinct()
           .withColumn("h", md5(col("x").cast("string")))
           .withColumn("rk", row_number().over(byCell))
@@ -868,7 +894,7 @@ object Pipeline {
       // per-side artifacts, deduped union (same x on both sides must
       // collapse BEFORE re-ranking), re-rank, keep k — the associative
       // KMV merge over artifact-sized input
-      val merged = sketch(bz).unionAll(sketch(zt.filter(col("k") >= col("t"))))
+      val merged = sketch(bz).unionAll(sketch(dz))
         .dropDuplicates("depth", "cell", "h")
         .withColumn("rk", row_number().over(byCell).cast("int"))
         .filter(col("rk") <= KmvK)
@@ -960,27 +986,28 @@ object Pipeline {
       val zcells = zorderManifest(s, dir)
         .select(lit("zorder").as("layout"), col("n_rows"),
           col("x_min"), col("x_max"), col("y_min"), col("y_max"))
-      val xb = z.agg(max(col("x")).as("maxx"), max(col("y")).as("maxy"))
-        .withColumn("xbits", expr(
-          "CAST(size(filter(sequence(0, 62), i -> shiftright(maxx, i) > 0)) AS BIGINT)"))
-      val xcells = z.crossJoin(broadcast(xb))
-        .withColumn("cell",
-          expr("shiftright(x, CAST(greatest(xbits - 8, 0L) AS INT))"))
+      // (maxx, maxy) is ONE row — collected, so the x-only layout and
+      // the 8-row predicate workload are literals instead of subplans
+      // re-replicating the scan per reference (see ZGeom)
+      val mxRow = z.agg(max(col("x")).as("maxx"), max(col("y")).as("maxy")).head
+      val (maxx, maxy) = (mxRow.getLong(0), mxRow.getLong(1))
+      val xshift = math.max(64 - java.lang.Long.numberOfLeadingZeros(math.max(maxx, 1L)) - 8, 0)
+      val xcells = z
+        .withColumn("cell", expr(s"shiftright(x, $xshift)"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .select(lit("xonly").as("layout"), col("n_rows"),
           col("x_min"), col("x_max"), col("y_min"), col("y_max"))
-      val preds = xb.select(explode(expr("sequence(0, 3)")).as("k"),
-          col("maxx"), col("maxy"))
+      val preds = s.range(0, 4).select(col("id").as("k"))
         .select(explode(array(
           struct(lit("x").as("dim"), col("k").cast("int").as("pred_id"),
-            expr("k * maxx div 4").as("lo"),
-            expr("k * maxx div 4 + maxx div 8").as("hi")),
+            expr(s"k * ${maxx}L div 4").as("lo"),
+            expr(s"k * ${maxx}L div 4 + ${maxx}L div 8").as("hi")),
           struct(lit("y").as("dim"), col("k").cast("int").as("pred_id"),
-            expr("k * maxy div 4").as("lo"),
-            expr("k * maxy div 4 + maxy div 8").as("hi")))).as("p"))
+            expr(s"k * ${maxy}L div 4").as("lo"),
+            expr(s"k * ${maxy}L div 4 + ${maxy}L div 8").as("hi")))).as("p"))
         .select(col("p.*"))
       val lay = zcells.unionAll(xcells)
       val intersects =

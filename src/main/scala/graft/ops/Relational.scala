@@ -42,13 +42,17 @@ object Relational {
   private def scd2Batch1(s: SparkSession, dir: String): DataFrame = {
     val v1 = t(s, dir, "customer")
       .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal"))
-    val mx = v1.agg(max(col("k")).as("mk"))
+    // max key is ONE value — collected, so the insert re-keying is a
+    // literal add instead of a crossJoin(broadcast(agg)) whose scan +
+    // aggregate subtree replicates into every consumer of the batch
+    // (q29's replay plan carried 266 customer scans before this)
+    val mk = v1.agg(max(col("k"))).head.getLong(0)
     v1.filter(col("k") % 11 === 0)
       .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
       .unionAll(v1.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
         .select(col("k"), lit("U").as("op"), (col("bal") + 1000L).as("nbal")))
-      .unionAll(v1.crossJoin(broadcast(mx)).filter(col("k") % 13 === 0)
-        .select((col("k") + col("mk")).as("k"), lit("I").as("op"),
+      .unionAll(v1.filter(col("k") % 13 === 0)
+        .select((col("k") + lit(mk)).as("k"), lit("I").as("op"),
           col("bal").as("nbal")))
   }
 
@@ -860,17 +864,28 @@ object Relational {
         |       CAST(start_v AS INT) AS start_v, CAST(end_v AS INT) AS end_v,
         |       CAST(is_current AS INT) AS is_current, op
         |FROM hist3 ORDER BY c_custkey, start_v""") { (s, dir) =>
+      // Materialize the version-2 history between the two merges (the
+      // production shape: a MERGE lands its output table before the
+      // next batch applies). Without the boundary every downstream
+      // reference — cur2 three times in the batch, the history twice
+      // in merge 2 — replicated merge 1's whole full-outer-join
+      // subtree: the physical plan carried 266 customer scans / 210
+      // Exchanges (plans/r14/q29_scd2_replay_before.txt). One
+      // history-sized localCheckpoint truncates that to a single
+      // merge-1 execution (guide §3.3: materialise an intermediate to
+      // cut a replicated plan).
       val h2 = scd2Apply(scd2Init(s, dir), scd2Batch1(s, dir), ver = 2)
+        .localCheckpoint()
       val cur2 = h2.filter(col("end_v") === 0)
         .select(col("c_custkey").as("k"), col("bal_cents").as("bal"))
-      val mx2 = cur2.agg(max(col("k")).as("mk"))
+      val mk2 = cur2.agg(max(col("k"))).head.getLong(0)
       val batch2 =
         cur2.filter(col("k") % 17 === 0)
           .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
           .unionAll(cur2.filter(col("k") % 5 === 0 && col("k") % 17 =!= 0)
             .select(col("k"), lit("U").as("op"), (col("bal") + 500L).as("nbal")))
-          .unionAll(cur2.crossJoin(broadcast(mx2)).filter(col("k") % 19 === 0)
-            .select((col("k") + col("mk")).as("k"), lit("I").as("op"),
+          .unionAll(cur2.filter(col("k") % 19 === 0)
+            .select((col("k") + lit(mk2)).as("k"), lit("I").as("op"),
               col("bal").as("nbal")))
       scd2Apply(h2, batch2, ver = 3)
         .orderBy(col("c_custkey"), col("start_v"))

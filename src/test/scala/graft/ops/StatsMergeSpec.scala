@@ -17,12 +17,12 @@ class StatsMergeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def sides() = {
-    val (zt, bz, bnb, refined) = Pipeline.frozenParts(spark, dir)
-    val base = Pipeline.frozenAssign(bz, bnb, refined)
+    val (bz, dz, geom) = Pipeline.frozenParts(spark, dir)
+    val base = Pipeline.frozenAssign(bz, geom)
       .select(col("depth"), col("cell"), col("k"))
-    val delta = Pipeline.frozenAssign(zt.filter(col("k") >= col("t")), bnb, refined)
+    val delta = Pipeline.frozenAssign(dz, geom)
       .select(col("depth"), col("cell"), col("k"))
-    val all = Pipeline.frozenAssign(zt, bnb, refined)
+    val all = Pipeline.frozenAssign(bz.unionAll(dz), geom)
       .select(col("depth"), col("cell"), col("k"))
     (base, delta, all)
   }
