@@ -512,29 +512,44 @@ object Dedup {
   private[ops] def mergeWindowIndex(s: SparkSession, dir: String,
       r: ContainmentRung, g: LshGeometry = DefaultGeometry): DataFrame = {
     val d = t(s, dir, "documents")
-    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
-    // both halves slice the one memoized gram pass (filter commutes
-    // with the per-doc map, so the rows are identical to tokenizing
-    // each half separately)
-    val grams = memoGramArr(s, d)
-    val gOld = grams.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
-      .select(grams.columns.map(col): _*)
-    val gBatch = grams.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
-      .select(grams.columns.map(col): _*)
+    // ONE long, collected: a literal predicate pushes into the batch
+    // side's parquet scan (the crossJoin(broadcast(thr)) form never
+    // could), and the old/batch split stops replicating the aggregate
+    // subtree per reference (the ZGeom rationale, Pipeline.scala)
+    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    // old half slices the memoized gram pass ONCE (cold build only);
+    // the batch half re-tokenizes its 20% straight off the parquet
+    // scan with the literal filter pushed down — reading the full
+    // DISK_ONLY gram memo back just to keep 20% of it cost a
+    // corpus-sized disk read PER RUN (measured: dominant share of the
+    // 2× sf10 warm regression this round inherited). Filter commutes
+    // with the per-doc map, so the rows are identical either way.
+    val gBatch = gramArrOf(d.filter(col("doc_id") >= lit(thr)))
     val key = TrainMemo.memoKeyOf(d)
     val oldIndex = key match {
       case Some(k) => TrainMemo.getOrTrain(
         s"chidx_old:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k")(
-        TrainMemo.checkpointReleasing(windowBandRows(gOld, r, g)))
-      case None => windowBandRows(gOld, r, g)
+        TrainMemo.checkpointReleasing(windowBandRows(
+          memoGramArr(s, d).filter(col("doc_id") < lit(thr)), r, g)))
+      case None => windowBandRows(
+        gramArrOf(d.filter(col("doc_id") < lit(thr))), r, g)
     }
-    val merged = oldIndex.unionAll(windowBandRows(gBatch, r, g))
     val artifact = key match {
       case Some(k) =>
-        val cp = merged.localCheckpoint() // materialize, truncate lineage
-        TrainMemo.publish(s"chidx:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k", cp)
-        cp
-      case None => merged
+        // APPEND-style publish: only the BATCH's band rows are newly
+        // checkpointed; the artifact is oldIndex's existing checkpoint
+        // blocks ∪ the batch blocks. The previous revision
+        // localCheckpoint'ed the whole UNION — re-materializing the
+        // 80% old side into fresh blocks on every merge, a full-index
+        // write per batch where production maintenance appends
+        // batch-sized files (dd_containment_index_merge measured
+        // 37.3 s warm isolated at sf10 before, see OPTIMIZATION_r14).
+        // Rows identical: unionAll order (old, batch) is unchanged.
+        val batchCp = windowBandRows(gBatch, r, g).localCheckpoint()
+        val merged = oldIndex.unionAll(batchCp)
+        TrainMemo.publish(s"chidx:${r.words}:${TrainMemo.sessionKeyOf(s)}:$k", merged)
+        merged
+      case None => oldIndex.unionAll(windowBandRows(gBatch, r, g))
     }
     Skew.dropOversizeGroups(artifact, Seq("band", "bkey"), g.maxBucketSize)
   }
@@ -573,25 +588,28 @@ object Dedup {
   private[ops] def mergeBandIndex(s: SparkSession, dir: String,
       g: LshGeometry = DefaultGeometry): DataFrame = {
     val sh = shArr(s, dir).cache()
+    // ONE long, collected (literal split, no replicated agg subtree)
     val thr = t(s, dir, "documents")
-      .agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
-    val shOld = sh.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
-      .select(sh.columns.map(col): _*)
-    val shBatch = sh.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
-      .select(sh.columns.map(col): _*)
+      .agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val shOld = sh.filter(col("doc_id") < lit(thr))
+    val shBatch = sh.filter(col("doc_id") >= lit(thr))
     val oldIndex = TrainMemo.memoKeyOf(sh) match {
       case Some(k) => TrainMemo.getOrTrain(
         s"bandidx_old:${TrainMemo.sessionKeyOf(s)}:$k")(
         TrainMemo.checkpointReleasing(bandRows(shOld, g)))
       case None => bandRows(shOld, g)
     }
-    val merged = oldIndex.unionAll(bandRows(shBatch, g))
     val artifact = indexKeyOf(s, sh) match {
       case Some(key) =>
-        val cp = merged.localCheckpoint() // materialize, truncate lineage
-        TrainMemo.publish(key, cp)
-        cp
-      case None => merged
+        // append-style publish: checkpoint the BATCH band rows only
+        // and union with the old index's existing checkpoint blocks —
+        // never re-materialize the 80% old side per merge (see
+        // mergeWindowIndex's comment; rows identical, order unchanged)
+        val batchCp = bandRows(shBatch, g).localCheckpoint()
+        val merged = oldIndex.unionAll(batchCp)
+        TrainMemo.publish(key, merged)
+        merged
+      case None => oldIndex.unionAll(bandRows(shBatch, g))
     }
     Skew.dropOversizeGroups(artifact, Seq("band", "bkey"), g.maxBucketSize)
   }
@@ -606,9 +624,10 @@ object Dedup {
     val kept = indexKeyOf(s, sh).flatMap(TrainMemo.get[DataFrame])
       .map(idx => Skew.dropOversizeGroups(idx, Seq("band", "bkey"), g.maxBucketSize))
       .getOrElse(keptBands(sh, g))
+    // ONE long, collected (literal split — see mergeWindowIndex)
     val thr = t(s, dir, "documents")
-      .agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
-    val batch = kept.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
+      .agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val batch = kept.filter(col("doc_id") >= lit(thr))
     val a = batch.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
     val b = kept.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey")).filter(col("id_a") =!= col("id_b"))
@@ -739,11 +758,11 @@ object Dedup {
     *    is what the oracle replays. */
   private[ops] def mergeSpanIndex(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5").as("thr")) // 1 row, broadcast
-    val dOld = d.crossJoin(broadcast(thr)).filter(col("doc_id") < col("thr"))
-      .select(d.columns.map(col): _*)
-    val dBatch = d.crossJoin(broadcast(thr)).filter(col("doc_id") >= col("thr"))
-      .select(d.columns.map(col): _*)
+    // ONE long, collected: the literal predicate pushes into the batch
+    // scan and the split stops replicating the aggregate subtree
+    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val dOld = d.filter(col("doc_id") < lit(thr))
+    val dBatch = d.filter(col("doc_id") >= lit(thr))
     val key = TrainMemo.memoKeyOf(d)
     val oldGrams = key match {
       case Some(k) => TrainMemo.getOrTrain(
@@ -751,13 +770,19 @@ object Dedup {
         TrainMemo.checkpointReleasing(gramRows(dOld)))
       case None => gramRows(dOld)
     }
-    val merged = oldGrams.unionAll(gramRows(dBatch))
     val artifact = key match {
       case Some(k) =>
-        val cp = merged.localCheckpoint() // materialize, truncate lineage
-        TrainMemo.publish(s"spangrams:${TrainMemo.sessionKeyOf(s)}:$k", cp)
-        cp
-      case None => merged
+        // append-style publish: checkpoint the BATCH gram rows only and
+        // union with the old side's existing checkpoint blocks. The
+        // previous revision localCheckpoint'ed the whole union — a
+        // full-corpus gram-index rewrite PER MERGE (dd_span_index_merge
+        // measured 28.1 s warm isolated at sf10 before; the old side is
+        // 80% of those bytes). Rows identical, order unchanged.
+        val batchCp = gramRows(dBatch).localCheckpoint()
+        val merged = oldGrams.unionAll(batchCp)
+        TrainMemo.publish(s"spangrams:${TrainMemo.sessionKeyOf(s)}:$k", merged)
+        merged
+      case None => oldGrams.unionAll(gramRows(dBatch))
     }
     spansFromGrams(artifact)
   }
