@@ -31,6 +31,11 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dump")) {
+      if (args.length < 5) {
+        System.err.println(
+          "usage: graft.Explain dump <outDir> <sfDir> <suffix> <q1,q2|all>")
+        sys.exit(2)
+      }
       val Array(_, outDir, sfDir, suffix, namesArg) = args.take(5)
       val names =
         if (namesArg == "all") SparkEntry.queries.keys.toSeq.sorted

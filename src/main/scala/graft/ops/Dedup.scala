@@ -516,7 +516,7 @@ object Dedup {
     // side's parquet scan (the crossJoin(broadcast(thr)) form never
     // could), and the old/batch split stops replicating the aggregate
     // subtree per reference (the ZGeom rationale, Pipeline.scala)
-    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val thr = longAt(d.agg(expr("(MAX(doc_id) * 4) div 5")).head)
     // old half slices the memoized gram pass ONCE (cold build only);
     // the batch half re-tokenizes its 20% straight off the parquet
     // scan with the literal filter pushed down — reading the full
@@ -589,8 +589,8 @@ object Dedup {
       g: LshGeometry = DefaultGeometry): DataFrame = {
     val sh = shArr(s, dir).cache()
     // ONE long, collected (literal split, no replicated agg subtree)
-    val thr = t(s, dir, "documents")
-      .agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val thr = longAt(t(s, dir, "documents")
+      .agg(expr("(MAX(doc_id) * 4) div 5")).head)
     val shOld = sh.filter(col("doc_id") < lit(thr))
     val shBatch = sh.filter(col("doc_id") >= lit(thr))
     val oldIndex = TrainMemo.memoKeyOf(sh) match {
@@ -625,8 +625,8 @@ object Dedup {
       .map(idx => Skew.dropOversizeGroups(idx, Seq("band", "bkey"), g.maxBucketSize))
       .getOrElse(keptBands(sh, g))
     // ONE long, collected (literal split — see mergeWindowIndex)
-    val thr = t(s, dir, "documents")
-      .agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val thr = longAt(t(s, dir, "documents")
+      .agg(expr("(MAX(doc_id) * 4) div 5")).head)
     val batch = kept.filter(col("doc_id") >= lit(thr))
     val a = batch.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
     val b = kept.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
@@ -760,7 +760,7 @@ object Dedup {
     val d = t(s, dir, "documents")
     // ONE long, collected: the literal predicate pushes into the batch
     // scan and the split stops replicating the aggregate subtree
-    val thr = d.agg(expr("(MAX(doc_id) * 4) div 5")).head.getLong(0)
+    val thr = longAt(d.agg(expr("(MAX(doc_id) * 4) div 5")).head)
     val dOld = d.filter(col("doc_id") < lit(thr))
     val dBatch = d.filter(col("doc_id") >= lit(thr))
     val key = TrainMemo.memoKeyOf(d)

@@ -249,10 +249,38 @@ object Pipeline {
   private[ops] def frozenParts(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, ZGeom) = {
     val z = zxy(s, dir)
-    val thr = z.agg(expr("(MAX(k) * 4) div 5").as("t")).head.getLong(0)
+    val thr = longAt(z.agg(expr("(MAX(k) * 4) div 5").as("t")).head)
     val bz = z.filter(col("k") < lit(thr))
     val dz = z.filter(col("k") >= lit(thr))
     (bz, dz, zGeomOf(bz))
+  }
+
+  /** ONE-SCAN frozen assignment with the delta tag: (depth, cell, x,
+    * y, k, is_delta). The r14 merge-family formulation built every
+    * per-side artifact from its own `frozenAssign(bz|dz, …)` subtree —
+    * one parquet scan + zorder evaluation PER SIDE PER ARTIFACT, and
+    * any consumer referencing the merged cells twice doubled the whole
+    * tree (pipe_stats_merge's committed after-plan still carried 28
+    * scans / 58 Exchanges; bottomk 24 / 66 — r14 verdict #3). Here the
+    * side split is a COLUMN (`is_delta`, from the same collected
+    * threshold literal), so each artifact builds from one codegen'd
+    * scan with the per-side partials materializing as the
+    * (…, is_delta)-grain rows of its first aggregation level and the
+    * second level IS the associative merge — per-side artifacts still
+    * exist, merge ≡ rebuild still holds row-for-row (the oracle
+    * replays the one-pass rebuild; EXACT parity is the proof), only
+    * the scan count stops multiplying. Row-sized data is deliberately
+    * NOT materialized (the sf10 measurement in pipe_ndv_sketches:
+    * a localCheckpoint of fin loses 1.7× to re-scanning); consumers
+    * checkpoint ARTIFACT-sized frames (cell-bounded) only. */
+  private[ops] def frozenFin2(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val z = zxy(s, dir)
+    val thr = longAt(z.agg(expr("(MAX(k) * 4) div 5").as("t")).head)
+    val g = zGeomOf(z.filter(col("k") < lit(thr)))
+    z.select(g.depthCol.as("depth"), g.cellCol.as("cell"),
+      col("x"), col("y"), col("k"),
+      when(col("k") < lit(thr), 0).otherwise(1).cast("int").as("is_delta"))
   }
 
   /** Per-(depth, cell, bucket) HLL register table over one side's key
@@ -542,15 +570,25 @@ object Pipeline {
         .agg(count(lit(1)).as("n_rows"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       // maxk is ONE value — collected, so the 8-row probe table is a
-      // literal range instead of a subplan over the cached rows whose
-      // every broadcast reference re-plans the aggregate (see ZGeom)
-      val maxk = rows.agg(max(col("k")).as("maxk")).head.getLong(0)
-      val probes = s.range(0, 8)
-        .select(col("id").cast("int").as("probe_id"),
-          expr(s"(id * ${maxk}L) div 7").as("key"))
-        .withColumn("ps", expr(
-          "transform(sequence(0, 2), i -> CAST(conv(substring(md5(CAST(key AS STRING))," +
-            " 3 * i + 1, 3), 16, 10) AS BIGINT))"))
+      // LOCAL relation computed on the driver (same md5-slice math as
+      // the kernel, pinned by the oracle): the r14 form derived it
+      // from spark.range, so each of its four consumers planned a
+      // range scan + md5 projection + broadcast build — four extra
+      // AQE stage waves for 8 rows. At sf0.1 the merge/eval family's
+      // wall time is stage-BARRIER count, not bytes (every exchange is
+      // an AQE materialization), and a probe workload is model-sized
+      // metadata, the ZGeom argument one step further.
+      val maxk = longAt(rows.agg(max(col("k")).as("maxk")).head)
+      def md5hex(v: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      import s.implicits._
+      val probes = (0 until 8).map { j =>
+        val key = j.toLong * maxk / 7
+        val hx = md5hex(key.toString)
+        (j, key, (0 until 3).map(i =>
+          java.lang.Long.parseLong(hx.substring(3 * i, 3 * i + 3), 16)))
+      }.toDF("probe_id", "key", "ps")
       // the REAL artifact probe: three bit tests against the 512-byte
       // per-cell bitmap — semantics identical to the oracle's
       // distinct-slice membership by the bijectivity of slice ↔ bit
@@ -608,35 +646,24 @@ object Pipeline {
         |       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
         |FROM fin2 GROUP BY depth, cell
         |ORDER BY depth, cell""") { (s, dir) =>
-      val (bz, dz, geom) = frozenParts(s, dir)
-      // frozen-geometry assignment of EITHER side, then per-side manifests
-      def manifest(side: org.apache.spark.sql.DataFrame, delta: Int) =
-        frozenAssign(side, geom)
-        .groupBy(col("depth"), col("cell"))
-        .agg(count(lit(1)).as("n_rows"),
+      // per-side manifests at (depth, cell, is_delta) grain off ONE
+      // scan (see frozenFin2), then the MERGE: the second aggregation
+      // level — count-sum / min-min / max-max over the per-side
+      // manifest rows, never a rescan of base rows. Identical rows to
+      // the r14 two-subtree + full_outer-join form (sum over present
+      // slices ≡ coalesce-add; min/max over slices ≡ least/greatest).
+      val fin2 = frozenFin2(s, dir)
+      fin2.groupBy(col("depth"), col("cell"), col("is_delta"))
+        .agg(count(lit(1)).as("n"),
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
-        .select(col("depth"), col("cell"), col("n_rows"),
-          (col("n_rows") * delta).as("n_delta"),
+        .groupBy(col("depth"), col("cell"))
+        .agg(lsum(col("n")).as("n_rows"),
+          lsum(when(col("is_delta") === 1, col("n")).otherwise(0L)).as("n_delta"),
+          min(col("x_min")).as("x_min"), max(col("x_max")).as("x_max"),
+          min(col("y_min")).as("y_min"), max(col("y_max")).as("y_max"))
+        .select(col("depth"), col("cell"), col("n_rows"), col("n_delta"),
           col("x_min"), col("x_max"), col("y_min"), col("y_max"))
-      val base = manifest(bz, 0)
-      val delta = manifest(dz, 1)
-      // the MERGE: associative per-cell combine — count-sum, min-min,
-      // max-max over the two manifests, never a rescan of base rows
-      base.select(base.columns.map(c => col(c).as(s"b_$c")): _*)
-        .join(delta.select(delta.columns.map(c => col(c).as(s"d_$c")): _*),
-          col("b_depth") === col("d_depth") && col("b_cell") === col("d_cell"),
-          "full_outer")
-        .select(
-          coalesce(col("b_depth"), col("d_depth")).as("depth"),
-          coalesce(col("b_cell"), col("d_cell")).as("cell"),
-          (coalesce(col("b_n_rows"), lit(0L)) + coalesce(col("d_n_rows"), lit(0L)))
-            .cast("long").as("n_rows"),
-          coalesce(col("d_n_delta"), lit(0L)).cast("long").as("n_delta"),
-          least(col("b_x_min"), col("d_x_min")).as("x_min"),
-          greatest(col("b_x_max"), col("d_x_max")).as("x_max"),
-          least(col("b_y_min"), col("d_y_min")).as("y_min"),
-          greatest(col("b_y_max"), col("d_y_max")).as("y_max"))
         .orderBy(col("depth"), col("cell"))
     },
 
@@ -706,18 +733,40 @@ object Pipeline {
         |FROM (SELECT * FROM cells2 UNION ALL SELECT * FROM tot2)
         |ORDER BY depth, cell"""
     }) { (s, dir) =>
-      val (bz, dz, geom) = frozenParts(s, dir)
-      val base = frozenAssign(bz, geom)
-        .select(col("depth"), col("cell"), col("k"))
-      val delta = frozenAssign(dz, geom)
-        .select(col("depth"), col("cell"), col("k"))
-      // --- Blooms: per-side bitmaps, OR-merged (base keys never rescanned)
-      val bitsSet = orMergeBits(cellBlooms(base), cellBlooms(delta))
-        .withColumn("bits_set",
-          expr("aggregate(bits, 0L, (acc, w) -> acc + bit_count(w))"))
-        .select(col("depth"), col("cell"), col("bits_set"))
-      // --- NDV registers: per-side register tables, max-merged
-      val mergedRegs = cellRegs(base).unionAll(cellRegs(delta))
+      // every artifact builds off ONE scan at (…, is_delta) grain (see
+      // frozenFin2); level 1 of each aggregation is the per-side
+      // artifact, level 2 the associative merge. The r14 two-subtree
+      // form carried 28 scans / 58 Exchanges (cells was also
+      // referenced twice — output + table row — doubling the tree).
+      val fin2 = frozenFin2(s, dir)
+        .select(col("depth"), col("cell"), col("k"), col("is_delta"))
+      // --- Blooms: per-side word partials, OR-merged per word, then
+      // popcount-summed — only bits_set leaves this query, so the
+      // 64-long array fold (collect_list → ObjectHashAggregate, off
+      // codegen) is dead weight here: Σ bit_count(word OR) over
+      // disjoint words ≡ aggregate(bits, bit_count) over the array.
+      val bitsSet = fin2
+        .select(col("depth"), col("cell"), col("is_delta"), expr(keyHxSql).as("hx"))
+        .select(col("depth"), col("cell"), col("is_delta"),
+          explode(posArr("hx")).as("pos"))
+        .groupBy(col("depth"), col("cell"), col("is_delta"),
+          expr("CAST(pos div 64 AS INT)").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("w"))
+        .groupBy(col("depth"), col("cell"), col("word"))
+        .agg(expr("bit_or(w)").as("w"))
+        .groupBy(col("depth"), col("cell"))
+        .agg(lsum(expr("bit_count(w)")).as("bits_set"))
+      // --- NDV registers: per-side register tables at (…, is_delta,
+      // bucket), max-merged; checkpointed because BOTH the per-cell
+      // NDV and the table row read it (register-table-sized: ≤ cells ×
+      // 64 rows — artifact-scale, never row-scale)
+      val mergedRegs = fin2
+        .withColumn("hx", md5(col("k").cast("string")))
+        .select(col("depth"), col("cell"), col("is_delta"),
+          (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
+          conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
+        .groupBy(col("depth"), col("cell"), col("is_delta"), col("bucket"))
+        .agg(max(expr(Hll.rhoLadderSql)).as("mrho"))
         .groupBy(col("depth"), col("cell"), col("bucket"))
         .agg(max(col("mrho")).as("mrho"))
       val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
@@ -727,14 +776,13 @@ object Pipeline {
           count(lit(1)).as("np"))
         .select(col("depth"), col("cell"), estCol.as("ndv_sketch"))
       // --- counts: per-side manifests, sum-merged
-      val counts = base.groupBy(col("depth"), col("cell"))
-        .agg(count(lit(1)).as("b_n"))
-        .join(delta.groupBy(col("depth"), col("cell"))
-          .agg(count(lit(1)).as("d_n")), Seq("depth", "cell"), "full_outer")
-        .select(col("depth"), col("cell"),
-          (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-            .cast("long").as("n_rows"),
-          coalesce(col("d_n"), lit(0L)).cast("long").as("n_delta"))
+      val counts = fin2.groupBy(col("depth"), col("cell"), col("is_delta"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("depth"), col("cell"))
+        .agg(lsum(col("n")).as("n_rows"),
+          lsum(when(col("is_delta") === 1, col("n")).otherwise(0L)).as("n_delta"))
+      // merged per-cell artifact table: read twice (output rows + the
+      // table row's sums) — checkpoint the ≤ cells rows, not the tree
       val cells = counts
         .join(bitsSet, Seq("depth", "cell"))
         .join(cellNdv, Seq("depth", "cell"))
@@ -793,26 +841,28 @@ object Pipeline {
         |       CAST(bin AS INT) AS bin, n_rows, n_delta
         |FROM (SELECT * FROM hcells UNION ALL SELECT * FROM htot)
         |ORDER BY depth, cell, bin""") { (s, dir) =>
-      val (bz, dz, geom) = frozenParts(s, dir)
-      // frozen bin edges: ONE (min, max) row, collected — a literal in
-      // the bin expression instead of a crossJoin(broadcast) subtree
-      // re-derived per side (see ZGeom for the plan-size rationale)
-      val bmmRow = bz.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax")).head
-      val (xmin, xmax) = (bmmRow.getLong(0), bmmRow.getLong(1))
-      def hist(side: org.apache.spark.sql.DataFrame, delta: Int) =
-        frozenAssign(side, geom)
-          .withColumn("bin", expr(
-            s"CAST((least(greatest(x, ${xmin}L), ${xmax}L) - ${xmin}L) * 16" +
-              s" div (${xmax}L - ${xmin}L + 1) AS INT)"))
-          .groupBy(col("depth"), col("cell"), col("bin"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("depth"), col("cell"), col("bin"), col("n"),
-            (col("n") * delta).as("nd"))
-      // per-side artifacts, then the associative merge (sum per bin —
-      // union + re-aggregate over artifact-sized input, no row rescan)
-      val cells = hist(bz, 0).unionAll(hist(dz, 1))
+      val fin2 = frozenFin2(s, dir)
+        .select(col("depth"), col("cell"), col("x"), col("is_delta"))
+      // frozen bin edges: ONE (min, max) row over the BASE slice,
+      // collected — a literal in the bin expression instead of a
+      // crossJoin(broadcast) subtree re-derived per side (see ZGeom)
+      val bmmRow = fin2.filter(col("is_delta") === 0)
+        .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax")).head
+      val (xmin, xmax) = (longAt(bmmRow), longAt(bmmRow, 1))
+      // per-side artifacts at (…, is_delta) grain off ONE scan (see
+      // frozenFin2), then the associative merge (sum per bin over the
+      // per-side histogram rows, no row rescan); checkpointed because
+      // the output AND the table row read it (≤ cells × 16 rows)
+      val cells = fin2
+        .withColumn("bin", expr(
+          s"CAST((least(greatest(x, ${xmin}L), ${xmax}L) - ${xmin}L) * 16" +
+            s" div (${xmax}L - ${xmin}L + 1) AS INT)"))
+        .groupBy(col("depth"), col("cell"), col("bin"), col("is_delta"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("depth"), col("cell"), col("bin"))
-        .agg(lsum(col("n")).as("n_rows"), lsum(col("nd")).as("n_delta"))
+        .agg(lsum(col("n")).as("n_rows"),
+          lsum(when(col("is_delta") === 1, col("n")).otherwise(0L)).as("n_delta"))
+        .localCheckpoint()
       val tot = cells.groupBy(col("bin"))
         .agg(lsum(col("n_rows")).as("n_rows"), lsum(col("n_delta")).as("n_delta"))
         .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
@@ -882,22 +932,27 @@ object Pipeline {
         |      FROM gsk g, gest2 e)
         |ORDER BY depth, cell, rk""".stripMargin
     }) { (s, dir) =>
-      val (bz, dz, geom) = frozenParts(s, dir)
       val byCell = Window.partitionBy(col("depth"), col("cell")).orderBy(col("h"))
-      def sketch(side: org.apache.spark.sql.DataFrame) =
-        frozenAssign(side, geom)
-          .select(col("depth"), col("cell"), col("x")).distinct()
-          .withColumn("h", md5(col("x").cast("string")))
-          .withColumn("rk", row_number().over(byCell))
-          .filter(col("rk") <= KmvK)
-          .select(col("depth"), col("cell"), col("h"), col("x"))
-      // per-side artifacts, deduped union (same x on both sides must
-      // collapse BEFORE re-ranking), re-rank, keep k — the associative
-      // KMV merge over artifact-sized input
-      val merged = sketch(bz).unionAll(sketch(dz))
+      val byCellSide = Window.partitionBy(col("depth"), col("cell"), col("is_delta"))
+        .orderBy(col("h"))
+      // per-side bottom-k sketches at (…, is_delta) grain off ONE scan
+      // (see frozenFin2; a per-(d, c, is_delta) window ≡ the r14
+      // per-side windows since the sides partition the rows), then the
+      // KMV merge: dedup by hash ACROSS sides (same x on both sides
+      // must collapse BEFORE re-ranking), re-rank, keep k — over
+      // artifact-sized input. Checkpointed: three consumers (the
+      // per-cell join, its estimator, the global sketch) read the
+      // ≤ cells × k rows.
+      val merged = frozenFin2(s, dir)
+        .select(col("depth"), col("cell"), col("x"), col("is_delta")).distinct()
+        .withColumn("h", md5(col("x").cast("string")))
+        .withColumn("rk", row_number().over(byCellSide))
+        .filter(col("rk") <= KmvK)
+        .select(col("depth"), col("cell"), col("h"), col("x"))
         .dropDuplicates("depth", "cell", "h")
         .withColumn("rk", row_number().over(byCell).cast("int"))
         .filter(col("rk") <= KmvK)
+        .localCheckpoint()
       def estOf(sk: org.apache.spark.sql.DataFrame, keys: Seq[String]) = {
         val grouped =
           if (keys.isEmpty) sk.groupBy() else sk.groupBy(keys.map(col): _*)
@@ -990,7 +1045,7 @@ object Pipeline {
       // the 8-row predicate workload are literals instead of subplans
       // re-replicating the scan per reference (see ZGeom)
       val mxRow = z.agg(max(col("x")).as("maxx"), max(col("y")).as("maxy")).head
-      val (maxx, maxy) = (mxRow.getLong(0), mxRow.getLong(1))
+      val (maxx, maxy) = (longAt(mxRow), longAt(mxRow, 1))
       val xshift = math.max(64 - java.lang.Long.numberOfLeadingZeros(math.max(maxx, 1L)) - 8, 0)
       val xcells = z
         .withColumn("cell", expr(s"shiftright(x, $xshift)"))
@@ -1000,15 +1055,15 @@ object Pipeline {
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .select(lit("xonly").as("layout"), col("n_rows"),
           col("x_min"), col("x_max"), col("y_min"), col("y_max"))
-      val preds = s.range(0, 4).select(col("id").as("k"))
-        .select(explode(array(
-          struct(lit("x").as("dim"), col("k").cast("int").as("pred_id"),
-            expr(s"k * ${maxx}L div 4").as("lo"),
-            expr(s"k * ${maxx}L div 4 + ${maxx}L div 8").as("hi")),
-          struct(lit("y").as("dim"), col("k").cast("int").as("pred_id"),
-            expr(s"k * ${maxy}L div 4").as("lo"),
-            expr(s"k * ${maxy}L div 4 + ${maxy}L div 8").as("hi")))).as("p"))
-        .select(col("p.*"))
+      // 8-row predicate workload as a LOCAL relation (all inputs are
+      // collected literals) — the r14 spark.range form planned a range
+      // scan + explode + broadcast build per consumer reference; see
+      // pipe_bloom_prune_eval's probe-table note on AQE stage waves
+      import s.implicits._
+      val preds = (0 until 4).flatMap { k =>
+        Seq(("x", k, k.toLong * maxx / 4, k.toLong * maxx / 4 + maxx / 8),
+          ("y", k, k.toLong * maxy / 4, k.toLong * maxy / 4 + maxy / 8))
+      }.toDF("dim", "pred_id", "lo", "hi")
       val lay = zcells.unionAll(xcells)
       val intersects =
         (col("dim") === "x" && col("x_max") >= col("lo") && col("x_min") <= col("hi")) ||

@@ -46,7 +46,7 @@ object Relational {
     // literal add instead of a crossJoin(broadcast(agg)) whose scan +
     // aggregate subtree replicates into every consumer of the batch
     // (q29's replay plan carried 266 customer scans before this)
-    val mk = v1.agg(max(col("k"))).head.getLong(0)
+    val mk = longAt(v1.agg(max(col("k"))).head)
     v1.filter(col("k") % 11 === 0)
       .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))
       .unionAll(v1.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
@@ -878,7 +878,7 @@ object Relational {
         .localCheckpoint()
       val cur2 = h2.filter(col("end_v") === 0)
         .select(col("c_custkey").as("k"), col("bal_cents").as("bal"))
-      val mk2 = cur2.agg(max(col("k"))).head.getLong(0)
+      val mk2 = longAt(cur2.agg(max(col("k"))).head)
       val batch2 =
         cur2.filter(col("k") % 17 === 0)
           .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("nbal"))

@@ -53,4 +53,12 @@ object Tables {
 
   /** SUM over ints/longs pinned to BIGINT on both engines. */
   def lsum(c: Column): Column = sum(c).cast("long")
+
+  /** Column `i` of a collected 1-row aggregate as a long, 0 when NULL —
+    * MAX/MIN over an empty input collects NULL, and every collected-
+    * literal site must degrade to the empty result the old
+    * crossJoin(broadcast) subplan form null-propagated to, never NPE
+    * (zGeomOf's guard, generalized per the r14 advice). */
+  private[graft] def longAt(row: org.apache.spark.sql.Row, i: Int = 0): Long =
+    if (row.isNullAt(i)) 0L else row.getLong(i)
 }

@@ -1268,7 +1268,17 @@ object Text {
       val lm = bi.join(cnt, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(expr("CAST(sum(n) * 1000 div count(1) AS BIGINT)").as("score"))
+      // ld is read THREE times (score histogram, per-lang totals, the
+      // final per-doc join) and each reference re-planned the whole
+      // bigram explode + corpus-frequency join above it — the r15
+      // before-plan carried 24 document scans / 52 Exchanges from
+      // exactly that. One doc-sized (doc_id, score, lang) checkpoint
+      // truncates it (guide §3.3); the expensive gram machinery runs
+      // once. At 100 TB this materializes one narrow row per DOCUMENT
+      // — the same class of artifact the dedup family checkpoints —
+      // against re-running the corpus-sized bigram join per reference.
       val ld = lm.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint()
       val sc = ld.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("cnt"))
         .withColumn("blk", expr("score div 1024"))
       // within-block suffix count: sc has one row per DISTINCT integer

@@ -27,6 +27,22 @@ class StatsMergeSpec extends AnyFunSuite {
     (base, delta, all)
   }
 
+  test("frozenFin2's is_delta slices equal the per-side frozenParts assignments") {
+    // r15 rewired the merge family onto ONE scan with the side split
+    // as a column; this pins the slices row-for-row against the r14
+    // two-subtree form the other tests (and the oracle) reason about.
+    val (bz, dz, geom) = Pipeline.frozenParts(spark, dir)
+    val fin2 = Pipeline.frozenFin2(spark, dir)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(col("depth"), col("cell"), col("x"), col("y"), col("k"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString(","))
+    assert(rowsOf(fin2.filter(col("is_delta") === 0)) ==
+      rowsOf(Pipeline.frozenAssign(bz, geom)))
+    assert(rowsOf(fin2.filter(col("is_delta") === 1)) ==
+      rowsOf(Pipeline.frozenAssign(dz, geom)))
+    assert(fin2.filter(col("is_delta") === 1).count() > 0) // non-vacuous
+  }
+
   test("OR-merged per-side bitmaps equal the one-pass rebuild, word for word") {
     val (base, delta, all) = sides()
     def bitsOf(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Seq[Long]] =
