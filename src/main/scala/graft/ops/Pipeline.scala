@@ -188,16 +188,26 @@ object Pipeline {
     * [[graft.functions.BloomImpl.setBit]]), so the oracle's
     * distinct-slice replay still matches bit-for-bit. */
   private[ops] def cellBlooms(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    cellBloomWords(rows)
+      .groupBy(col("depth"), col("cell"))
+      .agg(expr("transform(sequence(0, 63), i -> coalesce(" +
+        "element_at(map_from_entries(collect_list(struct(word, w))), i), 0L))")
+        .as("bits"))
+
+  /** The bitmap state at (depth, cell, word) grain — everything the
+    * query paths actually consume (bits_set is Σ bit_count(w); a probe
+    * is a bit test on the ≤ 3 words its positions land in), WITHOUT
+    * the 64-long array fold: the collect_list word→array step is an
+    * ObjectHashAggregate (off whole-stage codegen) whose only purpose
+    * is the array shape [[cellBlooms]] keeps for the merge-≡-rebuild
+    * spec (StatsMergeSpec pins orMergeBits over the array form). */
+  private[ops] def cellBloomWords(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     rows
       .select(col("depth"), col("cell"), expr(keyHxSql).as("hx"))
       .select(col("depth"), col("cell"), explode(posArr("hx")).as("pos"))
       .groupBy(col("depth"), col("cell"),
         expr("CAST(pos div 64 AS INT)").as("word"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("w"))
-      .groupBy(col("depth"), col("cell"))
-      .agg(expr("transform(sequence(0, 63), i -> coalesce(" +
-        "element_at(map_from_entries(collect_list(struct(word, w))), i), 0L))")
-        .as("bits"))
 
   /** DuckDB twin of the bloom membership state: the DISTINCT
     * (depth, cell, 3-hex-slice) set — bijective to the set bits. */
@@ -497,10 +507,13 @@ object Pipeline {
         |ORDER BY depth, cell""") { (s, dir) =>
       val rows = zAssigned(s, dir).select(col("depth"), col("cell"), col("k")).cache()
       rows.count() // shared by the bitmap build and the cell stats
-      val blooms = cellBlooms(rows)
-        .withColumn("bits_set",
-          expr("aggregate(bits, 0L, (acc, w) -> acc + bit_count(w))"))
-        .select(col("depth"), col("cell"), col("bits_set"))
+      // bits_set straight off the (depth, cell, word) grain — the
+      // 64-long array fold (collect_list, off-codegen) only existed to
+      // shape the bitmap; Σ bit_count(w) over disjoint words is the
+      // same count without it (see cellBloomWords)
+      val blooms = cellBloomWords(rows)
+        .groupBy(col("depth"), col("cell"))
+        .agg(lsum(expr("bit_count(w)")).as("bits_set"))
       rows.groupBy(col("depth"), col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("k")).as("n_keys"))
@@ -565,7 +578,7 @@ object Pipeline {
         |ORDER BY g.probe_id, g.strategy""") { (s, dir) =>
       val rows = zAssigned(s, dir).select(col("depth"), col("cell"), col("k")).cache()
       rows.count() // shared by blooms, stats, probes and the truth scan
-      val blooms = cellBlooms(rows)
+      val words = cellBloomWords(rows)
       val cs = rows.groupBy(col("depth"), col("cell"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
@@ -591,10 +604,21 @@ object Pipeline {
       }.toDF("probe_id", "key", "ps")
       // the REAL artifact probe: three bit tests against the 512-byte
       // per-cell bitmap — semantics identical to the oracle's
-      // distinct-slice membership by the bijectivity of slice ↔ bit
-      val bloomhit = blooms.crossJoin(broadcast(probes))
-        .filter(expr("forall(ps, p -> (shiftright(element_at(bits," +
-          " CAST(p div 64 AS INT) + 1), CAST(p % 64 AS INT)) & 1) = 1)"))
+      // distinct-slice membership by the bijectivity of slice ↔ bit.
+      // Probed at the (depth, cell, word) grain: each position is a
+      // bit test on its own word row, a cell hits when all 3 distinct
+      // positions hit — the array fold the old crossJoin + forall
+      // probe needed (collect_list, off-codegen) never happens.
+      val probePos = probes.select(col("probe_id"),
+          posexplode(col("ps")).as(Seq("i", "p")))
+        .select(col("probe_id"), col("i"),
+          expr("CAST(p div 64 AS INT)").as("word"),
+          expr("CAST(p % 64 AS INT)").as("bit"))
+      val bloomhit = words.join(broadcast(probePos), Seq("word"))
+        .filter(expr("(shiftright(w, bit) & 1) = 1"))
+        .groupBy(col("probe_id"), col("depth"), col("cell"))
+        .agg(countDistinct(col("i")).as("nhit"))
+        .filter(col("nhit") === 3)
         .select(col("probe_id"), col("depth"), col("cell"))
       val truehit = rows.join(broadcast(probes), col("k") === col("key"))
         .select(col("probe_id"), col("depth"), col("cell")).distinct()
@@ -735,16 +759,30 @@ object Pipeline {
     }) { (s, dir) =>
       // every artifact builds off ONE scan at (…, is_delta) grain (see
       // frozenFin2); level 1 of each aggregation is the per-side
-      // artifact, level 2 the associative merge. The r14 two-subtree
-      // form carried 28 scans / 58 Exchanges (cells was also
-      // referenced twice — output + table row — doubling the tree).
+      // artifact, level 2 the associative merge. The table row
+      // (depth = -1) is folded into each stat's merge level as a
+      // GROUPING SETS grain, so no subtree is referenced twice — the
+      // r14 union form re-read the cells table and the register table
+      // for the table row, doubling the whole plan (14 scans /
+      // 50 Exchanges in the committed after-plan).
       val fin2 = frozenFin2(s, dir)
         .select(col("depth"), col("cell"), col("k"), col("is_delta"))
+      // --- counts: per-side manifests, sum-merged at both grains
+      val counts = fin2.groupBy(col("depth"), col("cell"), col("is_delta"))
+        .agg(count(lit(1)).as("n"))
+        .groupingSets(Seq(Seq(col("depth"), col("cell")), Seq.empty),
+          col("depth"), col("cell"))
+        .agg(lsum(col("n")).as("n_rows"),
+          lsum(when(col("is_delta") === 1, col("n")).otherwise(0L)).as("n_delta"))
+        .select(coalesce(col("depth"), lit(-1)).cast("int").as("depth"),
+          coalesce(col("cell"), lit(-1L)).cast("long").as("cell"),
+          col("n_rows"), col("n_delta"))
       // --- Blooms: per-side word partials, OR-merged per word, then
       // popcount-summed — only bits_set leaves this query, so the
       // 64-long array fold (collect_list → ObjectHashAggregate, off
-      // codegen) is dead weight here: Σ bit_count(word OR) over
-      // disjoint words ≡ aggregate(bits, bit_count) over the array.
+      // codegen) is dead weight here, and the table row's bits_set is
+      // the SUM of the per-cell ones: both grains are Σ bit_count over
+      // the merged word table — one grouping-sets pass.
       val bitsSet = fin2
         .select(col("depth"), col("cell"), col("is_delta"), expr(keyHxSql).as("hx"))
         .select(col("depth"), col("cell"), col("is_delta"),
@@ -754,13 +792,21 @@ object Pipeline {
         .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("w"))
         .groupBy(col("depth"), col("cell"), col("word"))
         .agg(expr("bit_or(w)").as("w"))
-        .groupBy(col("depth"), col("cell"))
+        .groupingSets(Seq(Seq(col("depth"), col("cell")), Seq.empty),
+          col("depth"), col("cell"))
         .agg(lsum(expr("bit_count(w)")).as("bits_set"))
+        .select(coalesce(col("depth"), lit(-1)).cast("int").as("depth"),
+          coalesce(col("cell"), lit(-1L)).cast("long").as("cell"),
+          col("bits_set"))
       // --- NDV registers: per-side register tables at (…, is_delta,
-      // bucket), max-merged; checkpointed because BOTH the per-cell
-      // NDV and the table row read it (register-table-sized: ≤ cells ×
-      // 64 rows — artifact-scale, never row-scale)
-      val mergedRegs = fin2
+      // bucket), max-merged; grouping sets ((depth, cell), (bucket))
+      // read the merged register table ONCE for both estimator grains
+      // — the (bucket) set IS the table row's global register
+      // max-merge (max over cells per bucket), folded to the (-1, -1)
+      // estimate by one 64-row aggregation.
+      val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
+        s"(1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
+      val ndv = fin2
         .withColumn("hx", md5(col("k").cast("string")))
         .select(col("depth"), col("cell"), col("is_delta"),
           (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
@@ -769,38 +815,24 @@ object Pipeline {
         .agg(max(expr(Hll.rhoLadderSql)).as("mrho"))
         .groupBy(col("depth"), col("cell"), col("bucket"))
         .agg(max(col("mrho")).as("mrho"))
-      val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
-        s"(1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
-      val cellNdv = mergedRegs.groupBy(col("depth"), col("cell"))
+        .groupingSets(Seq(Seq(col("depth"), col("cell")), Seq(col("bucket"))),
+          col("depth"), col("cell"), col("bucket"))
         .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
-          count(lit(1)).as("np"))
+          count(lit(1)).as("np"), max(col("mrho")).as("mx"))
+        // per-cell rows (bucket IS NULL) are final; the 64 global
+        // register rows collapse into the (-1, -1) group, re-deriving
+        // (sp, np) from each bucket's max rho
+        .groupBy(coalesce(col("depth"), lit(-1)).cast("int").as("depth"),
+          coalesce(col("cell"), lit(-1L)).cast("long").as("cell"))
+        .agg(sum(when(col("bucket").isNull, col("sp"))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mx AS INT))"))).as("sp"),
+          lsum(when(col("bucket").isNull, col("np")).otherwise(1L)).as("np"))
         .select(col("depth"), col("cell"), estCol.as("ndv_sketch"))
-      // --- counts: per-side manifests, sum-merged
-      val counts = fin2.groupBy(col("depth"), col("cell"), col("is_delta"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("depth"), col("cell"))
-        .agg(lsum(col("n")).as("n_rows"),
-          lsum(when(col("is_delta") === 1, col("n")).otherwise(0L)).as("n_delta"))
-      // merged per-cell artifact table: read twice (output rows + the
-      // table row's sums) — checkpoint the ≤ cells rows, not the tree
-      val cells = counts
+      counts
         .join(bitsSet, Seq("depth", "cell"))
-        .join(cellNdv, Seq("depth", "cell"))
-      // --- the table row: a SECOND associative merge level over the
-      // merged per-cell artifacts (registers max-merge again; sums)
-      val tot = mergedRegs.groupBy(col("bucket")).agg(max(col("mrho")).as("mrho"))
-        .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
-          count(lit(1)).as("np"))
-        .select(estCol.as("ndv_sketch"))
-        .crossJoin(broadcast(cells.agg(
-          lsum(col("n_rows")).as("n_rows"), lsum(col("n_delta")).as("n_delta"),
-          lsum(col("bits_set")).as("bits_set"))))
-        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
-          col("n_rows"), col("n_delta"), col("bits_set"), col("ndv_sketch"))
-      cells
-        .select(col("depth").cast("int").as("depth"), col("cell").cast("long").as("cell"),
-          col("n_rows"), col("n_delta"), col("bits_set"), col("ndv_sketch"))
-        .unionAll(tot)
+        .join(ndv, Seq("depth", "cell"))
+        .select(col("depth"), col("cell"), col("n_rows"), col("n_delta"),
+          col("bits_set"), col("ndv_sketch"))
         .orderBy(col("depth"), col("cell"))
     },
 
@@ -851,27 +883,23 @@ object Pipeline {
       val (xmin, xmax) = (longAt(bmmRow), longAt(bmmRow, 1))
       // per-side artifacts at (…, is_delta) grain off ONE scan (see
       // frozenFin2), then the associative merge (sum per bin over the
-      // per-side histogram rows, no row rescan); checkpointed because
-      // the output AND the table row read it (≤ cells × 16 rows)
-      val cells = fin2
+      // per-side histogram rows, no row rescan). The table row's bins
+      // (htot: per-bin sums over the merged cells) fold in as the
+      // (bin) grouping set — one pass, no checkpoint, no double read.
+      fin2
         .withColumn("bin", expr(
           s"CAST((least(greatest(x, ${xmin}L), ${xmax}L) - ${xmin}L) * 16" +
             s" div (${xmax}L - ${xmin}L + 1) AS INT)"))
         .groupBy(col("depth"), col("cell"), col("bin"), col("is_delta"))
         .agg(count(lit(1)).as("n"))
-        .groupBy(col("depth"), col("cell"), col("bin"))
+        .groupingSets(
+          Seq(Seq(col("depth"), col("cell"), col("bin")), Seq(col("bin"))),
+          col("depth"), col("cell"), col("bin"))
         .agg(lsum(col("n")).as("n_rows"),
           lsum(when(col("is_delta") === 1, col("n")).otherwise(0L)).as("n_delta"))
-        .localCheckpoint()
-      val tot = cells.groupBy(col("bin"))
-        .agg(lsum(col("n_rows")).as("n_rows"), lsum(col("n_delta")).as("n_delta"))
-        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
+        .select(coalesce(col("depth"), lit(-1)).cast("int").as("depth"),
+          coalesce(col("cell"), lit(-1L)).cast("long").as("cell"),
           col("bin"), col("n_rows"), col("n_delta"))
-      cells
-        .select(col("depth").cast("int").as("depth"),
-          col("cell").cast("long").as("cell"),
-          col("bin"), col("n_rows"), col("n_delta"))
-        .unionAll(tot)
         .orderBy(col("depth"), col("cell"), col("bin"))
     },
 
@@ -1208,39 +1236,43 @@ object Pipeline {
       // memoized artifacts to disk).
       val fin = zAssigned(s, dir)
         .select(col("depth"), col("cell"), col("k"))
-      val v = fin
+      val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
+        s"(1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
+      // counts + exact NDV at both grains from ONE pass over fin
+      // (grouping sets fold the table row in; previously fin was
+      // re-derived a third time just for the total row)
+      val counts = fin
+        .groupingSets(Seq(Seq(col("depth"), col("cell")), Seq.empty),
+          col("depth"), col("cell"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("k")).cast("long").as("ndv_exact"))
+        .select(coalesce(col("depth"), lit(-1)).cast("int").as("depth"),
+          coalesce(col("cell"), lit(-1L)).cast("long").as("cell"),
+          col("n_rows"), col("ndv_exact"))
+      // the register table is read ONCE for both estimator grains: the
+      // (bucket) grouping set IS the table row's register max-merge
+      // (max over cells is associative) — raw rows never rescanned
+      val ndv = fin
         .withColumn("hx", md5(col("k").cast("string")))
         .select(col("depth"), col("cell"),
           (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % Hll.M).as("bucket"),
           conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("w"))
-      val r = v.groupBy(col("depth"), col("cell"), col("bucket"))
+        .groupBy(col("depth"), col("cell"), col("bucket"))
         .agg(max(expr(Hll.rhoLadderSql)).as("mrho"))
-      val estCol = expr(s"CAST(${Hll.ScaledAlphaM2}L div " +
-        s"(1000 * (sp + (${Hll.M} - np) * 8589934592L)) AS BIGINT)")
-      val cells = fin.groupBy(col("depth"), col("cell"))
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          countDistinct(col("k")).cast("long").as("ndv_exact"))
-        .join(
-          r.groupBy(col("depth"), col("cell"))
-            .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
-              count(lit(1)).as("np"))
-            .select(col("depth"), col("cell"), estCol.as("ndv_sketch")),
-          Seq("depth", "cell"))
-      // the table-level sketch merges the PER-CELL registers (max is
-      // associative) — the raw rows are never rescanned for it
-      val tot = r.groupBy(col("bucket")).agg(max(col("mrho")).as("mrho"))
+        .groupingSets(Seq(Seq(col("depth"), col("cell")), Seq(col("bucket"))),
+          col("depth"), col("cell"), col("bucket"))
         .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT)))").as("sp"),
-          count(lit(1)).as("np"))
-        .select(estCol.as("ndv_sketch"))
-        .crossJoin(broadcast(fin.agg(
-          count(lit(1)).cast("long").as("n_rows"),
-          countDistinct(col("k")).cast("long").as("ndv_exact"))))
-        .select(lit(-1).cast("int").as("depth"), lit(-1L).as("cell"),
-          col("n_rows"), col("ndv_exact"), col("ndv_sketch"))
-      cells
-        .select(col("depth").cast("int").as("depth"), col("cell").cast("long").as("cell"),
-          col("n_rows"), col("ndv_exact"), col("ndv_sketch"))
-        .unionAll(tot)
+          count(lit(1)).as("np"), max(col("mrho")).as("mx"))
+        .groupBy(coalesce(col("depth"), lit(-1)).cast("int").as("depth"),
+          coalesce(col("cell"), lit(-1L)).cast("long").as("cell"))
+        .agg(sum(when(col("bucket").isNull, col("sp"))
+            .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mx AS INT))"))).as("sp"),
+          lsum(when(col("bucket").isNull, col("np")).otherwise(1L)).as("np"))
+        .select(col("depth"), col("cell"), estCol.as("ndv_sketch"))
+      counts
+        .join(ndv, Seq("depth", "cell"))
+        .select(col("depth"), col("cell"), col("n_rows"), col("ndv_exact"),
+          col("ndv_sketch"))
         .orderBy(col("depth"), col("cell"))
     },
 

@@ -73,6 +73,30 @@ class StatsMergeSpec extends AnyFunSuite {
     assert(merged.nonEmpty)
   }
 
+  test("word-grain bitmap state is the folded array, word for word") {
+    // r15 moved the query paths (bits_set, probes) onto
+    // cellBloomWords' (depth, cell, word, w) grain; this pins that
+    // grain against the 64-long array form the oracle's
+    // distinct-slice replay reasons about: w == bits[word] for every
+    // present word, and every absent word's array slot is 0L.
+    val (_, _, all) = sides()
+    val arrays = Pipeline.cellBlooms(all).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val words = Pipeline.cellBloomWords(all).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getInt(2), r.getLong(3)))
+    assert(words.nonEmpty)
+    words.foreach { case (cellKey, word, w) =>
+      assert(arrays(cellKey)(word) == w, s"word drift at $cellKey[$word]")
+    }
+    val present = words.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    arrays.foreach { case (cellKey, bits) =>
+      bits.zipWithIndex.foreach { case (w, i) =>
+        if (!present(cellKey).contains(i))
+          assert(w == 0L, s"absent word non-zero at $cellKey[$i]")
+      }
+    }
+  }
+
   test("KMV merge dedups a value on BOTH sides; table sketch = brute bottom-k") {
     // The one step a naive KMV merge gets wrong: a distinct value seen
     // by base AND delta contributes its hash twice to the unioned
